@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced to execute fully (write to a noop-style sink via
+count over the final plan) — results are not collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from real_time_data_warehouse_spark.session import get_spark
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = (
+    "q0_flagship_trade_summary",
+    "j1_inner_equi_join",
+    "j4_interval_join",
+    "j6_dim_chain_join",
+    "a1_windowed_sum",
+    "a2_distinct_count",
+    "a6_keyword_count",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "x1_log_split",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "s1_cosine_topk",
+    "t2_quality_score",
+    "t4_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rtdw-bench", cpus=cpus)
+    qmap = query_map()
+    names = [n for n in HEADLINE if n in QUERY_REGISTRY]
+
+    # Warm the JVM/reader paths once so per-query numbers measure the
+    # queries, not session startup.
+    qmap["q0_flagship_trade_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

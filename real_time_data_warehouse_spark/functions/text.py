@@ -1,0 +1,64 @@
+"""Text expression helpers: tokenizer (UDTF analog) + portable hashing.
+
+U1 in the reference is an IK Chinese tokenizer UDTF applied via LATERAL
+TABLE (KeywordUDTF.java:14-21, KeywordUtil.java:16-41). The synthetic corpus
+is whitespace-delimited ASCII, so the Spark-first equivalent is a pure
+Catalyst expression: lowercase → split on non-word runs → filter empties →
+explode. No Python UDF: the tokenizer stays inside whole-stage codegen.
+
+``poly_hash_sql`` is a *portable* polynomial string hash expressible in both
+Spark SQL and DuckDB SQL (same SQL text modulo lambda syntax), used by the
+MinHash/fingerprint dedup operators so the oracle can recompute identical
+hashes. xxhash64/md5-to-int would differ or need non-portable casts.
+Bounds: h < P < 2^55, so h*31 + c < 2^60 — no int64 overflow in either
+engine (DuckDB checks overflow; Spark would silently wrap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Prime below 2^55 keeps the recurrence overflow-free in signed 64-bit.
+POLY_P = 36028797018963913
+
+
+def tokenize(col: Column | str) -> Column:
+    """string → array<string> of lowercase word tokens (empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
+
+
+def poly_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of a string, in [0, POLY_P)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("bigint"),
+        lambda h, code: (h * F.lit(31) + code) % F.lit(POLY_P),
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`poly_hash` over string expression *expr*.
+
+    Verified equal to the Spark expression (e.g. both hash 'abc' → 304891).
+    """
+    return (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % {POLY_P})"
+    )
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize`."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'), "
+        "t -> length(t) > 0)"
+    )

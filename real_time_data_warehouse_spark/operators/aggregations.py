@@ -1,0 +1,315 @@
+"""Windowed & grouped aggregations — SURVEY.md §2.4-2.5 (A1-A10, W1-W9).
+
+The reference's DWS layer is 10 s tumbling event-time windows with
+incremental reduces and window-metadata stamping (stt/edt/cur_date) —
+DwsTradeSkuOrderWindow.java:271-302 and six siblings. Spark equivalent:
+``groupBy(window(et, "10 seconds"), keys).agg(...)`` — the partial
+aggregation (map-side combine) that Flink's ReduceFunction does by hand is
+what Catalyst plans automatically (HashAggregate partial → shuffle on the
+group keys → HashAggregate final).
+
+Scale notes: window+key aggregations shuffle once on the group key; the
+count-distinct in A2 is exact here (mirrors the reference's Set-union,
+DwsTradeProvinceOrderWindow.java:127-168) with the documented 100 TB
+alternative ``approx_count_distinct`` registered as a separate query (A2b)
+since its result is sketch-based. Measures aggregate in DECIMAL(18,2)
+(functions/money.py) so the result is reduction-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.money import dec, oracle_dec_sum
+from real_time_data_warehouse_spark.functions.time import oracle_tumble, tumble, window_meta
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+_W10 = oracle_tumble("ts", 10)
+
+_ORACLE_META = """
+       strftime({w}, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime({w} + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+       strftime({w}, '%Y-%m-%d') AS cur_date
+""".format(w=_W10)
+
+
+@register(
+    "a1_windowed_sum",
+    survey="A1,W1,W4,W7",
+    doc="Keyed 10 s tumbling event-time window, incremental decimal sum + "
+        "window-metadata stamping (DwsTradeSkuOrderWindow.java:271-302).",
+    oracle=f"""
+        SELECT {_ORACLE_META},
+               event_type AS sku_group,
+               {oracle_dec_sum('value', 'order_amount')},
+               CAST(COUNT(*) AS BIGINT) AS order_ct
+        FROM events
+        GROUP BY {_W10}, event_type
+    """,
+)
+def a1_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    agg = (
+        t.events.groupBy(tumble("ts"), F.col("event_type").alias("sku_group"))
+        .agg(
+            F.sum(dec("value")).cast("double").alias("order_amount"),
+            F.count("*").alias("order_ct"),
+        )
+    )
+    return window_meta(agg)
+
+
+@register(
+    "a2_distinct_count",
+    survey="A2",
+    doc="Per-key sum + exact distinct count (the reference's Set-union "
+        "distinct, DwsTradeProvinceOrderWindow.java:139-168): per customer "
+        "nation, order amount + distinct ordering customers.",
+    oracle=f"""
+        SELECT n.n_name AS province_name,
+               {oracle_dec_sum('o.o_totalprice', 'order_amount')},
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS order_user_ct
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def a2_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("province_name"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("order_amount"),
+            F.countDistinct("o_custkey").alias("order_user_ct"),
+        )
+    )
+
+
+@register(
+    "a2b_approx_distinct",
+    survey="A2",
+    doc="100 TB-scale variant of A2: HyperLogLog approx_count_distinct "
+        "(rsd 1%). Sketch-based — driver gets a rows-only check; the pytest "
+        "suite asserts ±5% of exact.",
+    oracle=None,
+)
+def a2b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("province_name"))
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("order_user_ct_approx"))
+    )
+
+
+@register(
+    "a3_multikey_window",
+    survey="A3,W1",
+    doc="4-dim keyed windowed reduce (vc/ch/ar/is_new analog: "
+        "DwsTrafficVcChArIsNewPageViewWindow.java:125-172) — hourly window "
+        "× (event_type, user bucket): pv/dur sums.",
+    oracle=f"""
+        SELECT strftime({oracle_tumble('ts', 3600)}, '%Y-%m-%d %H:%M:%S') AS stt,
+               event_type AS ch,
+               CAST(user_id % 4 AS BIGINT) AS ar,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               {oracle_dec_sum('value', 'dur_sum')}
+        FROM events
+        GROUP BY {oracle_tumble('ts', 3600)}, event_type, user_id % 4
+    """,
+)
+def a3_multikey_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            tumble("ts", "1 hour"),
+            F.col("event_type").alias("ch"),
+            (F.col("user_id") % 4).alias("ar"),
+        )
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.sum(dec("value")).cast("double").alias("dur_sum"),
+        )
+        .withColumn("stt", F.date_format("window.start", "yyyy-MM-dd HH:mm:ss"))
+        .drop("window")
+    )
+
+
+@register(
+    "a4_global_window",
+    survey="A4,W1",
+    doc="Global (non-keyed) tumbling window reduce (windowAll analog, "
+        "DwsTrafficHomeDetailPageViewWindow.java:134-158): hourly totals.",
+    oracle=f"""
+        SELECT strftime({oracle_tumble('ts', 3600)}, '%Y-%m-%d %H:%M:%S') AS stt,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               {oracle_dec_sum('value', 'value_sum')}
+        FROM events
+        GROUP BY {oracle_tumble('ts', 3600)}
+    """,
+)
+def a4_global_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(tumble("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("ev_ct"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .withColumn("stt", F.date_format("window.start", "yyyy-MM-dd HH:mm:ss"))
+        .drop("window")
+    )
+
+
+@register(
+    "a5_windowed_uu",
+    survey="A5,ST4",
+    doc="Cart-add UU per window (DwsTradeCartAddUuWindow.java:99-139): "
+        "distinct users per day per event type.",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uu_ct
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def a5_windowed_uu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("cur_date"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("uu_ct"))
+    )
+
+
+@register(
+    "a6_keyword_count",
+    survey="A6,U1,W3",
+    doc="Keyword UDTF + windowed count "
+        "(DwsTrafficSourceKeywordPageViewWindow.java:50-63): tokenizer "
+        "(Catalyst expression, functions/text.py) + explode + group count. "
+        "The reference's LATERAL TABLE(ik_analyze(...)) is explode(tokenize).",
+    oracle="""
+        SELECT t.keyword,
+               CAST(COUNT(*) AS BIGINT) AS keyword_ct
+        FROM documents d,
+             LATERAL (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                 x -> length(x) > 0)) AS keyword) t
+        GROUP BY t.keyword
+    """,
+)
+def a6_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(tokenize("text")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("keyword_ct"))
+    )
+
+
+@register(
+    "a10_rollup",
+    survey="A10",
+    doc="Rollup aggregation (beyond the reference's surface — free in "
+        "Spark/Catalyst): returnflag × linestatus hierarchy totals.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+
+
+@register(
+    "w8_sliding_window",
+    survey="W8",
+    doc="Sliding event-time window (absent in the reference; Spark-native): "
+        "1 h window sliding 30 min, per-window counts. Each event lands in "
+        "2 windows.",
+    oracle="""
+        WITH slides AS (
+            SELECT to_timestamp(s.start_s)::TIMESTAMP AS wstart, e.value
+            FROM events e,
+            LATERAL (SELECT unnest([
+                floor((epoch(e.ts) - 3600) / 1800 + 1) * 1800,
+                floor((epoch(e.ts) - 3600) / 1800 + 2) * 1800
+            ]) AS start_s) s
+            WHERE epoch(e.ts) >= s.start_s AND epoch(e.ts) < s.start_s + 3600
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct
+        FROM slides GROUP BY wstart
+    """,
+)
+def w8_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("ev_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "ev_ct",
+        )
+    )
+
+
+@register(
+    "w9_over_analytics",
+    survey="W9",
+    doc="OVER-window analytics (absent in the reference; added for the "
+        "serving layer): per-customer order ranking + gap to previous order.",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey AS user_id,
+                   o_orderkey AS order_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   CAST(datediff('day',
+                       LAG(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) WHERE rn <= 3
+    """,
+)
+def w9_over_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.row_number().over(w).alias("rn"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+            .cast("int")
+            .alias("days_since_prev"),
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -1,0 +1,289 @@
+"""Joins — SURVEY.md §2.3 (J1-J8).
+
+The reference's join surface: regular streaming equi-joins with idle-state
+TTL (DwdTradeOrderDetail.java:84-108), an event-time interval join
+(DwdTradeOrderPaySucDetail.java:74-98), proctime lookup joins against HBase
+dims (DwdInteractionCommentInfo.java:42-52), a 6-stage async dim-enrichment
+chain with Redis cache-aside (DwsTradeSkuOrderWindow.java:480-619), and a
+broadcast config-routing join (DimApp.java:283-298). Fixture mapping:
+``lineitem``=order_detail, ``orders``=order_info, the dim chain
+customer→nation→region / part / supplier plays sku→spu→tm→c3→c2→c1.
+
+Spark-first design + scale notes:
+- Fact⋈fact (J1-J4) shuffles on the join key — unavoidable and correct; at
+  100 TB pre-bucketing both tables by the key removes the shuffle. We keep
+  the declarative join and let AQE pick sort-merge vs shuffled-hash and
+  handle skew.
+- Fact⋈dim (J5, J6) uses explicit ``broadcast()`` — zero shuffle on the
+  fact side, replacing the reference's entire async-IO + Redis cache tier
+  (the cache exists only because Flink does per-record RPC lookups; a
+  set-oriented broadcast hash join makes it structurally unnecessary).
+- The interval join (J4) is a join with a time-range predicate; Spark plans
+  an equi-join on the key with the range as post-filter, and in streaming
+  the range bound doubles as the state-retention bound (watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.money import dec, dec4
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+
+@register(
+    "j1_inner_equi_join",
+    survey="J1,F2,F3",
+    doc="Regular inner equi-join order_detail ⋈ order_info "
+        "(DwdTradeOrderDetail.java:84-108), with the reference's projection "
+        "style: ids, date_id from the header ts, decimal split amount.",
+    oracle="""
+        SELECT l.l_orderkey AS order_id,
+               l.l_linenumber AS line_id,
+               l.l_partkey AS sku_id,
+               o.o_custkey AS user_id,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS date_id,
+               CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    AS DOUBLE) AS split_total_amount
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_id"),
+            F.col("l_partkey").alias("sku_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_id"),
+            dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("split_total_amount"),
+        )
+    )
+
+
+@register(
+    "j2_left_outer_join",
+    survey="J2",
+    doc="Left outer join with null-padded non-matches (order_detail ⟕ "
+        "order_detail_activity analog, DwdTradeOrderDetail.java:105-108). "
+        "Spark's append-mode streaming outer join emits the padded row once "
+        "the watermark passes — no retract storm to cancel (SURVEY §7.4.1).",
+    oracle="""
+        SELECT c.c_custkey AS user_id,
+               c.c_mktsegment AS segment,
+               o.o_orderkey AS order_id,
+               COALESCE(o.o_orderstatus, 'NONE') AS order_status
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("order_id"),
+            F.coalesce("o_orderstatus", F.lit("NONE")).alias("order_status"),
+        )
+    )
+
+
+@register(
+    "j3_filtered_inner_join",
+    survey="J3,P5",
+    doc="Order-cancel join: state-transition-filtered header ⋈ detail "
+        "(DwdTradeOrderCancelDetail.java:69-90; 30-min state bound becomes "
+        "a watermark in streaming).",
+    oracle="""
+        SELECT o.o_orderkey AS order_id,
+               l.l_linenumber AS line_id,
+               l.l_returnflag AS return_flag,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS split_amount
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+    """,
+)
+def j3_filtered_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cancelled = t.orders.where(F.col("o_orderstatus") == "F")
+    returned = t.lineitem.where(F.col("l_returnflag") == "R")
+    return cancelled.join(
+        returned, cancelled.o_orderkey == returned.l_orderkey
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_id"),
+        F.col("l_returnflag").alias("return_flag"),
+        dec("l_extendedprice").cast("double").alias("split_amount"),
+    )
+
+
+@register(
+    "j4_interval_join",
+    survey="J4,W5",
+    doc="Event-time interval join: for each purchase, prior events of the "
+        "same user within [ts - 30 min, ts] "
+        "(DwdTradeOrderPaySucDetail.java:74-98 payment⋈order pattern). "
+        "Aggregated to per-purchase counts to keep output bounded.",
+    oracle="""
+        SELECT p.event_id AS pay_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS prior_events
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts - INTERVAL 30 MINUTE
+         AND e.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
+)
+def j4_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pay = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("pay_user"),
+        F.col("ts").alias("pay_ts"),
+    )
+    ev = t.events.select("event_id", "user_id", "ts")
+    joined = pay.join(
+        ev,
+        (F.col("pay_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("ts") < F.col("pay_ts")),
+    )
+    return joined.groupBy("pay_id").agg(
+        F.count("event_id").alias("prior_events")
+    )
+
+
+@register(
+    "j5_lookup_dim_join",
+    survey="J5,S10,F7",
+    doc="Lookup (temporal) join FOR SYSTEM_TIME AS OF proctime against the "
+        "base_dic dim (DwdInteractionCommentInfo.java:42-52) → stream-static "
+        "broadcast join; the static side is re-read per micro-batch, which "
+        "IS the as-of-processing-time semantics.",
+    oracle="""
+        SELECT c.c_custkey AS user_id,
+               c.c_name AS user_name,
+               n.n_name AS dic_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def j5_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("dic_name"),
+        )
+    )
+
+
+@register(
+    "j6_dim_chain_join",
+    survey="J6,S11",
+    doc="6-stage dim enrichment chain sku→spu→tm→c3→c2→c1 "
+        "(DwsTradeSkuOrderWindow.java:480-619): chained broadcast joins "
+        "lineitem→part, →supplier→nation→region. Replaces async-IO + Redis "
+        "cache-aside — the broadcast hash join is the cache.",
+    oracle="""
+        SELECT l.l_orderkey AS order_id,
+               l.l_linenumber AS line_id,
+               p.p_name AS sku_name,
+               p.p_brand AS tm_name,
+               s.s_name AS supplier_name,
+               n.n_name AS nation_name,
+               r.r_name AS region_name
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j6_dim_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_id"),
+            F.col("p_name").alias("sku_name"),
+            F.col("p_brand").alias("tm_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "j7_broadcast_config_join",
+    survey="J7,ST7,X2",
+    doc="Broadcast config-routing join (DimApp.java:283-298 + "
+        "TableProcessFunction): CDC stream × small config table keyed by "
+        "source table/type → sink routing. Config is an inline DataFrame "
+        "(re-created per micro-batch in streaming = always fresh; the "
+        "reference's preload race disappears).",
+    oracle="""
+        SELECT e.event_id, e.event_type, cfg.sink_table
+        FROM events e
+        JOIN (VALUES ('click',    'dwd_click_log'),
+                     ('view',     'dwd_page_view'),
+                     ('purchase', 'dwd_trade_order')) AS cfg(source_type, sink_table)
+          ON e.event_type = cfg.source_type
+    """,
+)
+def j7_broadcast_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    config = spark.createDataFrame(
+        [
+            ("click", "dwd_click_log"),
+            ("view", "dwd_page_view"),
+            ("purchase", "dwd_trade_order"),
+        ],
+        ["source_type", "sink_table"],
+    )
+    return (
+        t.events.join(F.broadcast(config), F.col("event_type") == F.col("source_type"))
+        .select("event_id", "event_type", "sink_table")
+    )
+
+
+@register(
+    "j8_semi_anti_join",
+    survey="J8,X3",
+    doc="Semi/anti joins (beyond the reference's surface, SURVEY §2.3 J8): "
+        "customers with ≥1 order (semi) vs none (anti), tagged and unioned.",
+    oracle="""
+        SELECT c_custkey AS user_id, 'active' AS status
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT c_custkey AS user_id, 'dormant' AS status
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    active = t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("active").alias("status"))
+    dormant = t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("dormant").alias("status"))
+    return active.unionAll(dormant)

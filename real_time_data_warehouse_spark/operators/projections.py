@@ -1,0 +1,276 @@
+"""Projections, filters, predicates — SURVEY.md §2.2 (P1-P11).
+
+The reference's ODS→DWD layer is JSON-envelope parsing plus predicate
+filters (DimApp.java:149-185 ETL filter; DwdBaseDb.java:45-61 bootstrap
+exclusion; map-access projections in every FlinkSQL DWD app). Fixture
+mapping (FIXTURES.md §C): ``events`` plays the CDC/log stream; its ``props``
+JSON string plays the Maxwell ``data`` map; ``event_type`` plays the CDC
+``type``.
+
+Scale notes: every query below is a narrow scan + filter + project —
+Catalyst pushes the predicates and the column pruning into the parquet
+reader (no shuffle at all). ``from_json`` is a JVM expression inside
+whole-stage codegen; never a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+# Maxwell `data` map analog: props is a JSON object of string→value.
+PROPS_MAP = MapType(StringType(), StringType())
+
+
+def parsed_events(t: Tables) -> DataFrame:
+    """events with ``props`` parsed into a map<string,string> (the CDC
+    `data` column analog — BaseSQLApp.java:61)."""
+    return t.events.withColumn("data", F.from_json("props", PROPS_MAP))
+
+
+@register(
+    "p1_cdc_etl_filter",
+    survey="P1,F11",
+    doc="JSON-validity ETL filter: parse-or-drop + type whitelist "
+        "(DimApp.java:149-185).",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+          AND json_valid(props)
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def p1_cdc_etl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        parsed_events(t)
+        .where(
+            F.col("event_type").isin("click", "view", "purchase")
+            & F.col("data").isNotNull()
+            & F.col("data")["k"].isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", F.col("data")["k"].alias("k"))
+    )
+
+
+@register(
+    "p2_dirty_side_output",
+    survey="P2",
+    doc="Dirty-data side output: records failing the parse/type gate are "
+        "tagged instead of dropped (DwdBaseLog.java:88-117); one DataFrame "
+        "per side in streaming, a `side` tag column here.",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_type IN ('click','view','purchase','signup')
+                    THEN 'main' ELSE 'dirty' END AS side
+        FROM events
+    """,
+)
+def p2_dirty_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    return ev.select(
+        "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "purchase", "signup"),
+            F.lit("main"),
+        )
+        .otherwise(F.lit("dirty"))
+        .alias("side"),
+    )
+
+
+@register(
+    "p3_bootstrap_exclusion",
+    survey="P3",
+    doc="Skip Maxwell bootstrap-* records (DwdBaseDb.java:45-61): "
+        "prefix-exclusion filter.",
+    oracle="""
+        SELECT event_id, event_type
+        FROM events
+        WHERE event_type NOT LIKE 'err%' AND event_type NOT LIKE 'sign%'
+    """,
+)
+def p3_bootstrap_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.where(
+        ~F.col("event_type").startswith("err") & ~F.col("event_type").startswith("sign")
+    ).select("event_id", "event_type")
+
+
+@register(
+    "p4_map_access_projection",
+    survey="P4,F6",
+    doc="Map-subscript projection `data['id'] AS id ...` "
+        "(DwdInteractionCommentInfo.java:25-33).",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               user_id
+        FROM events
+    """,
+)
+def p4_map_access_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return parsed_events(t).select(
+        "event_id",
+        F.col("data")["k"].cast("int").alias("k_int"),
+        "user_id",
+    )
+
+
+@register(
+    "p5_cdc_state_transition",
+    survey="P5",
+    doc="CDC state-transition predicate (order-cancel analog: "
+        "DwdTradeOrderCancelDetail.java:35-43): type match + old/new value "
+        "conditions on the parsed map.",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 60
+    """,
+)
+def p5_cdc_state_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.col("data")["k"].cast("int")
+    return (
+        parsed_events(t)
+        .where((F.col("event_type") == "purchase") & k.between(10, 60))
+        .select("event_id", "user_id", k.alias("k_int"))
+    )
+
+
+@register(
+    "p6_cart_delta",
+    survey="P6,F1,F2,F8",
+    doc="Cart-add delta: insert keeps value, update emits the increment "
+        "`CAST(data) - CAST(old)` (DwdTradeCartAdd.java:28-40). Arithmetic "
+        "on casted strings from the map.",
+    oracle="""
+        SELECT event_id,
+               CAST(CASE WHEN event_type = 'signup'
+                         THEN CAST(json_extract_string(props, '$.k') AS INT)
+                         ELSE CAST(json_extract_string(props, '$.k') AS INT) - 50
+                    END AS INT) AS delta
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def p6_cart_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.col("data")["k"].cast("int")
+    return (
+        parsed_events(t)
+        .where(k.isNotNull())
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "signup", k)
+            .otherwise(k - F.lit(50))
+            .cast("int")
+            .alias("delta"),
+        )
+    )
+
+
+@register(
+    "p7_dynamic_column_pruning",
+    survey="P7,F14",
+    doc="Config-driven column pruning: keep only sinkColumns keys of the "
+        "row map (TableProcessFunction.java:97-105) via map_filter; output "
+        "the surviving keys (sorted) + values as a stable projection.",
+    oracle="""
+        SELECT event_id,
+               array_to_string(list_sort(list_filter(
+                   ['event_type', 'user_id', 'value'],
+                   c -> c IN ('event_type', 'user_id'))), ',') AS kept_keys,
+               event_type AS kept_event_type,
+               CAST(user_id AS VARCHAR) AS kept_user_id
+        FROM events
+    """,
+)
+def p7_dynamic_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # Row re-shaped as a map (the CDC `data` map analog), then pruned by the
+    # config's sink_columns list — exactly TableProcessFunction.filterColumns.
+    sink_columns = ["event_type", "user_id"]
+    row_map = F.create_map(
+        F.lit("event_type"), F.col("event_type").cast("string"),
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    pruned = F.map_filter(row_map, lambda k, v: k.isin(*sink_columns))
+    return t.events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(pruned)), ",").alias("kept_keys"),
+        F.element_at(pruned, "event_type").alias("kept_event_type"),
+        F.element_at(pruned, "user_id").alias("kept_user_id"),
+    )
+
+
+@register(
+    "p8_page_filter",
+    survey="P8",
+    doc="IN-list page filter (DwsTrafficHomeDetailPageViewWindow.java:53-61).",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    """,
+)
+def p8_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.where(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "p9_login_filter",
+    survey="P9,F14",
+    doc="Login filter: uid non-empty ∧ entry condition "
+        "(DwsUserUserLoginWindow.java:51-61).",
+    oracle="""
+        SELECT event_id, user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id % 7 <> 0
+          AND event_type = 'signup'
+    """,
+)
+def p9_login_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.where(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") % 7 != 0)
+        & (F.col("event_type") == "signup")
+    ).select("event_id", "user_id")
+
+
+@register(
+    "p10_search_filter",
+    survey="P10",
+    doc="Search filter: 3-way conjunction incl. NOT NULL "
+        "(DwsTrafficSourceKeywordPageViewWindow.java:42-46).",
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+          AND value > 0.5
+    """,
+)
+def p10_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    item = F.col("data")["k"]
+    return (
+        parsed_events(t)
+        .where((F.col("event_type") == "view") & item.isNotNull() & (F.col("value") > 0.5))
+        .select("event_id", item.alias("item"))
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over the `embeddings` table (north-star extension).
+
+Brute-force cosine top-k as the correctness baseline; an LSH-bucketed
+variant (random-hyperplane signatures, added in streaming with the dedup
+family) as the scale path. Dot products are pure Catalyst array expressions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python in the loop.
+
+Numeric discipline: embeddings are float32; both engines cast to DOUBLE
+before the reduction so the element values agree exactly, and the output
+similarity is rounded to 6 decimals to absorb reduction-order ulps.
+
+Scale notes: brute force is |Q|×|N| — fine when the query set is small and
+broadcast; for all-pairs at 100 TB use the LSH/IVF bucket join (candidates
+share a bucket key → shuffle on bucket, never the cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_ORACLE_COSINE = """
+    list_inner_product(qv, nv) /
+        (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv)))
+"""
+
+
+@register(
+    "s1_cosine_topk",
+    survey="ext-similarity",
+    doc=f"Brute-force cosine top-{_TOP_K}: for each query vector "
+        f"(vec_id < {_N_QUERIES}), the {_TOP_K} nearest other vectors. "
+        "Query side broadcast; ranking via row_number over the similarity "
+        "(deterministic tiebreak on neighbor id).",
+    oracle=f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_inner_product(q.v, n.v) /
+                       (sqrt(list_inner_product(q.v, q.v)) *
+                        sqrt(list_inner_product(n.v, n.v))) AS sim
+            FROM e q JOIN e n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )

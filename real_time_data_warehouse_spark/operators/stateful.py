@@ -1,0 +1,212 @@
+"""Stateful record-at-a-time operators — SURVEY.md §2.6 (ST1-ST6).
+
+The heart of the reference: keyed ValueState + TTL patterns (dedup by
+retraction, first-event-per-day UV, visitor-flag repair, 8-day returning
+user). Spark-first mapping: in streaming these are
+``withWatermark().dropDuplicates()`` and ``applyInPandasWithState``
+(see streaming/stateful.py for the streaming forms); their *batch-equivalent
+semantics* — registered here for the oracle — are window functions
+(``row_number/min/lag over (partition by key)``), which is exactly the
+deterministic definition of what the keyed state computes over a finite
+input.
+
+Scale notes: one shuffle on the state key (same as Flink's keyBy); at
+100 TB the window functions run as sort-within-partition after a hash
+exchange; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+
+@register(
+    "st1_dedup_last_wins",
+    survey="ST1,ST2",
+    doc="Retraction/dedup: keep the latest record per business key "
+        "(DwsTradeSkuOrderWindow.java:190-223 negates-then-replaces; the net "
+        "effect over a finite stream is last-write-wins). Key = (user_id, "
+        "event_type) as the order_detail id analog.",
+    oracle="""
+        SELECT user_id, event_type, event_id AS last_event_id,
+               CAST(value AS DOUBLE) AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def st1_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").cast("double").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "st3_visitor_state_fix",
+    survey="ST3",
+    doc="New/old-visitor flag repair (DwdBaseLog.java:121-188): is_new=1 "
+        "only on the user's first-ever visit date; later days rewritten "
+        "to 0. State = first visit date per mid → min(date) over partition.",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS visit_date,
+               CAST(CASE WHEN date_trunc('day', ts) =
+                         MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+                    THEN 1 ELSE 0 END AS INT) AS is_new
+        FROM events
+    """,
+)
+def st3_visitor_state_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    first_day = F.min(day).over(Window.partitionBy("user_id"))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.date_format(day, "yyyy-MM-dd").alias("visit_date"),
+        F.when(day == first_day, 1).otherwise(0).cast("int").alias("is_new"),
+    )
+
+
+@register(
+    "st4_first_per_day_uv",
+    survey="ST4,A4",
+    doc="First-event-per-day detection → daily UV "
+        "(DwsTrafficVcChArIsNewPageViewWindow.java:58-106): keyed "
+        "lastVisitDate state emits 1 on date change; batch equivalent "
+        "row_number per (user, day) = 1, then daily count.",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+               CAST(COUNT(*) AS BIGINT) AS uv_ct
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+        GROUP BY date_trunc('day', ts)
+    """,
+)
+def st4_first_per_day_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    firsts = (
+        t.events.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    return firsts.groupBy(
+        F.date_format(day, "yyyy-MM-dd").alias("cur_date")
+    ).agg(F.count("*").alias("uv_ct"))
+
+
+@register(
+    "st5_returning_user",
+    survey="ST5",
+    doc="UU + returning-user (DwsUserUserLoginWindow.java:80-124): uu on "
+        "date change; 'back' when the gap since last login ≥ 8 days. State "
+        "= last_login_date per uid → lag(date) over partition. The "
+        "streaming form (applyInPandasWithState) lives in "
+        "streaming/stateful.py; this is its batch-deterministic twin.",
+    oracle="""
+        WITH logins AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type IN ('signup', 'click')
+        ), daily AS (
+            SELECT user_id, d,
+                   LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+            FROM logins WHERE rn = 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS cur_date,
+               CAST(COUNT(*) AS BIGINT) AS uu_ct,
+               CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                             AND datediff('day', prev_d, d) >= 8
+                        THEN 1 ELSE 0 END) AS BIGINT) AS back_ct
+        FROM daily GROUP BY d
+    """,
+)
+def st5_returning_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    logins = t.events.where(F.col("event_type").isin("signup", "click"))
+    w_day = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    daily = (
+        logins.withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("user_id", day.alias("d"))
+    )
+    w_user = Window.partitionBy("user_id").orderBy("d")
+    flagged = daily.withColumn("prev_d", F.lag("d").over(w_user))
+    return flagged.groupBy(F.date_format("d", "yyyy-MM-dd").alias("cur_date")).agg(
+        F.count("*").alias("uu_ct"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.datediff("d", "prev_d") >= 8),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("back_ct"),
+    )
+
+
+@register(
+    "st6_session_count",
+    survey="ST6",
+    doc="Session detection: new session when no prior event within 30 min "
+        "(the reference's last_page_id-empty rule, "
+        "DwsTrafficVcChArIsNewPageViewWindow.java:86-88, generalized to a "
+        "session-gap rule); per-user session counts.",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        )
+        SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS session_ct
+        FROM marked GROUP BY user_id
+    """,
+)
+def st6_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # timestamp→double keeps the fractional seconds (matches DuckDB epoch());
+    # unix_timestamp would truncate and disagree at gap boundaries.
+    marked = t.events.withColumn(
+        "is_new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("is_new_session").cast("bigint").alias("session_ct")
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators over `documents` (north-star extension):
+language-ID, quality scoring, token counting, document fingerprinting.
+All pure Catalyst expressions (regex/array built-ins inside codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.text import (
+    poly_hash,
+    poly_hash_sql,
+    tokenize,
+    tokenize_sql,
+)
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+# Tiny deterministic marker lexicon (n-gram-heuristic stand-in; the corpus
+# is synthetic ASCII so real char-n-gram profiles carry no signal).
+_LANG_MARKERS = {
+    "the": "en", "a": "en", "and": "en",
+    "der": "de", "und": "de",
+    "el": "es", "la": "es",
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@register(
+    "t1_lang_id",
+    survey="ext-text",
+    doc="Language-ID heuristic: marker-word voting over the token stream "
+        "(argmax language by marker hits, deterministic 'und' fallback).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(list_filter({t}, x -> x IN ('the','a','and'))) AS en_hits,
+                   len(list_filter({t}, x -> x IN ('der','und'))) AS de_hits,
+                   len(list_filter({t}, x -> x IN ('el','la'))) AS es_hits
+            FROM documents
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE
+                 WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                 WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                 WHEN es_hits > 0 THEN 'es'
+                 ELSE 'und' END AS predicted_lang
+        FROM toks
+    """.format(t=tokenize_sql("text")),
+)
+def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    en, de, es = hits(("the", "a", "and")), hits(("der", "und")), hits(("el", "la"))
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "t2_quality_score",
+    survey="ext-text",
+    doc="Quality scoring: length, token count, mean token length, stopword "
+        "ratio, alpha ratio → composite score (decimal-rounded for a "
+        "stable cross-engine value).",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(len({t}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter({t}, x -> x IN {sw})) AS BIGINT) AS n_stop,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS BIGINT) AS n_alpha
+            FROM documents
+        )
+        SELECT doc_id, n_chars_m, n_tokens,
+               CAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4)
+                    AS DOUBLE) AS stopword_ratio,
+               CAST(ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0), 4)
+                    AS DOUBLE) AS alpha_ratio,
+               CAST(ROUND(
+                   0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.3 * (CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0))
+                 + 0.3 * (CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0)), 4)
+                    AS DOUBLE) AS quality_score
+        FROM m
+    """.format(t=tokenize_sql("text"), sw=str(_STOPWORDS)),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint")
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0))
+    score = (
+        0.4 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.3 * stop_ratio
+        + 0.3 * alpha_ratio
+    )
+    return t.documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).cast("double").alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).cast("double").alias("alpha_ratio"),
+        F.round(score, 4).cast("double").alias("quality_score"),
+    )
+
+
+@register(
+    "t3_token_count",
+    survey="ext-text",
+    doc="Token counting: whitespace tokens + a BPE-ish regex token count "
+        "(word pieces / digits / punctuation as separate tokens).",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len({t}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        FROM documents
+    """.format(t=tokenize_sql("text")),
+)
+def t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("bpeish_tokens"),
+    )
+
+
+@register(
+    "t4_fingerprint",
+    survey="ext-text,ext-dedup",
+    doc="Document fingerprinting: portable rolling hash over the "
+        "normalized token stream; fingerprint collisions = exact near-dup "
+        "clusters (content-defined identity, whitespace/punct-insensitive).",
+    oracle="""
+        SELECT doc_id,
+               {h} AS fingerprint,
+               CAST(COUNT(*) OVER (PARTITION BY {h}) AS BIGINT) AS cluster_size
+        FROM (SELECT doc_id, array_to_string({t}, ' ') AS norm FROM documents) n
+    """.format(h=poly_hash_sql("norm"), t=tokenize_sql("text")),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    norm = t.documents.select(
+        "doc_id", F.array_join(tokenize("text"), " ").alias("norm")
+    )
+    fp = norm.withColumn("fingerprint", poly_hash("norm"))
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count("*").over(Window.partitionBy("fingerprint")).alias("cluster_size"),
+    )

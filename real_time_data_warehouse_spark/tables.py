@@ -1,0 +1,80 @@
+"""Table loading for the synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under an sf dir.
+
+Scale notes (100 TB posture):
+- Fact tables (``lineitem``, ``orders``, ``events``, ``documents``) are read
+  as plain scans; filters/projections in the operators reach the parquet
+  reader via Catalyst pushdown (verified by ``plans.audit``).
+- Dim tables (``region nation customer supplier part``) are small by star-
+  schema construction; operators wrap them in ``broadcast()`` at the join
+  site (SURVEY.md §2.3 J5-J7) so no shuffle is induced on the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_data_warehouse_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dims that are always broadcast-safe (bounded cardinality by schema design).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark vectorized
+        # reader rejects; with nanosAsLong (set in tune()) it arrives as
+        # bigint nanos. Normalize to a microsecond timestamp — the W6
+        # "ts unit normalization" discipline from SURVEY.md §2.5 (the
+        # reference mixes epoch seconds and millis per topic; here it's
+        # nanos vs micros). No sub-microsecond residue exists in the data.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    return df
+
+
+class Tables:
+    """Lazy accessor: ``t = Tables(spark, sf_dir); t.lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = tune(spark)
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in self._cache:
+            self._cache[name] = load(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def register_views(self) -> None:
+        """Register every table as a temp view (for spark.sql queries)."""
+        for name in TABLES:
+            getattr(self, name).createOrReplaceTempView(name)

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from real_time_data_warehouse_spark.session import get_spark
+from real_time_data_warehouse_spark.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rtdw-tests", cpus=8)
+    yield s
+    s.stop()
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the fixture tables pre-registered as views,
+    mirroring the driver's oracle environment."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = make_duck(SF_DIR)
+    yield con
+    con.close()
