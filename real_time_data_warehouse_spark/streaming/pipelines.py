@@ -1,0 +1,139 @@
+"""Streaming pipeline topologies (DIM / DWD / DWS app analogs).
+
+Each reference app's `handle()` body becomes a pure df→df transform here;
+the streaming shell is: file/kafka source → transform → sink. Tests run the
+same transform in batch for the equivalence check.
+
+Scale notes: watermarks bound all state (the reference's StateTtlConfig
+analogs — SURVEY.md §4); `foreachBatch` persists the micro-batch once and
+fans out to N sinks (the side-output pattern X1) — one pass over the data,
+N predicate scans, no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_data_warehouse_spark.functions.money import dec
+from real_time_data_warehouse_spark.functions.time import tumble, window_meta
+from real_time_data_warehouse_spark.session import tune
+
+# events schema as the streaming file source sees it (ts arrives as bigint
+# nanos under nanosAsLong — same normalization as tables.load).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming source over a directory of events parquet files (the
+    Kafka stand-in; S1). One file per micro-batch by default."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transforms (pure df→df; batch and streaming)
+# ---------------------------------------------------------------------------
+
+
+def log_split(events: DataFrame) -> dict[str, DataFrame]:
+    """X1: the DwdBaseLog 5-way split (DwdBaseLog.java:192-295) as five
+    derived DataFrames over one parsed stream."""
+    sides = {
+        "err": "error",
+        "start": "signup",
+        "display": "view",
+        "action": "click",
+        "page": "purchase",
+    }
+    return {
+        side: events.where(F.col("event_type") == etype)
+        for side, etype in sides.items()
+    }
+
+
+def dws_windowed_agg(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """A1/W1/W7: the DWS tumbling-window aggregate with window metadata
+    (DwsTradeSkuOrderWindow.java:271-302). In streaming the watermark
+    bounds window state and enables append-mode emission."""
+    src = (
+        events.withWatermark("ts", watermark) if events.isStreaming else events
+    )
+    agg = src.groupBy(tumble("ts"), F.col("event_type").alias("sku_group")).agg(
+        F.sum(dec("value")).cast("double").alias("order_amount"),
+        F.count("*").alias("order_ct"),
+    )
+    return window_meta(agg)
+
+
+# ---------------------------------------------------------------------------
+# Streaming shells
+# ---------------------------------------------------------------------------
+
+
+def run_log_split_stream(
+    spark: SparkSession, src_path: str, out_dir: str, checkpoint_dir: str
+):
+    """DwdBaseLog shell: one source → foreachBatch → 5 parquet sinks.
+    The micro-batch is persisted once and scanned per side — the Spark
+    equivalent of Flink side outputs (one pass, no duplicate source read)."""
+    events = stream_events(spark, src_path)
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for side, df in log_split(batch).items():
+                df.write.mode("append").parquet(os.path.join(out_dir, side))
+        finally:
+            batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_dws_agg_stream(
+    spark: SparkSession, src_path: str, out_path: str, checkpoint_dir: str
+):
+    """DWS shell: source → watermarked window agg → append parquet sink,
+    day-partitioned (the Doris `par{date}` partitioning analog, S7)."""
+    agg = dws_windowed_agg(stream_events(spark, src_path))
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cur_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

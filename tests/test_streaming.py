@@ -1,0 +1,197 @@
+"""Streaming-mode tests: stream-vs-batch equivalence of the shared
+transforms, cross-batch keyed state, and the CDC→DIM upsert path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.sources.cdc import (
+    maxwell_etl_filter,
+    parse_maxwell,
+    synthetic_cdc_json,
+)
+from real_time_data_warehouse_spark.streaming.dim import (
+    default_dim_config,
+    run_dim_batch,
+)
+from real_time_data_warehouse_spark.streaming.pipelines import (
+    dws_windowed_agg,
+    log_split,
+    run_dws_agg_stream,
+    run_log_split_stream,
+    stream_events,
+)
+from real_time_data_warehouse_spark.streaming.stateful import (
+    returning_user,
+    visitor_fix,
+)
+from real_time_data_warehouse_spark.tables import Tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events split into two time-ordered parquet files (two micro-batches)."""
+    base = tmp_path_factory.mktemp("events_src")
+    ev = Tables(spark, SF_DIR).events
+    cut = ev.agg(F.expr("percentile_approx(cast(ts as double), 0.5)")).first()[0]
+    first = ev.where(F.col("ts").cast("double") <= cut)
+    second = ev.where(F.col("ts").cast("double") > cut)
+    # write with raw long ts (as the source files carry nanos→long)
+    for i, part in enumerate([first, second]):
+        # exact ns from µs (a double round-trip would lose precision >2^53)
+        out = part.withColumn(
+            "ts", F.unix_micros("ts") * F.lit(1000).cast("bigint")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        out.coalesce(1).write.mode("overwrite").parquet(str(base / f"stage{i}"))
+        # move the part file into the source dir with ordered names
+        stage = base / f"stage{i}"
+        part_file = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(str(stage / part_file), str(base / f"batch_{i}.parquet"))
+        shutil.rmtree(stage)
+    return str(base)
+
+
+def test_log_split_stream_matches_batch(spark, tmp_path, events_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_log_split_stream(spark, events_dir, out, ckpt)
+    q.awaitTermination(120)
+    ev = Tables(spark, SF_DIR).events
+    batch_sides = {k: df.count() for k, df in log_split(ev).items()}
+    for side, expected in batch_sides.items():
+        got = spark.read.parquet(os.path.join(out, side)).count()
+        assert got == expected, f"{side}: stream={got} batch={expected}"
+
+
+def test_dws_agg_stream_matches_batch(spark, tmp_path, events_dir):
+    out, ckpt = str(tmp_path / "dws"), str(tmp_path / "ckpt2")
+    q = run_dws_agg_stream(spark, events_dir, out, ckpt)
+    q.awaitTermination(120)
+    ev = Tables(spark, SF_DIR).events
+    batch = dws_windowed_agg(ev)
+    # Append mode only emits windows whose end ≤ final watermark
+    # (max event time - 10 s); compare on that closed subset.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = (max_ts - datetime.timedelta(seconds=10)).strftime("%Y-%m-%d %H:%M:%S")
+    closed = batch.where(F.col("edt") <= horizon)
+    got = spark.read.parquet(out)
+    got_rows = {
+        tuple(r) for r in got.select("stt", "sku_group", "order_amount", "order_ct").collect()
+    }
+    exp_rows = {
+        tuple(r)
+        for r in closed.select("stt", "sku_group", "order_amount", "order_ct").collect()
+    }
+    assert exp_rows <= got_rows, f"missing {len(exp_rows - got_rows)} closed windows"
+    # and everything emitted must match batch values exactly
+    all_rows = {
+        tuple(r)
+        for r in dws_windowed_agg(ev)
+        .select("stt", "sku_group", "order_amount", "order_ct")
+        .collect()
+    }
+    assert got_rows <= all_rows
+
+
+def test_returning_user_stream_cross_batch_state(spark, tmp_path, events_dir):
+    """ST5 via applyInPandasWithState across two micro-batches must equal
+    the batch window-function twin (st5_returning_user semantics)."""
+    stream_df = returning_user(
+        stream_events(spark, events_dir)
+        .where(F.col("event_type").isin("signup", "click"))
+        .select("user_id", "ts")
+    )
+    ckpt = str(tmp_path / "ckpt3")
+    sink = str(tmp_path / "ru")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("cur_date")
+        .agg(
+            F.sum("is_uu").cast("bigint").alias("uu_ct"),
+            F.sum("is_back").cast("bigint").alias("back_ct"),
+        )
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    expected = QUERY_REGISTRY["st5_returning_user"].fn(spark, SF_DIR)
+    got_rows = sorted(tuple(r) for r in got.collect())
+    exp_rows = sorted(tuple(r) for r in expected.collect())
+    assert got_rows == exp_rows
+
+
+def test_visitor_fix_stream(spark, tmp_path, events_dir):
+    """ST3 streaming repair equals the batch min-date-over-partition twin."""
+    stream_df = visitor_fix(
+        stream_events(spark, events_dir).select("event_id", "user_id", "ts")
+    )
+    ckpt, sink = str(tmp_path / "ckpt4"), str(tmp_path / "vf")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    expected = QUERY_REGISTRY["st3_visitor_state_fix"].fn(spark, SF_DIR)
+    got_rows = sorted(tuple(r) for r in got.select("event_id", "is_new").collect())
+    exp_rows = sorted(tuple(r) for r in expected.select("event_id", "is_new").collect())
+    assert got_rows == exp_rows
+
+
+def test_cdc_dim_pipeline(spark, tmp_path):
+    """Maxwell CDC synth → ETL → config routing/pruning → keyed upsert:
+    final dim table holds one latest row per order, updates applied,
+    pruned to sink_columns."""
+    t = Tables(spark, SF_DIR)
+    raw = synthetic_cdc_json(t.orders)
+    config = default_dim_config(spark)
+    base = str(tmp_path / "dim")
+    sinks = run_dim_batch(spark, raw, config, base)
+    assert sinks == ["dim_order_info"]
+    dim = spark.read.parquet(os.path.join(base, "dim_order_info"))
+    n_orders = t.orders.count()
+    assert dim.count() == n_orders  # one row per order key, updates merged
+    # updates (status F, emitted 60 s later) must have won over inserts
+    f_orders = t.orders.where(F.col("o_orderstatus") == "F").count()
+    updated = dim.where(F.col("type") == "update").count()
+    assert updated == f_orders
+    # pruning: total_amount was NOT in sink_columns
+    sample = dim.select(F.map_keys("data").alias("ks")).first()["ks"]
+    assert "total_amount" not in sample
+    assert set(sample) <= {"id", "user_id", "order_status"}
+
+
+def test_etl_filter_rejects(spark):
+    """P1 gate: wrong database / empty data dropped."""
+    rows = [
+        ('{"database":"gmall2024","table":"order_info","type":"insert","ts":1,"data":{"id":"1"}}',),
+        ('{"database":"other","table":"order_info","type":"insert","ts":1,"data":{"id":"2"}}',),
+        ('{"database":"gmall2024","table":"order_info","type":"truncate","ts":1,"data":{"id":"3"}}',),
+        ("not json at all",),
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    good = maxwell_etl_filter(parse_maxwell(raw))
+    ids = [r["data"]["id"] for r in good.collect()]
+    assert ids == ["1"]
