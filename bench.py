@@ -34,7 +34,11 @@ HEADLINE = (
     "x1_log_split",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
     "s1_cosine_topk",
+    "s2_lsh_ann_topk",
+    "m1_media_features",
     "t2_quality_score",
     "t4_fingerprint",
 )

@@ -15,6 +15,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "textanalysis",
+    "multimodal",
 )
 
 _loaded = False

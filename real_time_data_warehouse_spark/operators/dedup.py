@@ -70,6 +70,10 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared shingling: word 3-grams, hashed with the portable polynomial hash.
+# (A token-hash-then-combine variant was tried and benchmarked 5× slower on
+# the Spark side at sf0.1 — the extra nested higher-order function forced
+# the projection out of codegen; char-level hashing of the joined shingle
+# string stays fastest.)
 _SHINGLE_N = 3
 
 _SHINGLES_SQL = f"""
@@ -86,13 +90,14 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _doc_shingles(t: Tables) -> DataFrame:
-    """doc_id → exploded distinct shingle hashes (word 3-grams)."""
+def _doc_shingle_sets(t: Tables) -> DataFrame:
+    """doc_id → distinct shingle-hash array (word 3-grams). Kept as an
+    array so downstream ops choose: map-side array expressions (MinHash —
+    no shuffle at all) or explode (inverted index)."""
     toks = t.documents.select("doc_id", tokenize("text").alias("toks")).where(
         F.size("toks") >= _SHINGLE_N
     )
-    # shingle i = tokens[i..i+n-1] joined by space, hashed.
-    shingled = toks.select(
+    return toks.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -103,7 +108,212 @@ def _doc_shingles(t: Tables) -> DataFrame:
             )
         ).alias("shs"),
     )
-    return shingled.select("doc_id", F.explode("shs").alias("sh"))
+
+
+def _doc_shingles(t: Tables) -> DataFrame:
+    """doc_id → exploded distinct shingle hashes (word 3-grams)."""
+    return _doc_shingle_sets(t).select("doc_id", F.explode("shs").alias("sh"))
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+# k hash functions h_j(x) = (a_j·x + b_j) mod P over shingle hashes
+# x < P < 2^55 and a_j ≤ 200 keep a_j·x + b_j < 2^63: no int64 overflow in
+# either engine (Spark would wrap silently, DuckDB would raise). The same
+# (a_j, b_j) constants generate both the Spark plan and the oracle SQL.
+_MINHASH_K = 16
+_LSH_BANDS = 4  # 4 bands × 4 rows
+_BAND_ROWS = _MINHASH_K // _LSH_BANDS
+_MH_A = [(17 + 6 * j) % 199 + 2 for j in range(_MINHASH_K)]
+_MH_B = [(982451653 * (j + 1)) % POLY_P for j in range(_MINHASH_K)]
+
+_EST_THRESHOLD = 0.5
+
+
+def _minhash_sigs(t: Tables) -> DataFrame:
+    """doc_id → K minhash values over the shingle-hash set.
+
+    Computed as ``array_min(transform(shs, ...))`` per hash function —
+    pure map-side array expressions over the per-doc shingle array, ZERO
+    shuffle (vs. the naive explode + groupBy(doc_id).agg(K mins), which
+    shuffles every (doc, shingle) row). Per-doc output is K int64s — the
+    100 TB path: signature size independent of document length."""
+    sets = _doc_shingle_sets(t)
+    mins = [
+        F.array_min(
+            F.transform(F.col("shs"), lambda s: (s * a + b) % POLY_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    return sets.select("doc_id", *mins)
+
+
+def _minhash_sql() -> str:
+    """DuckDB twin of _minhash_sigs (same constants)."""
+    mins = ",\n               ".join(
+        f"MIN((sh * {a} + {b}) % {POLY_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    return f"""
+        SELECT doc_id,
+               {mins}
+        FROM ({_SHINGLES_SQL}) sh_tbl
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    survey="ext-dedup",
+    doc=f"MinHash({_MINHASH_K}) + LSH({_LSH_BANDS} bands × {_BAND_ROWS}): "
+        "candidate pairs share ≥1 band signature (the only join is on the "
+        "band key — never a cross product); estimated Jaccard = fraction "
+        f"of equal minhashes, kept at ≥ {_EST_THRESHOLD}.",
+    oracle=f"""
+        WITH sigs AS ({_minhash_sql()}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                       {" ".join(
+                           f"WHEN {bi} THEN concat_ws(':', "
+                           + ", ".join(f"mh{bi * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+                           + ")"
+                           for bi in range(_LSH_BANDS)
+                       )}
+                   END AS band_sig
+            FROM sigs, (SELECT unnest(range({_LSH_BANDS})) AS band_idx) b
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+             AND x.doc_id < y.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(( {" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(_MINHASH_K))} )
+                    AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON c.doc_a = sa.doc_id
+        JOIN sigs sb ON c.doc_b = sb.doc_id
+        WHERE CAST(( {" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(_MINHASH_K))} )
+                   AS DOUBLE) / {_MINHASH_K} >= {_EST_THRESHOLD}
+    """,
+)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sigs = _minhash_sigs(t)
+
+    band_sig = [
+        (
+            bi,
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{bi * _BAND_ROWS + r}").cast("string")
+                    for r in range(_BAND_ROWS)
+                ],
+            ),
+        )
+        for bi in range(_LSH_BANDS)
+    ]
+    bands = None
+    for bi, sig in band_sig:
+        part = sigs.select(
+            "doc_id", F.lit(bi).alias("band_idx"), sig.alias("band_sig")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_sig"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_sig"
+    )
+    cand = (
+        x.join(y, ["band_idx", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(_MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    )
+    est = matches.cast("double") / _MINHASH_K
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(est >= _EST_THRESHOLD)
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+_SIMHASH_BITS = 32  # bits of the portable poly-hash used for the sketch
+
+
+@register(
+    "d4_simhash",
+    survey="ext-dedup",
+    doc=f"SimHash({_SIMHASH_BITS}-bit, token-count weighted): per-bit "
+        "weighted vote over token hashes → fingerprint; near-dup pairs = "
+        "fingerprints at Hamming distance ≤ 3 among docs sharing the top-8 "
+        "bit bucket (the LSH-ish prefilter). Output: per-doc fingerprint + "
+        "bucket for downstream pairing.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t.tok, COUNT(*) AS w
+            FROM (SELECT doc_id, unnest({tokenize_sql('text')}) AS tok
+                  FROM documents) t
+            GROUP BY doc_id, t.tok
+        ),
+        hashed AS (SELECT doc_id, {poly_hash_sql('tok')} AS h, w FROM tok),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS s{i}"
+                       for i in range(_SIMHASH_BITS)
+                   )}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(( {" + ".join(f"CASE WHEN s{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END" for i in range(_SIMHASH_BITS))} )
+                    AS BIGINT) AS simhash,
+               CAST(( {" + ".join(f"CASE WHEN s{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END" for i in range(_SIMHASH_BITS - 8, _SIMHASH_BITS))} ) >> {_SIMHASH_BITS - 8}
+                    AS BIGINT) AS bucket
+        FROM bits
+    """,
+)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+    )
+    hashed = tok.select("doc_id", poly_hash("tok").alias("h"), "w")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
+        for i in range(_SIMHASH_BITS)
+    ).cast("bigint")
+    return bits.select(
+        "doc_id", fingerprint.alias("simhash")
+    ).withColumn("bucket", F.shiftright("simhash", _SIMHASH_BITS - 8).cast("bigint"))
 
 
 @register(
@@ -132,24 +342,29 @@ def _doc_shingles(t: Tables) -> DataFrame:
 )
 def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    sh = _doc_shingles(t)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # Carry the set size alongside every exploded shingle row: the pair
+    # aggregation then has |A| and |B| in its own group key — no separate
+    # sizes aggregation and no post-join with it (2 fewer joins, 1 fewer
+    # shuffle than the naive inverted-index formulation).
+    sh = _doc_shingle_sets(t).select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "sh"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "sh"
+    )
     pairs = (
         a.join(b, ["sh"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .where(jac >= 0.6)
+        pairs.where(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )

@@ -1,0 +1,177 @@
+"""Multimodal columns (north-star extension): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The Spark-side plumbing is fully real — schema, partition-preserving
+``mapInPandas`` over Arrow batches, deterministic synthesis of the binary
+payloads from the fixture tables — while the actual media decode is
+STUBBED: the container has no image/audio codecs, so ``decode_image``
+raises ``NotImplementedError`` unless the deterministic fake decoder is
+selected. Everything around the decode (batch iteration, schema contract,
+metadata extraction from the binary header) executes for real and is
+oracle-checked.
+
+Scale notes: media processing is the one place where per-row Python is
+unavoidable; ``mapInPandas`` streams Arrow record batches through the
+worker without collecting a partition in memory, and the binary column
+never passes through the driver. Batch shape (rows per Arrow batch) is
+controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+# Synthetic media payload: a 16-byte header (magic, width, height, n_frames)
+# followed by doc-derived bytes. Deterministic — both engines can recompute
+# the metadata from first principles.
+_MAGIC = 0x4D4D3142  # "MM1B"
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synthesize_media(t: Tables) -> DataFrame:
+    """documents → media rows: binary payload with a typed header derived
+    deterministically from doc_id (the fixture stand-in for an ingested
+    image/video column)."""
+    d = t.documents
+    width = (F.col("doc_id") % 64 + 16).cast("int")
+    height = (F.col("doc_id") % 48 + 16).cast("int")
+    n_frames = F.when(F.col("doc_id") % 3 == 0, 24).otherwise(1).cast("int")
+    # header = 4 int32 big-endian fields, then the first 32 chars of text
+    header = F.concat(
+        _int32_bytes(F.lit(_MAGIC)),
+        _int32_bytes(width),
+        _int32_bytes(height),
+        _int32_bytes(n_frames),
+        F.encode(F.substring("text", 1, 32), "utf-8"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(n_frames > 1, "video").otherwise("image").alias("media_type"),
+        header.alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
+        n_frames.alias("n_frames"),
+    )
+
+
+def _int32_bytes(c: F.Column) -> F.Column:
+    """int → 4 big-endian bytes, as a Catalyst expression (no UDF)."""
+    return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """STUB: real decode needs an image codec the container doesn't have.
+    ``fake=True`` selects the deterministic fake decoder (header parse),
+    which is what the pipeline tests run."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library "
+            "(not available in this environment); use fake=True for the "
+            "deterministic header decoder"
+        )
+    magic, width, height, n_frames = struct.unpack(">iiii", payload[:16])
+    assert magic == _MAGIC, "bad media payload"
+    return {"width": width, "height": height, "n_frames": n_frames}
+
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("decoded_width", IntegerType()),
+        StructField("decoded_height", IntegerType()),
+        StructField("sampled_frames", IntegerType()),
+        StructField("payload_bytes", IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame, frame_stride: int = 8) -> DataFrame:
+    """mapInPandas feature-extraction over the binary column: decode the
+    header (fake decoder), frame-sample videos at ``frame_stride``. The
+    Arrow batch shape and schema contract are the real production
+    plumbing; only the pixel decode inside is the stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_image(p, fake=True) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "decoded_width": [m["width"] for m in meta],
+                    "decoded_height": [m["height"] for m in meta],
+                    "sampled_frames": [
+                        max(1, m["n_frames"] // frame_stride) for m in meta
+                    ],
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, EXTRACT_SCHEMA)
+
+
+@register(
+    "m1_media_features",
+    survey="ext-multimodal",
+    doc="Multimodal pipeline: binary media column (synthesized with typed "
+        "header) → mapInPandas decode/frame-sample (fake decoder; real "
+        "decode stubbed behind NotImplementedError) → per-type stats. "
+        "The oracle recomputes the same metadata arithmetically.",
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+                   CAST(doc_id % 64 + 16 AS INT) AS w,
+                   CAST(doc_id % 48 + 16 AS INT) AS h,
+                   CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 1 END AS nf,
+                   16 + octet_length(encode(substr(text, 1, 32))) AS nbytes
+            FROM documents
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+               CAST(SUM(GREATEST(1, nf // 8)) AS BIGINT) AS total_sampled_frames,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+        FROM media
+        GROUP BY media_type
+    """,
+)
+def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    feats = extract_features(synthesize_media(t))
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.col("decoded_width").cast("bigint") * F.col("decoded_height"))
+        .cast("bigint")
+        .alias("total_pixels"),
+        F.sum("sampled_frames").cast("bigint").alias("total_sampled_frames"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+    )

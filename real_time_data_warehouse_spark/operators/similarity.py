@@ -25,6 +25,21 @@ from real_time_data_warehouse_spark.tables import Tables
 _N_QUERIES = 10
 _TOP_K = 5
 
+# Random-hyperplane LSH: fixed deterministic planes (seed=7) shared by the
+# Spark plan and the oracle SQL as literals.
+_LSH_PLANES = 6
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(_EMB_DIM)]
+        for _ in range(_LSH_PLANES)
+    ]
+
 
 def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
@@ -109,3 +124,95 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).cast("double").alias("sim"),
         )
     )
+
+
+def _s2_oracle() -> str:
+    planes = _hyperplanes()
+    plane_lits = [
+        "[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_PLANES)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        bucketed AS (SELECT vec_id, v, CAST({bucket_expr} AS INT) AS bucket FROM e),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_inner_product(q.v, n.v) /
+                       (sqrt(list_inner_product(q.v, q.v)) *
+                        sqrt(list_inner_product(n.v, n.v))) AS sim
+            FROM bucketed q JOIN bucketed n
+              ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_TOP_K}
+    """
+
+
+@register(
+    "s2_lsh_ann_topk",
+    survey="ext-similarity",
+    doc=f"ANN top-{_TOP_K} via random-hyperplane LSH ({_LSH_PLANES} planes "
+        f"→ {1 << _LSH_PLANES} buckets): sign-of-dot-product signature, "
+        "candidates only within the same bucket — the 100 TB path (shuffle "
+        "on the bucket key, never a cross product). Approximate by design; "
+        "the oracle replicates the same bucketing, so results compare "
+        "exactly.",
+    oracle=None,  # set below after definition to keep the literal close by
+)
+def s2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    planes = _hyperplanes()
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    bucket = sum(
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
+            F.lit(1 << j),
+        ).otherwise(0)
+        for j in range(_LSH_PLANES)
+    ).cast("int")
+    bucketed = emb.withColumn("bucket", bucket)
+    q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    n = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("bucket").alias("nb"),
+    )
+    scored = (
+        q.join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
+# attach the generated oracle (kept out of the decorator for readability)
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QR  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle())

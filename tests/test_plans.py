@@ -1,0 +1,91 @@
+"""Plan-shape assertions: the scale-design contract from SURVEY.md §4.
+These fail if a code change silently degrades a broadcast to a shuffle
+join, loses filter pushdown, or breaks top-k into a global sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.plans.audit import (
+    broadcast_join_count,
+    formatted_plan,
+    has_take_ordered,
+    pushed_filters,
+    read_schema,
+    sort_merge_join_count,
+)
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from tests.conftest import SF_DIR
+
+query_map()
+
+
+def q(name, spark):
+    return QUERY_REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_dim_chain_all_broadcast(spark):
+    """J6: the 4-stage dim chain must be pure broadcast hash joins — no
+    shuffle on the fact side (the Redis/async-IO replacement argument)."""
+    df = q("j6_dim_chain_join", spark)
+    assert broadcast_join_count(df) >= 4  # AQE explain shows initial+final plans
+    assert sort_merge_join_count(df) == 0
+
+
+def test_flagship_broadcasts_dims(spark):
+    """q0: customer/nation/region broadcast; the only shuffles are the
+    fact join and the final aggregation."""
+    df = q("q0_flagship_trade_summary", spark)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P8: the IN-list predicate must appear in PushedFilters, and the scan
+    must read only the projected columns."""
+    df = q("p8_page_filter", spark)
+    filters = " ".join(pushed_filters(df))
+    assert "event_type" in filters and "In" in filters
+    schemas = " ".join(read_schema(df))
+    assert "props" not in schemas and "value" not in schemas
+
+
+def test_serving_date_pushdown(spark):
+    """A7: the day predicate pushes to the scan (partition-pruning analog
+    for the Doris `partition par#{date}` query)."""
+    df = q("a7_daily_gmv", spark)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters and "GreaterThanOrEqual" in filters
+
+
+def test_topk_is_take_ordered(spark):
+    """A9: group+sum+orderBy+limit plans TakeOrderedAndProject, not a
+    global sort."""
+    df = q("a9_topk_channel", spark)
+    assert has_take_ordered(df)
+
+
+def test_config_join_broadcast(spark):
+    """J7: the config table joins as a broadcast (the broadcast-state
+    pattern analog)."""
+    df = q("j7_broadcast_config_join", spark)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
+def test_interval_join_no_cartesian(spark):
+    """J4: the time-range join must use the user_id equi-key (hash join),
+    never BroadcastNestedLoopJoin over the cross product."""
+    df = q("j4_interval_join", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_pruning_fact_scan(spark):
+    """q0: the lineitem scan must not read unused columns (l_comment-class
+    waste at 100 TB)."""
+    df = q("q0_flagship_trade_summary", spark)
+    schemas = read_schema(df)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all("l_tax" not in s and "l_shipdate" not in s for s in li)
