@@ -281,6 +281,72 @@ def w8_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w8b_session_window",
+    survey="W8,ST6",
+    doc="Session event-time window (absent in the reference; Spark-native "
+        "session_window with 30 min gap): per-user sessions with event "
+        "counts. Oracle: classic gaps-and-islands sessionization.",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS sess_id
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct
+        FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def w8b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("ev_ct"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("sess_start"),
+            "ev_ct",
+        )
+    )
+
+
+@register(
+    "a10b_cube",
+    survey="A10",
+    doc="Cube aggregation (all grouping-set combinations of returnflag × "
+        "linestatus — beyond the reference, free in Catalyst).",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+
+
+@register(
     "w9_over_analytics",
     survey="W9",
     doc="OVER-window analytics (absent in the reference; added for the "

@@ -254,6 +254,26 @@ def p9_login_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p11_null_tombstone_filter",
+    survey="P11,S1",
+    doc="Kafka-tombstone filter: drop null payloads before parsing "
+        "(DwsTradeSkuOrderWindow.java:133-142; the null-tolerant "
+        "deserializer of FlinkSourceUtil lets them through, the first "
+        "operator drops them). props==null plays the null value.",
+    oracle="""
+        SELECT event_id, props
+        FROM events
+        WHERE props IS NOT NULL AND length(props) > 0
+    """,
+)
+def p11_null_tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.where(
+        F.col("props").isNotNull() & (F.length("props") > 0)
+    ).select("event_id", "props")
+
+
+@register(
     "p10_search_filter",
     survey="P10",
     doc="Search filter: 3-way conjunction incl. NOT NULL "

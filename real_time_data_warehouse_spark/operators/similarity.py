@@ -216,3 +216,73 @@ from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QR  # noq
 import dataclasses as _dc  # noqa: E402
 
 _QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle())
+
+
+def _d5_oracle() -> str:
+    planes = _hyperplanes()
+    plane_lits = [
+        "[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_PLANES)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        bucketed AS (SELECT vec_id, v, CAST({bucket_expr} AS INT) AS bucket FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(ROUND(list_inner_product(a.v, b.v) /
+                    (sqrt(list_inner_product(a.v, a.v)) *
+                     sqrt(list_inner_product(b.v, b.v))), 6) AS DOUBLE) AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) /
+                  (sqrt(list_inner_product(a.v, a.v)) *
+                   sqrt(list_inner_product(b.v, b.v))) >= 0.35
+    """
+
+
+@register(
+    "d5_embedding_neardup",
+    survey="ext-dedup,ext-similarity",
+    doc="Embedding-cosine near-dup detection (the dedup-ladder rung above "
+        "lexical methods): candidate pairs from the hyperplane-LSH bucket, "
+        "kept at cosine ≥ 0.35 (≈99.9th pct of the random-embedding similarity distribution — chosen so the fixture yields a non-trivial pair set). All-pairs work is bounded by bucket size — "
+        "the 100 TB contract: shuffle on bucket, never |V|² pairs.",
+    oracle=None,  # attached below (generated from the shared hyperplanes)
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    planes = _hyperplanes()
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    bucket = sum(
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
+            F.lit(1 << j),
+        ).otherwise(0)
+        for j in range(_LSH_PLANES)
+    ).cast("int")
+    bucketed = emb.withColumn("bucket", bucket)
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= 0.35)
+        .select(
+            "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cos_sim")
+        )
+    )
+
+
+_QR["d5_embedding_neardup"] = _dc.replace(
+    _QR["d5_embedding_neardup"], oracle=_d5_oracle()
+)
