@@ -147,18 +147,24 @@ def st4_first_per_day_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st5_returning_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One hash exchange on user_id serves BOTH windows: first-of-day
+    # detection via lag(day) over the user partition, then prev-day lookup
+    # over the filtered (still user_id-distributed) rows — Spark sees the
+    # required distribution already satisfied and plans no second shuffle.
+    # (The naive row_number-per-(user,day) + lag-per-user form costs 3
+    # exchanges; this costs 2: user_id + the final daily groupBy.)
     t = Tables(spark, sf_dir)
     day = F.date_trunc("day", "ts")
     logins = t.events.where(F.col("event_type").isin("signup", "click"))
-    w_day = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
-    daily = (
-        logins.withColumn("rn", F.row_number().over(w_day))
-        .where(F.col("rn") == 1)
-        .select("user_id", day.alias("d"))
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = logins.withColumn("d", day).withColumn(
+        "first_of_day",
+        F.lag("d").over(w_user).isNull() | (F.lag("d").over(w_user) != F.col("d")),
     )
-    w_user = Window.partitionBy("user_id").orderBy("d")
-    flagged = daily.withColumn("prev_d", F.lag("d").over(w_user))
-    return flagged.groupBy(F.date_format("d", "yyyy-MM-dd").alias("cur_date")).agg(
+    daily = marked.where("first_of_day").withColumn(
+        "prev_d", F.lag("d").over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    )
+    return daily.groupBy(F.date_format("d", "yyyy-MM-dd").alias("cur_date")).agg(
         F.count("*").alias("uu_ct"),
         F.sum(
             F.when(

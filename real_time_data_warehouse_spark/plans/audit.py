@@ -19,17 +19,39 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _effective_plan(plan: str) -> str:
+    """After a query has executed, AQE's explain shows '== Final Plan =='
+    followed by '== Initial Plan ==' — counting both double-counts every
+    node. Keep only the effective (final) section."""
+    marker = "== Initial Plan =="
+    return plan.split(marker, 1)[0] if marker in plan else plan
+
+
+def _node_ids(df: DataFrame, node: str) -> set[str]:
+    """Distinct plan-node ids for *node* in the effective plan. Handles
+    both explain layouts: tree style ``Node (id)`` (finalized AQE tree)
+    and detail style ``(id) Node`` (node detail sections); the id set
+    dedupes nodes appearing in both."""
+    plan = _effective_plan(formatted_plan(df))
+    ids = set(re.findall(rf"\((\d+)\) {node}\b", plan))
+    # tree style may carry qualifiers between name and id, e.g.
+    # "BroadcastHashJoin Inner BuildRight (12)"
+    ids |= set(re.findall(rf"\b{node}[^\n()]* \((\d+)\)", plan))
+    return ids
+
+
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
+    return len(_node_ids(df, "BroadcastHashJoin"))
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+    return len(_node_ids(df, "SortMergeJoin"))
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning",
-                          formatted_plan(df)))
+    """Distinct shuffle exchanges in the effective plan. BroadcastExchange
+    is excluded (that's the cheap dim replication, not a shuffle)."""
+    return len(_node_ids(df, "Exchange"))
 
 
 def has_take_ordered(df: DataFrame) -> bool:

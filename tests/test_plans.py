@@ -13,6 +13,7 @@ from real_time_data_warehouse_spark.plans.audit import (
     has_take_ordered,
     pushed_filters,
     read_schema,
+    shuffle_count,
     sort_merge_join_count,
 )
 from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
@@ -29,7 +30,7 @@ def test_dim_chain_all_broadcast(spark):
     """J6: the 4-stage dim chain must be pure broadcast hash joins — no
     shuffle on the fact side (the Redis/async-IO replacement argument)."""
     df = q("j6_dim_chain_join", spark)
-    assert broadcast_join_count(df) >= 4  # AQE explain shows initial+final plans
+    assert broadcast_join_count(df) == 4
     assert sort_merge_join_count(df) == 0
 
 
@@ -37,7 +38,7 @@ def test_flagship_broadcasts_dims(spark):
     """q0: customer/nation/region broadcast; the only shuffles are the
     fact join and the final aggregation."""
     df = q("q0_flagship_trade_summary", spark)
-    assert broadcast_join_count(df) >= 3
+    assert broadcast_join_count(df) >= 3  # 3 dims; 4 when AQE also broadcasts the fact join at tiny sf
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -69,7 +70,7 @@ def test_config_join_broadcast(spark):
     """J7: the config table joins as a broadcast (the broadcast-state
     pattern analog)."""
     df = q("j7_broadcast_config_join", spark)
-    assert broadcast_join_count(df) >= 1
+    assert broadcast_join_count(df) == 1
     assert sort_merge_join_count(df) == 0
 
 
@@ -80,6 +81,24 @@ def test_interval_join_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "budget"),
+    [
+        ("j6_dim_chain_join", 0),   # all-broadcast chain: zero shuffles
+        ("a1_windowed_sum", 1),     # one partial→final agg exchange
+        ("q0_flagship_trade_summary", 2),  # fact join + final agg
+        ("st5_returning_user", 2),  # one user_id exchange serves both windows
+        ("d3_minhash_lsh_pairs", 2),  # band self-join + candidate dedup
+        ("st4_first_per_day_uv", 2),
+    ],
+)
+def test_shuffle_budget(spark, name, budget):
+    """Shuffle budgets: a regression here means a rewrite quietly added an
+    exchange that becomes the bottleneck at 100 TB."""
+    df = q(name, spark)
+    assert shuffle_count(df) <= budget, formatted_plan(df)
 
 
 def test_column_pruning_fact_scan(spark):

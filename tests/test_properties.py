@@ -1,0 +1,141 @@
+"""Property-based and invariant tests (the test-strategy upgrade over the
+reference, SURVEY.md §5: it ships no asserts at all)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.money import dec
+from real_time_data_warehouse_spark.functions.skew import salted_agg
+from real_time_data_warehouse_spark.functions.text import (
+    poly_hash,
+    poly_hash_sql,
+    tokenize,
+    tokenize_sql,
+)
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from real_time_data_warehouse_spark.tables import Tables
+from tests.conftest import SF_DIR
+
+query_map()
+
+# printable ASCII without quotes/backslash (SQL-literal-safe for the duckdb
+# side of the cross-engine property; the Spark side gets them via DataFrame)
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           exclude_characters="'\\\""),
+    min_size=0, max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_ASCII, min_size=1, max_size=20))
+def test_poly_hash_cross_engine(spark, texts):
+    """The portable hash must agree between Spark and DuckDB on arbitrary
+    ASCII input — the foundation every dedup oracle rests on."""
+    sdf = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = [r[0] for r in sdf.select(poly_hash("s")).collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(f"SELECT {poly_hash_sql('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_ASCII, min_size=1, max_size=20))
+def test_tokenize_cross_engine(spark, texts):
+    sdf = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = [r[0] for r in sdf.select(tokenize("s")).collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(f"SELECT {tokenize_sql('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == exp
+
+
+def test_decimal_sum_partition_invariance(spark):
+    """Money sums must not depend on partitioning/reduction order (the
+    whole point of the DECIMAL discipline)."""
+    t = Tables(spark, SF_DIR)
+    one = (
+        t.lineitem.repartition(1)
+        .agg(F.sum(dec("l_extendedprice")).cast("double").alias("s"))
+        .first()["s"]
+    )
+    many = (
+        t.lineitem.repartition(13)
+        .agg(F.sum(dec("l_extendedprice")).cast("double").alias("s"))
+        .first()["s"]
+    )
+    assert one == many
+
+
+def test_salted_agg_equivalence(spark):
+    """Salted two-phase aggregation ≡ direct aggregation (sum/count/min/max
+    are commutative-associative)."""
+    t = Tables(spark, SF_DIR)
+    direct = (
+        t.events.groupBy("event_type")
+        .agg(
+            F.sum(dec("value")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+        )
+    )
+    salted = salted_agg(
+        t.events.withColumn("value", dec("value")),
+        ["event_type"],
+        {
+            "total": ("value", "sum"),
+            "n": ("event_id", "count"),
+            "lo": ("user_id", "min"),
+            "hi": ("user_id", "max"),
+        },
+        salt_buckets=8,
+    ).withColumn("total", F.col("total").cast("double"))
+    d = {r["event_type"]: (r["total"], r["n"], r["lo"], r["hi"]) for r in direct.collect()}
+    s = {r["event_type"]: (r["total"], r["n"], r["lo"], r["hi"]) for r in salted.collect()}
+    assert d == s
+
+
+def test_uv_two_formulations_agree(spark):
+    """ST4 (first-event-per-day row_number) and a direct per-day distinct
+    count are different plans for the same semantics — they must agree."""
+    t = Tables(spark, SF_DIR)
+    uv = QUERY_REGISTRY["st4_first_per_day_uv"].fn(spark, SF_DIR)
+    direct = (
+        t.events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("cur_date")
+        )
+        .agg(F.countDistinct("user_id").alias("uv_ct"))
+    )
+    a = {r["cur_date"]: r["uv_ct"] for r in uv.collect()}
+    b = {r["cur_date"]: r["uv_ct"] for r in direct.collect()}
+    assert a == b
+
+
+def test_minhash_estimates_bounded_error(spark):
+    """MinHash estimated Jaccard on candidate pairs must be within 0.35 of
+    exact Jaccard (16 hashes → σ ≈ 0.12; 3σ bound)."""
+    qm = query_map()
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qm["d2_ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in qm["d3_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) <= 0.35, (pair, e, exact[pair])
