@@ -16,6 +16,7 @@ _MODULES = (
     "similarity",
     "textanalysis",
     "multimodal",
+    "sql_apps",
 )
 
 _loaded = False

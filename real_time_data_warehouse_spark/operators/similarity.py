@@ -286,3 +286,116 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QR["d5_embedding_neardup"] = _dc.replace(
     _QR["d5_embedding_neardup"], oracle=_d5_oracle()
 )
+
+
+# --- IVF (inverted-file) ANN -----------------------------------------------
+# Deterministic coarse quantizer: the first _IVF_CELLS vectors (vec_id <
+# _IVF_CELLS) act as centroids — portable to the oracle without k-means.
+_IVF_CELLS = 16
+_IVF_PROBES = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+        assign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT x.vec_id, x.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_inner_product(x.v, c.cv) /
+                                    (sqrt(list_inner_product(x.v, x.v)) *
+                                     sqrt(list_inner_product(c.cv, c.cv))) DESC,
+                                    c.cell) AS rn
+                FROM e x, cents c)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, cell FROM (
+                SELECT x.vec_id, x.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_inner_product(x.v, c.cv) /
+                                    (sqrt(list_inner_product(x.v, x.v)) *
+                                     sqrt(list_inner_product(c.cv, c.cv))) DESC,
+                                    c.cell) AS rn
+                FROM e x, cents c
+                WHERE x.vec_id < {_N_QUERIES})
+            WHERE rn <= {_IVF_PROBES}
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_inner_product(p.qv, a.v) /
+                       (sqrt(list_inner_product(p.qv, p.qv)) *
+                        sqrt(list_inner_product(a.v, a.v))) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY list_inner_product(p.qv, a.v) /
+                                (sqrt(list_inner_product(p.qv, p.qv)) *
+                                 sqrt(list_inner_product(a.v, a.v))) DESC,
+                                a.vec_id) AS rnk
+            FROM probes p JOIN assign a
+              ON p.cell = a.cell AND a.vec_id <> p.query_id)
+        WHERE rnk <= {_TOP_K}
+    """
+
+
+@register(
+    "s3_ivf_ann_topk",
+    survey="ext-similarity",
+    doc=f"IVF ANN top-{_TOP_K}: {_IVF_CELLS}-cell inverted file "
+        f"(deterministic centroids), queries probe the {_IVF_PROBES} "
+        "nearest cells. The centroid assignment is a broadcast nested "
+        "cross over 16 rows (map-side); search shuffles only on the cell "
+        "key — the IVF counterpart of the s2 hyperplane path.",
+    oracle=None,  # attached below
+)
+def s3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = emb.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    scored_cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cell",
+            cosine(F.col("v"), F.col("cv")).alias("csim"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell")
+    )
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "v", "cell")
+    probes = (
+        ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    cand = probes.join(
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell"
+        ),
+        "cell",
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
+_QR["s3_ivf_ann_topk"] = _dc.replace(_QR["s3_ivf_ann_topk"], oracle=_ivf_oracle())

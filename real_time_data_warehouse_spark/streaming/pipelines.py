@@ -122,6 +122,37 @@ def run_log_split_stream(
     )
 
 
+def run_dynamic_routing_stream(
+    spark: SparkSession,
+    src_path: str,
+    config_rows: list[tuple[str, str]],
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """X2/S5: config-driven demux (DwdBaseDb.java:43-110 + dynamic-topic
+    sink FlinkSinkUtil.java:44-65). The routing config joins as a broadcast
+    per micro-batch; records land under their routed ``sink_table`` via
+    partitioned write — the file-sink analog of Spark's per-row `topic`
+    kafka column (sources/kafka.with_dynamic_topic is the Kafka form)."""
+    events = stream_events(spark, src_path)
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        config = batch.sparkSession.createDataFrame(
+            config_rows, ["source_type", "sink_table"]
+        )
+        routed = batch.join(
+            F.broadcast(config), batch["event_type"] == config["source_type"]
+        ).drop("source_type")
+        routed.write.mode("append").partitionBy("sink_table").parquet(out_dir)
+
+    return (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_dws_agg_stream(
     spark: SparkSession, src_path: str, out_path: str, checkpoint_dir: str
 ):

@@ -1,0 +1,74 @@
+"""Materialized serving layer: partition pruning must actually happen —
+the lakehouse equivalent of Doris `partition par#{date}`."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.plans.audit import formatted_plan
+from real_time_data_warehouse_spark.serving import (
+    gmv_for_date,
+    materialize_dws_trade_daily,
+)
+from tests.conftest import SF_DIR
+
+
+def test_partition_pruned_serving(spark, tmp_path):
+    path = str(tmp_path / "dws_trade_daily")
+    materialize_dws_trade_daily(spark, SF_DIR, path)
+
+    df = gmv_for_date(spark, path, "1998-01-01")
+    plan = formatted_plan(df)
+    # the day literal must land in PartitionFilters on the scan …
+    assert re.search(r"PartitionFilters: \[[^\]]*cur_date", plan), plan
+    # … and the result must match computing from the fact table directly
+    got = df.first()
+    from real_time_data_warehouse_spark.functions.money import dec
+    from real_time_data_warehouse_spark.tables import Tables
+
+    exp = (
+        Tables(spark, SF_DIR)
+        .orders.where(F.date_format("o_orderdate", "yyyy-MM-dd") == "1998-01-01")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+        .first()["gmv"]
+    )
+    if exp is None:
+        assert got is None or got["gmv"] is None
+    else:
+        assert got is not None and abs(got["gmv"] - exp) < 1e-6
+
+
+def test_dynamic_routing_stream(spark, tmp_path):
+    import os
+
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        run_dynamic_routing_stream,
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    # single-file source dir
+    src = str(tmp_path / "src")
+    ev = Tables(spark, SF_DIR).events
+    (
+        ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000).cast("bigint"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "routed"), str(tmp_path / "ckpt")
+    config = [("click", "dwd_click_log"), ("purchase", "dwd_trade_order")]
+    q = run_dynamic_routing_stream(spark, src, config, out, ckpt)
+    q.awaitTermination(120)
+
+    routed = spark.read.parquet(out)
+    sinks = {r["sink_table"] for r in routed.select("sink_table").distinct().collect()}
+    assert sinks == {"dwd_click_log", "dwd_trade_order"}
+    n_click = ev.where(F.col("event_type") == "click").count()
+    got_click = routed.where(F.col("sink_table") == "dwd_click_log").count()
+    assert got_click == n_click
+    # unrouted types (no config row) must not appear anywhere
+    assert routed.where(F.col("event_type") == "error").count() == 0
