@@ -45,3 +45,51 @@ def gmv_for_date(spark: SparkSession, serving_path: str, date: str) -> DataFrame
         .groupBy("cur_date")
         .agg(F.sum("order_amount").alias("gmv"))
     )
+
+
+def materialize_dws_province_daily(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """dws_trade_province_order_window serving table (A8's source)."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("cur_date"),
+            F.col("n_name").alias("province_name"),
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("order_amount"),
+            F.countDistinct("o_orderkey").alias("order_ct"),
+        )
+    )
+    daily.write.mode("overwrite").partitionBy("cur_date").parquet(path)
+
+
+def province_stats(spark: SparkSession, serving_path: str, date: str) -> DataFrame:
+    """`/province?date=` (TradeStatsController.java:40-57): per-province
+    amounts for one day partition."""
+    dws = spark.read.parquet(serving_path)
+    return (
+        dws.where(F.col("cur_date") == date)
+        .select("province_name", "order_amount", "order_ct")
+    )
+
+
+def channel_topk(
+    spark: SparkSession, sf_dir: str, date: str, limit: int = 3
+) -> DataFrame:
+    """`/ch?date=&limit=` (TrafficStatsController.java:27-48): top-k
+    channels by UV for one day (TakeOrderedAndProject, no global sort)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.where(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == date
+        )
+        .groupBy(F.col("event_type").alias("ch"))
+        .agg(F.countDistinct("user_id").alias("uv_ct"))
+        .orderBy(F.col("uv_ct").desc(), F.col("ch"))
+        .limit(limit)
+    )

@@ -79,6 +79,18 @@ def log_split(events: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST1/ST2 streaming form: watermarked dropDuplicates on the business
+    key — Spark's native replacement for the reference's retract-dedup
+    state machine (DwsTradeSkuOrderWindow.java:190-223). State is evicted
+    once the watermark passes (the 10 s StateTtlConfig analog; widened here
+    to tolerate the file-source batch granularity). Emits each key's FIRST
+    arrival — emit-once semantics, exactly the commented-out 'state+timer'
+    variant ST2."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["user_id", "event_type"])
+
+
 def dws_windowed_agg(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     """A1/W1/W7: the DWS tumbling-window aggregate with window metadata
     (DwsTradeSkuOrderWindow.java:271-302). In streaming the watermark

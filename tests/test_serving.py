@@ -40,6 +40,27 @@ def test_partition_pruned_serving(spark, tmp_path):
         assert got is not None and abs(got["gmv"] - exp) < 1e-6
 
 
+def test_province_and_channel_endpoints(spark, tmp_path):
+    from real_time_data_warehouse_spark.serving import (
+        channel_topk,
+        materialize_dws_province_daily,
+        province_stats,
+    )
+
+    path = str(tmp_path / "dws_province_daily")
+    materialize_dws_province_daily(spark, SF_DIR, path)
+    some_date = (
+        spark.read.parquet(path).select("cur_date").orderBy("cur_date").first()[0]
+    )
+    prov = province_stats(spark, path, some_date)
+    assert prov.count() > 0
+    assert set(prov.columns) == {"province_name", "order_amount", "order_ct"}
+
+    ch = channel_topk(spark, SF_DIR, "2024-01-05", limit=3).collect()
+    assert len(ch) == 3
+    assert ch[0]["uv_ct"] >= ch[-1]["uv_ct"]
+
+
 def test_dynamic_routing_stream(spark, tmp_path):
     import os
 

@@ -183,6 +183,96 @@ def test_cdc_dim_pipeline(spark, tmp_path):
     assert set(sample) <= {"id", "user_id", "order_status"}
 
 
+def test_stream_dedup_emit_once_across_batches(spark, tmp_path, events_dir):
+    """ST1: a (user, event_type) key seen in batch 0 must NOT re-emit in
+    batch 1 — dropDuplicates state carries across micro-batches."""
+    from real_time_data_warehouse_spark.streaming.pipelines import stream_dedup
+
+    dd = stream_dedup(stream_events(spark, events_dir))
+    sink, ckpt = str(tmp_path / "dd"), str(tmp_path / "ckpt_dd")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # exactly one row per key, and it is the FIRST-arriving event of that key
+    assert got.count() == got.select("user_id", "event_type").distinct().count()
+    ev = Tables(spark, SF_DIR).events
+    assert got.count() == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """W5: an event arriving in a later batch but older than the watermark
+    must be excluded from its (already-closed) window."""
+    import pyspark.sql.functions as F2
+
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        EVENTS_RAW_SCHEMA,
+        dws_windowed_agg,
+    )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        import time
+
+        df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"])
+        out = df.select(
+            "event_id",
+            (F2.col("ts_s").cast("bigint") * 1_000_000_000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        out.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+        time.sleep(1.1)  # distinct mod times → deterministic batch order
+
+    base = 1_700_000_000  # any epoch; windows are 10 s
+    # Spark drops a late row only once its window has been EVICTED from
+    # state (append-mode emission), which happens at the end of the batch
+    # whose watermark passed the window end — so the window must be closed
+    # in an earlier batch than the late arrival:
+    # batch a: event in window W=[0,10) + event advancing max time to 100
+    write_batch([(1, base + 0, 1, "click", 1.0, "{}"),
+                 (2, base + 100, 1, "click", 1.0, "{}")], "a")
+    # batch b: advances watermark past W's end → W emitted + evicted
+    write_batch([(4, base + 110, 1, "click", 1.0, "{}")], "b")
+    # batch c: a LATE event for the now-closed W → must be dropped
+    write_batch([(3, base + 1, 1, "click", 1.0, "{}")], "c")
+
+    agg = dws_windowed_agg(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F2.timestamp_micros((F2.col("ts") / 1000).cast("bigint")))
+    )
+    sink, ckpt = str(tmp_path / "late_out"), str(tmp_path / "late_ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    first_window = got.where(
+        F2.col("stt") == F2.from_unixtime(F2.lit(base), "yyyy-MM-dd HH:mm:ss")
+    ).collect()
+    # the closed t=0 window must contain ONLY event 1 — the late event 3
+    # (same window, arrived after watermark passed) was dropped
+    assert len(first_window) == 1
+    assert first_window[0]["order_ct"] == 1
+
+
 def test_etl_filter_rejects(spark):
     """P1 gate: wrong database / empty data dropped."""
     rows = [
