@@ -368,3 +368,74 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
+
+
+# Frequency cap for the capped variant: shingles shared by more than this
+# many docs are dropped from the inverted index before pairing. A shingle in
+# f docs contributes f(f-1)/2 candidate pairs — the head of the frequency
+# distribution is quadratic cost with near-zero discrimination (standard
+# prefix/frequency filtering in near-dup literature). The cap changes
+# which LOW-similarity pairs are observable but barely moves pairs at the
+# 0.6 threshold; the oracle applies the identical cap, so parity is exact.
+_FREQ_CAP = 50
+
+
+@register(
+    "d2b_jaccard_capped",
+    survey="ext-dedup",
+    doc=f"Frequency-capped Jaccard pairs (the 100 TB form of d2): shingles "
+        f"in > {_FREQ_CAP} docs are excluded from the inverted index before "
+        "pair generation, bounding per-shingle join fan-out; intersection "
+        "counts are then rescaled against capped set sizes. Same shape as "
+        "d2 otherwise.",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        kept AS (
+            SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_FREQ_CAP}
+        ),
+        fsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept k ON s.sh = k.sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(ROUND(CAST(p.inter AS DOUBLE) /
+                    (sa.n + sb.n - p.inter), 4) AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
+    """,
+)
+def d2b_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sh = _doc_shingles(t)
+    kept = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _FREQ_CAP)
+        .select("sh")
+    )
+    fsh = sh.join(kept, "sh")
+    sizes = fsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = fsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = fsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, ["sh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
