@@ -1,0 +1,94 @@
+"""Streaming joins: interval join (stream-stream) and lookup join
+(stream-static) must match their batch twins on the watermark-closed
+region."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.streaming.joins import (
+    interval_join_purchases,
+    lookup_join_dim,
+)
+from real_time_data_warehouse_spark.streaming.pipelines import stream_events
+from real_time_data_warehouse_spark.tables import Tables, load
+from tests.conftest import SF_DIR
+from tests.test_streaming import events_dir  # noqa: F401 (fixture reuse)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path, events_dir):  # noqa: F811
+    stream = interval_join_purchases(stream_events(spark, events_dir))
+    sink, ckpt = str(tmp_path / "ij"), str(tmp_path / "ckpt_ij")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["pay_id"], r["prior_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    ev = Tables(spark, SF_DIR).events
+    batch = interval_join_purchases(ev)
+    # Streaming inner join emits pairs as both sides arrive; with
+    # availableNow everything except pairs held past the final watermark is
+    # out. Compare on the region closed by the final watermark.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(seconds=10)
+    expected = {
+        (r["pay_id"], r["prior_id"])
+        for r in batch.where(
+            (F.col("pay_ts") < F.lit(horizon)) & (F.col("ts") < F.lit(horizon))
+        ).collect()
+    }
+    assert expected <= got, f"missing {len(expected - got)} closed pairs"
+    # everything emitted must be a true batch pair (no spurious joins)
+    all_pairs = {(r["pay_id"], r["prior_id"]) for r in batch.collect()}
+    assert got <= all_pairs
+
+
+def test_lookup_join_stream_static(spark, tmp_path, events_dir):  # noqa: F811
+    # dim: user bucket → segment name (static parquet table)
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("segment_"), (F.col("id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    )
+    dim_path = str(tmp_path / "dim_user")
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    static_dim = spark.read.parquet(dim_path)
+    enriched = lookup_join_dim(
+        stream_events(spark, events_dir).select("event_id", "user_id"),
+        static_dim,
+        "user_id",
+    )
+    sink, ckpt = str(tmp_path / "lj"), str(tmp_path / "ckpt_lj")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    ev = Tables(spark, SF_DIR).events
+    assert got.count() == ev.count()  # left join keeps every stream row
+    # every matched row got the right segment
+    wrong = got.where(
+        F.col("segment").isNotNull()
+        & (F.col("segment") != F.concat(F.lit("segment_"), (F.col("user_id") % 5).cast("string")))
+    ).count()
+    assert wrong == 0
