@@ -287,3 +287,36 @@ def j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
     ).select(F.col("c_custkey").alias("user_id"), F.lit("dormant").alias("status"))
     return active.unionAll(dormant)
+
+
+@register(
+    "j8b_full_outer_join",
+    survey="J8",
+    doc="Full outer join (demoed only in the reference's Test02_SQL_JOIN."
+        "java:70-74; first-class here): nations × per-nation customer "
+        "counts on both sides of a key-partitioned universe, null-padded "
+        "where either side is absent.",
+    oracle="""
+        SELECT COALESCE(a.k, b.k) AS nation_key,
+               a.supplier_ct, b.customer_ct
+        FROM (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS supplier_ct
+              FROM supplier GROUP BY s_nationkey) a
+        FULL OUTER JOIN
+             (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS customer_ct
+              FROM customer GROUP BY c_nationkey) b
+          ON a.k = b.k
+    """,
+)
+def j8b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.supplier.groupBy(F.col("s_nationkey").alias("ka")).agg(
+        F.count("*").alias("supplier_ct")
+    )
+    b = t.customer.groupBy(F.col("c_nationkey").alias("kb")).agg(
+        F.count("*").alias("customer_ct")
+    )
+    return a.join(b, F.col("ka") == F.col("kb"), "full").select(
+        F.coalesce("ka", "kb").alias("nation_key"),
+        "supplier_ct",
+        "customer_ct",
+    )

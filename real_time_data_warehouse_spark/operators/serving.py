@@ -126,6 +126,33 @@ def a8_province_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a11_percentiles",
+    survey="A10,S12",
+    doc="Exact interpolated percentiles per order priority (beyond the "
+        "reference's sums/counts; serving-layer stat). Spark `percentile` "
+        "and DuckDB `quantile_cont` share the interpolation definition.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95,
+               CAST(COUNT(*) AS BIGINT) AS order_ct
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+            F.count("*").alias("order_ct"),
+        )
+    )
+
+
+@register(
     "a9_topk_channel",
     survey="A9,§2.10",
     doc="Top-k serving query (TrafficStatsMapper.java:16-18 `order by "

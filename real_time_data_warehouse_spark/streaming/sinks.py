@@ -40,7 +40,15 @@ def upsert_dim(
     where the CDC type says so (``type=='delete'``).
 
     Within the batch, only the latest record per key applies (the same
-    last-write-wins the HBase row store gives)."""
+    last-write-wins the HBase row store gives).
+
+    Ordering contract: micro-batches must arrive in stream (commit) order —
+    a record older than an already-applied delete would resurrect the row,
+    because deletes leave no tombstone. The reference's HBase sink
+    (HBaseSinkFunction.java:36-61) has the identical property; Maxwell/
+    binlog CDC is commit-ordered, so the assumption holds by construction.
+    The chunk-associativity property under this contract is pinned by
+    tests/test_properties.py::test_upsert_dim_chunked_equals_whole."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))

@@ -124,6 +124,67 @@ def test_uv_two_formulations_agree(spark):
     assert a == b
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # key
+            st.integers(min_value=0, max_value=100), # ts
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_upsert_dim_chunked_equals_whole(spark, tmp_path_factory, ops):
+    """S8 invariant: applying a CDC batch all at once ≡ applying it in two
+    stream-ordered chunks (the micro-batch boundary must not change the
+    final table) — for any sequence of insert/update/delete. Chunks are
+    split in ts (commit) order per the sink's ordering contract: CDC
+    streams deliver in commit order, and deletes keep no tombstone (same
+    as the reference's HBase sink), so out-of-order replay across batches
+    is out of contract."""
+    import uuid
+
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+
+    # distinct ts per key → deterministic last-write-wins
+    seen: set[tuple[int, int]] = set()
+    rows = []
+    for i, (k, ts, typ) in enumerate(ops):
+        while (k, ts) in seen:
+            ts += 101
+        seen.add((k, ts))
+        rows.append((str(k), typ, ts, f"v{i}"))
+    rows.sort(key=lambda r: r[2])  # stream (commit) order
+    batch = spark.createDataFrame(rows, ["row_key", "type", "ts", "payload"])
+
+    base = tmp_path_factory.mktemp(f"ups_{uuid.uuid4().hex[:8]}")
+    whole, chunked = str(base / "whole"), str(base / "chunked")
+    upsert_dim(spark, batch, whole, key_cols=["row_key"], order_col="ts")
+    half = len(rows) // 2
+    c1 = spark.createDataFrame(rows[:half] or rows, batch.schema)
+    c2 = spark.createDataFrame(rows[half:] or rows, batch.schema)
+    # chunks split by arrival order; replay both in order
+    if half:
+        upsert_dim(spark, c1, chunked, key_cols=["row_key"], order_col="ts")
+        upsert_dim(spark, c2, chunked, key_cols=["row_key"], order_col="ts")
+    else:
+        upsert_dim(spark, batch, chunked, key_cols=["row_key"], order_col="ts")
+
+    def snap(path):
+        import os
+
+        if not os.path.exists(path):
+            return set()
+        return {
+            (r["row_key"], r["ts"], r["payload"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert snap(whole) == snap(chunked)
+
+
 def test_minhash_estimates_bounded_error(spark):
     """MinHash estimated Jaccard on candidate pairs must be within 0.35 of
     exact Jaccard (16 hashes → σ ≈ 0.12; 3σ bound)."""
