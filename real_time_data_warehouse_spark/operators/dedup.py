@@ -439,3 +439,96 @@ def d2b_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
+
+
+@register(
+    "d6_dedup_clusters",
+    survey="ext-dedup",
+    doc="Near-dup clustering + canonical selection: connected components "
+        "over the MinHash candidate-pair graph (min-label propagation, "
+        "iterated to fixpoint), each doc labeled with its cluster's min "
+        "doc_id; is_canonical marks the keeper. The iterative driver loop "
+        "converges in O(log(diameter)) rounds — each round is one shuffle "
+        "on doc_id; cluster diameters in dedup graphs are tiny. Oracle: "
+        "DuckDB recursive CTE computing reachability-min labels.",
+    oracle=None,  # generated below from the d3 oracle
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edges both ways + self-loops for isolated docs
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    labels = t.documents.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    # min-label propagation to fixpoint (bounded driver loop; each round
+    # one join + one agg — all set-oriented, nothing collected but the
+    # convergence flag)
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+def _d6_oracle() -> str:
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    d3 = QUERY_REGISTRY["d3_minhash_lsh_pairs"].oracle
+    return f"""
+        WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({d3}) d3p),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b
+        )
+        SELECT node AS doc_id,
+               MIN(label) AS cluster_id,
+               CAST(CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS INT)
+                   AS is_canonical
+        FROM reach GROUP BY node
+    """
+
+
+import dataclasses as _dc
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QR2
+
+_QR2["d6_dedup_clusters"] = _dc.replace(
+    _QR2["d6_dedup_clusters"], oracle=_d6_oracle()
+)

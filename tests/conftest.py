@@ -19,12 +19,16 @@ def spark():
 
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with the fixture tables pre-registered as views,
-    mirroring the driver's oracle environment."""
+    mirroring the driver's oracle environment. Handles both layouts: the
+    driver's single-file tables and Spark-written parquet directories."""
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pattern}')"
         )
     return con
 
