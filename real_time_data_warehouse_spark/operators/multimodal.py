@@ -175,3 +175,49 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sampled_frames").cast("bigint").alias("total_sampled_frames"),
         F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+@register(
+    "m2_frame_sampling",
+    survey="ext-multimodal",
+    doc="Frame-sampling fan-out: one row per sampled frame (stride 8) per "
+        "video asset, carrying the parent metadata + frame byte-offset "
+        "arithmetic — the Spark-side plumbing of a video pipeline "
+        "(posexplode over the frame index sequence, pure Catalyst).",
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   CAST(doc_id % 64 + 16 AS INT) AS w,
+                   CAST(doc_id % 48 + 16 AS INT) AS h,
+                   24 AS nf
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id,
+               CAST(f.frame_idx AS INT) AS frame_idx,
+               CAST(f.frame_idx * w * h AS BIGINT) AS byte_offset,
+               CAST(w * h AS BIGINT) AS frame_bytes
+        FROM media,
+             LATERAL (SELECT unnest(range(0, nf, 8)) AS frame_idx) f
+    """,
+)
+def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    videos = synthesize_media(t).where(F.col("media_type") == "video")
+    frames = videos.select(
+        "doc_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * F.col("width") * F.col("height"))
+        .cast("bigint")
+        .alias("byte_offset"),
+        (F.col("width").cast("bigint") * F.col("height"))
+        .cast("bigint")
+        .alias("frame_bytes"),
+    )

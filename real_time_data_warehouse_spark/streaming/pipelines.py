@@ -134,6 +134,18 @@ def run_log_split_stream(
     )
 
 
+def dws_sku_order_enriched(
+    events: DataFrame, dim: DataFrame, watermark: str = "10 seconds"
+) -> DataFrame:
+    """The full DwsTradeSkuOrderWindow shape (DwsTradeSkuOrderWindow.java:
+    271-302 window reduce + :480-619 async dim chain): watermarked tumbling
+    aggregate, then broadcast dim enrichment of the *aggregated* rows —
+    the reference enriches after windowing too (far fewer rows to enrich
+    than events). Stream-static join keeps the result streamable."""
+    agg = dws_windowed_agg(events, watermark)
+    return agg.join(F.broadcast(dim), agg["sku_group"] == dim["dic_code"], "left")
+
+
 def run_dynamic_routing_stream(
     spark: SparkSession,
     src_path: str,

@@ -1,0 +1,42 @@
+"""sf0.1 parity smoke: a representative slice of the registry re-checked
+at 10× the oracle scale. Catches scale-dependent behavior the sf0.001
+suite can't see (e.g. outer-join null paths appearing/disappearing,
+frequency caps activating, LSH bucket occupancy changing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from tests.conftest import make_duck
+from tests.parity import compare
+
+query_map()
+
+SF01 = "/root/testdata/sf0.1"
+
+# One per family, biased to queries whose shape changes with scale.
+SMOKE = (
+    "q0_flagship_trade_summary",
+    "j8b_full_outer_join",      # null-padding flips with supplier coverage
+    "a2_distinct_count",
+    "st5_returning_user",
+    "d2b_jaccard_capped",       # cap only active at this scale
+    "d3_minhash_lsh_pairs",
+    "s2_lsh_ann_topk",          # bucket occupancy grows 4×
+    "t4_fingerprint",
+)
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = make_duck(SF01)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_sf01_parity(spark, duck01, name):
+    q = QUERY_REGISTRY[name]
+    ok, msg = compare(q.fn(spark, SF01), duck01, q.oracle)
+    assert ok, f"{name} at sf0.1: {msg}"

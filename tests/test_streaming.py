@@ -273,6 +273,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert first_window[0]["order_ct"] == 1
 
 
+def test_dws_sku_order_enriched_stream(spark, tmp_path, events_dir):
+    """Flagship DWS app streaming form: windowed agg + post-agg broadcast
+    dim enrichment, streamed end-to-end."""
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        dws_sku_order_enriched,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "Click Stream"), ("purchase", "Purchases"), ("view", "Views")],
+        ["dic_code", "dic_name"],
+    )
+    enriched = dws_sku_order_enriched(stream_events(spark, events_dir), dim)
+    sink, ckpt = str(tmp_path / "sku"), str(tmp_path / "ckpt_sku")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() > 0
+    # enrichment applied where the dim has the code, null elsewhere
+    assert got.where(
+        (F.col("sku_group") == "click") & (F.col("dic_name") != "Click Stream")
+    ).count() == 0
+    assert got.where(
+        (F.col("sku_group") == "error") & F.col("dic_name").isNotNull()
+    ).count() == 0
+
+
 def test_etl_filter_rejects(spark):
     """P1 gate: wrong database / empty data dropped."""
     rows = [
