@@ -176,3 +176,79 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         F.count("*").over(Window.partitionBy("fingerprint")).alias("cluster_size"),
     )
+
+
+# Char-trigram profiles (public-knowledge frequency lists, ASCII only).
+# Deterministic literals shared by the Spark plan and the oracle.
+_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "ing", "and", "nd ", " an", "ed ", " to", "er "),
+    "de": ("der", "ein", "sch", "ich", "nde", "die", "che", "en ", "und", "ge "),
+    "es": ("de ", " de", "la ", " la", "que", "ue ", "os ", "ión", "ent", " en"),
+}
+
+
+def _doc_trigrams(col):
+    """Distinct char trigrams of the normalized (token-joined) text."""
+    norm = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        )
+    )
+
+
+@register(
+    "t1b_trigram_langid",
+    survey="ext-text",
+    doc="Language-ID via char-trigram profile overlap (the n-gram "
+        "heuristic proper): distinct trigrams of the normalized text "
+        "scored against fixed per-language profiles; argmax with "
+        "deterministic tie order en>de>es.",
+    oracle="""
+        WITH tg AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, length(norm) - 1),
+                       i -> substr(norm, i, 3))) AS tgs
+            FROM (SELECT doc_id, lang,
+                         ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0), ' ') || ' ' AS norm
+                  FROM documents) n
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE
+                 WHEN en >= de AND en >= es THEN 'en'
+                 WHEN de >= es THEN 'de'
+                 ELSE 'es' END AS predicted_lang,
+               CAST(en AS INT) AS en_hits,
+               CAST(de AS INT) AS de_hits,
+               CAST(es AS INT) AS es_hits
+        FROM (
+            SELECT doc_id, lang,
+                   len(list_intersect(tgs, ['the', 'he ', ' th', 'ing', 'and', 'nd ', ' an', 'ed ', ' to', 'er '])) AS en,
+                   len(list_intersect(tgs, ['der', 'ein', 'sch', 'ich', 'nde', 'die', 'che', 'en ', 'und', 'ge '])) AS de,
+                   len(list_intersect(tgs, ['de ', ' de', 'la ', ' la', 'que', 'ue ', 'os ', 'ión', 'ent', ' en'])) AS es
+            FROM tg
+        ) scored
+    """,
+)
+def t1b_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tgs = _doc_trigrams("text")
+
+    def hits(lang: str):
+        profile = F.array(*[F.lit(x) for x in _TRIGRAM_PROFILES[lang]])
+        return F.size(F.array_intersect(tgs, profile))
+
+    en, de, es = hits("en"), hits("de"), hits("es")
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((en >= de) & (en >= es), "en")
+        .when(de >= es, "de")
+        .otherwise("es")
+        .alias("predicted_lang"),
+        en.cast("int").alias("en_hits"),
+        de.cast("int").alias("de_hits"),
+        es.cast("int").alias("es_hits"),
+    )
