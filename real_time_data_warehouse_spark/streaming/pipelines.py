@@ -111,18 +111,35 @@ def dws_windowed_agg(events: DataFrame, watermark: str = "10 seconds") -> DataFr
 
 
 def run_log_split_stream(
-    spark: SparkSession, src_path: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    src_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    fault_injector=None,
 ):
     """DwdBaseLog shell: one source → foreachBatch → 5 parquet sinks.
     The micro-batch is persisted once and scanned per side — the Spark
-    equivalent of Flink side outputs (one pass, no duplicate source read)."""
+    equivalent of Flink side outputs (one pass, no duplicate source read).
+
+    Exactly-once across failures: each side writes to its own
+    ``batch_id=N`` partition directory with overwrite, so a retry of the
+    same epoch (after a mid-batch crash) REPLACES any partial output
+    instead of appending next to it. Checkpoint replay + idempotent batch
+    writes = end-to-end exactly-once on a plain file sink (the Delta path
+    gets the same property from its transaction log). ``fault_injector``
+    is a test hook called with each batch_id before writing.
+    """
     events = stream_events(spark, src_path)
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        if fault_injector is not None:
+            fault_injector(batch_id)
         batch.persist()
         try:
             for side, df in log_split(batch).items():
-                df.write.mode("append").parquet(os.path.join(out_dir, side))
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, side, f"batch_id={batch_id}")
+                )
         finally:
             batch.unpersist()
 

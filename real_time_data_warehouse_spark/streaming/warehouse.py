@@ -58,9 +58,10 @@ def run_warehouse(
     # topic-between-jobs pattern, storage-decoupled)
     page = (
         spark.readStream.schema(
-            # DWD sides carry the normalized µs timestamp already
+            # DWD sides carry the normalized µs timestamp already; batch_id
+            # is the per-epoch partition dir from the idempotent split sink
             "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
+            "event_type string, value double, props string, batch_id int"
         )
         .parquet(os.path.join(dwd_dir, "page"))
     )

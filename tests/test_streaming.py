@@ -273,6 +273,82 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert first_window[0]["order_ct"] == 1
 
 
+def test_progress_monitor_listener(spark, tmp_path, events_dir):
+    """Monitoring: the progress listener must log one JSONL record per
+    micro-batch with rows + watermark fields."""
+    import json
+
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        attach_progress_log,
+        detach,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        run_dws_agg_stream,
+    )
+
+    log = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_log(spark, log)
+    try:
+        q = run_dws_agg_stream(
+            spark, events_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; give it a beat
+        import time
+
+        for _ in range(20):
+            try:
+                with open(log) as f:
+                    recs = [json.loads(line) for line in f]
+            except FileNotFoundError:
+                recs = []
+            if len(recs) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        detach(spark, listener)
+    data_batches = [r for r in recs if r["num_input_rows"] > 0]
+    assert len(data_batches) == 2  # two source files = two data batches
+    assert all(r["watermark"] is not None for r in recs if r["batch_id"] > 0)
+    assert any(r["state_rows"] for r in recs)
+
+
+def test_log_split_crash_recovery_exactly_once(spark, tmp_path, events_dir):
+    """Exactly-once across a mid-stream crash: batch 1's first attempt
+    fails (fault injector) after batch 0 committed; a partial file is
+    planted in batch 1's output dir simulating the crash's debris; the
+    restarted query must retry batch 1, OVERWRITE the debris, and land
+    exactly the batch-mode counts — no duplicates, no loss."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    calls = {"n": 0}
+
+    def fault(batch_id: int) -> None:
+        if batch_id == 1 and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash before batch 1 writes")
+
+    q = run_log_split_stream(spark, events_dir, out, ckpt, fault_injector=fault)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    # simulate partial debris a real crash could leave in the epoch dir
+    debris_dir = os.path.join(out, "page", "batch_id=1")
+    os.makedirs(debris_dir, exist_ok=True)
+    ev = Tables(spark, SF_DIR).events
+    ev.where(F.col("event_type") == "purchase").limit(7).write.mode(
+        "overwrite"
+    ).parquet(debris_dir)
+
+    # restart from the same checkpoint, no fault this time
+    q2 = run_log_split_stream(spark, events_dir, out, ckpt)
+    q2.awaitTermination(120)
+
+    for side, df in log_split(ev).items():
+        got = spark.read.parquet(os.path.join(out, side)).count()
+        assert got == df.count(), f"{side}: {got} != {df.count()}"
+
+
 def test_dws_sku_order_enriched_stream(spark, tmp_path, events_dir):
     """Flagship DWS app streaming form: windowed agg + post-agg broadcast
     dim enrichment, streamed end-to-end."""
