@@ -53,3 +53,43 @@ def interval_join_purchases(
 def lookup_join_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static broadcast join (the HBase lookup-join replacement)."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def left_outer_stream_join(
+    orders: DataFrame,
+    payments: DataFrame,
+    pay_window: str = "30 minutes",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """J2 streaming form: order ⟕ payment within [order.ts, order.ts +
+    pay_window] (DwdTradeOrderDetail.java:105-108's left joins).
+
+    This is the operator where Flink and Spark diverge hardest
+    (SURVEY.md §7.4.1): Flink emits +I(order,null) immediately and
+    retracts it (-D/+I) when the payment arrives — the downstream must
+    cancel the storm. Spark holds the unmatched row in state and emits the
+    null-padded result ONCE, only after the watermark proves no payment
+    can still arrive. Net results identical; no retraction machinery to
+    port. Both sides need watermarks; the time-range bound sizes the
+    state.
+    """
+    o = orders.select(
+        F.col("event_id").alias("order_id"),
+        F.col("user_id").alias("o_user"),
+        F.col("ts").alias("o_ts"),
+    )
+    p = payments.select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    if orders.isStreaming:
+        o = o.withWatermark("o_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    return o.join(
+        p,
+        (F.col("o_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("o_ts"))
+        & (F.col("p_ts") <= F.col("o_ts") + F.expr(f"INTERVAL {pay_window}")),
+        "leftOuter",
+    ).select("order_id", "o_user", "o_ts", "pay_id", "p_ts")

@@ -273,6 +273,48 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert first_window[0]["order_ct"] == 1
 
 
+def test_rate_source_pipeline(spark, tmp_path):
+    """The DWS transform must run unchanged on a continuous (rate) source —
+    proof the shells aren't file-source-specific (S1 stand-in #2)."""
+    from real_time_data_warehouse_spark.streaming.pipelines import dws_windowed_agg
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("event_type"),
+            (F.col("value") % 100 / 100.0).alias("value"),
+        )
+    )
+    agg = dws_windowed_agg(rate, watermark="0 seconds")
+    sink, ckpt = str(tmp_path / "rate_out"), str(tmp_path / "rate_ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            time.sleep(5)
+            try:
+                n = spark.read.parquet(sink).count()
+            except Exception:
+                n = 0
+            if n > 0:
+                break
+    finally:
+        q.stop()
+    assert n > 0, "rate-source pipeline emitted no closed windows in 60s"
+
+
 def test_progress_monitor_listener(spark, tmp_path, events_dir):
     """Monitoring: the progress listener must log one JSONL record per
     micro-batch with rows + watermark fields."""

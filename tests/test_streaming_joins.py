@@ -56,6 +56,71 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, events_dir):  # noq
     assert got <= all_pairs
 
 
+def test_left_outer_stream_join_null_padding(spark, tmp_path):
+    """J2 streaming: matched order joins its payment; unmatched order is
+    emitted null-padded exactly once, after the watermark closes its
+    payment window (no retractions — SURVEY §7.4.1)."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from real_time_data_warehouse_spark.streaming.joins import (
+        left_outer_stream_join,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import stream_events
+
+    def write_src(rows, path):
+        os.makedirs(path, exist_ok=True)
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+        ).select(
+            "event_id",
+            (F2.col("ts_s").cast("bigint") * 1_000_000_000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        stage = path + "_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, pf), os.path.join(path, "b.parquet"))
+        _time.sleep(0.2)
+
+    base = 1_700_000_000
+    odir, pdir = str(tmp_path / "orders"), str(tmp_path / "pays")
+    # order 1 (user 7) pays 60 s later; order 2 (user 8) never pays.
+    # far-future rows on BOTH sides push the final watermark past the
+    # 30-min payment window of both orders.
+    write_src(
+        [(1, base, 7, "order", 1.0, "{}"), (2, base + 10, 8, "order", 1.0, "{}"),
+         (99, base + 10_000, 99, "order", 1.0, "{}")],
+        odir,
+    )
+    write_src(
+        [(51, base + 60, 7, "pay", 1.0, "{}"),
+         (98, base + 10_000, 98, "pay", 1.0, "{}")],
+        pdir,
+    )
+    joined = left_outer_stream_join(
+        stream_events(spark, odir), stream_events(spark, pdir)
+    )
+    sink, ckpt = str(tmp_path / "lo"), str(tmp_path / "ckpt_lo")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["order_id"]: r["pay_id"] for r in spark.read.parquet(sink).collect()
+    }
+    assert rows[1] == 51        # matched within the window
+    assert rows[2] is None      # unmatched → null-padded after watermark
+    assert list(rows).count(2) == 1  # emitted exactly once, no retract pairs
+
+
 def test_lookup_join_stream_static(spark, tmp_path, events_dir):  # noqa: F811
     # dim: user bucket → segment name (static parquet table)
     dim = spark.range(0, 200).select(
