@@ -91,6 +91,53 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return src.dropDuplicates(["user_id", "event_type"])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """ST1 with the reference's TTL semantics *exactly*: the reference
+    expires dedup state after 10 s (StateTtlConfig, DwsTradeSkuOrder
+    Window.java:198), so a duplicate arriving later than the TTL is NOT
+    suppressed. ``dropDuplicatesWithinWatermark`` reproduces that: state
+    for a key is kept only within the watermark distance, duplicates
+    farther apart in event time both pass — unlike ``stream_dedup`` whose
+    key state never expires."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def run_dws_agg_update_stream(
+    spark: SparkSession, src_path: str, serving_dir: str, checkpoint_dir: str
+):
+    """S6/S7 update semantics: the DWS aggregate in UPDATE output mode,
+    upserted into the serving table keyed by (stt, sku_group) — each
+    window row is re-emitted whenever late-but-in-watermark data changes
+    it, and the upsert keeps the latest value. This is the reference's
+    Doris stream-load / upsert-kafka behavior (windows overwritten per
+    fire) rather than append-once-final."""
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+
+    agg = dws_windowed_agg(stream_events(spark, src_path), watermark="1 hour")
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        with_version = batch.withColumn("__ver", F.lit(batch_id).cast("long"))
+        upsert_dim(
+            spark,
+            with_version,
+            serving_dir,
+            key_cols=["stt", "sku_group"],
+            order_col="__ver",
+            type_col=None,
+        )
+
+    return (
+        agg.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dws_windowed_agg(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     """A1/W1/W7: the DWS tumbling-window aggregate with window metadata
     (DwsTradeSkuOrderWindow.java:271-302). In streaming the watermark

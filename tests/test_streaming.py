@@ -273,6 +273,94 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert first_window[0]["order_ct"] == 1
 
 
+def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
+    """ST1 TTL fidelity: duplicates within the watermark distance are
+    suppressed; a duplicate far outside it passes (state expired) —
+    matching the reference's 10 s StateTtlConfig behavior, which plain
+    dropDuplicates would NOT reproduce."""
+    import shutil
+    import time as _time
+
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def wb(rows, name):
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+        ).select(
+            "event_id",
+            (F.col("ts_s").cast("bigint") * 1_000_000_000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        stage = str(tmp_path / f"st_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, pf), os.path.join(src, f"{name}.parquet"))
+        _time.sleep(1.1)
+
+    b = 1_700_000_000
+    # batch a: key (7, click) twice within seconds → dup suppressed
+    wb([(1, b, 7, "click", 1.0, "{}"), (2, b + 5, 7, "click", 1.0, "{}")], "a")
+    # batch b: another key 4 h later — the watermark advance it produces
+    # takes effect one batch later (watermark lag)
+    wb([(4, b + 4 * 3600, 9, "view", 1.0, "{}")], "bb")
+    # batch b2: runs WITH watermark b+3 h in effect; its end-of-batch
+    # cleanup evicts key 7's dedup state (expiry was b+1 h + 5 s)
+    wb([(5, b + 4 * 3600 + 10, 10, "view", 1.0, "{}")], "bb2")
+    # batch c: same key again at b+3.5 h — above the watermark (not late)
+    # but past the state TTL → the "duplicate" passes
+    wb([(3, b + 3 * 3600 + 1800, 7, "click", 1.0, "{}")], "cc")
+
+    dd = stream_dedup_within_watermark(stream_events(spark, src))
+    sink, ckpt = str(tmp_path / "ddw"), str(tmp_path / "ckpt_ddw")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    # 1 kept, 2 suppressed (dup within watermark), 3 kept (TTL expired),
+    # 4 and 5 kept (distinct keys)
+    assert got == [1, 3, 4, 5], got
+
+
+def test_dws_update_mode_upsert(spark, tmp_path, events_dir):
+    """Update-mode DWS: the serving table holds the LATEST value per
+    window key after late-but-in-watermark updates, equal to the batch
+    recomputation for every window present."""
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        dws_windowed_agg,
+        run_dws_agg_update_stream,
+    )
+
+    serving, ckpt = str(tmp_path / "serving"), str(tmp_path / "ckpt_up")
+    q = run_dws_agg_update_stream(spark, events_dir, serving, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(serving)
+    ev = Tables(spark, SF_DIR).events
+    batch = dws_windowed_agg(ev)
+    merged = got.alias("g").join(
+        batch.alias("b"),
+        (F.col("g.stt") == F.col("b.stt")) & (F.col("g.sku_group") == F.col("b.sku_group")),
+        "inner",
+    )
+    mismatched = merged.where(
+        (F.col("g.order_amount") != F.col("b.order_amount"))
+        | (F.col("g.order_ct") != F.col("b.order_ct"))
+    ).count()
+    assert mismatched == 0
+    # every window key in the serving table is unique (upsert, not append)
+    assert got.count() == got.select("stt", "sku_group").distinct().count()
+
+
 def test_rate_source_pipeline(spark, tmp_path):
     """The DWS transform must run unchanged on a continuous (rate) source —
     proof the shells aren't file-source-specific (S1 stand-in #2)."""
