@@ -82,11 +82,12 @@ def log_split(events: DataFrame) -> dict[str, DataFrame]:
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """ST1/ST2 streaming form: watermarked dropDuplicates on the business
     key — Spark's native replacement for the reference's retract-dedup
-    state machine (DwsTradeSkuOrderWindow.java:190-223). State is evicted
-    once the watermark passes (the 10 s StateTtlConfig analog; widened here
-    to tolerate the file-source batch granularity). Emits each key's FIRST
-    arrival — emit-once semantics, exactly the commented-out 'state+timer'
-    variant ST2."""
+    state machine (DwsTradeSkuOrderWindow.java:190-223). Key state never
+    expires here (the event-time column is not in the dedup subset, so the
+    watermark does NOT evict it) — correct for bounded key domains; for
+    TTL-bounded state use ``stream_dedup_within_watermark``. Emits each
+    key's FIRST arrival — emit-once semantics, exactly the commented-out
+    'state+timer' variant ST2."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.dropDuplicates(["user_id", "event_type"])
 
@@ -114,20 +115,13 @@ def run_dws_agg_update_stream(
     it, and the upsert keeps the latest value. This is the reference's
     Doris stream-load / upsert-kafka behavior (windows overwritten per
     fire) rather than append-once-final."""
-    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_versioned
 
     agg = dws_windowed_agg(stream_events(spark, src_path), watermark="1 hour")
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
-        with_version = batch.withColumn("__ver", F.lit(batch_id).cast("long"))
-        upsert_dim(
-            spark,
-            with_version,
-            serving_dir,
-            key_cols=["stt", "sku_group"],
-            order_col="__ver",
-            type_col=None,
-        )
+        upsert_versioned(spark, batch, batch_id, serving_dir,
+                         key_cols=["stt", "sku_group"])
 
     return (
         agg.writeStream.foreachBatch(upsert_batch)

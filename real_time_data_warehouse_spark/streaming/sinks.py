@@ -89,6 +89,26 @@ def upsert_dim(
     out.write.mode("overwrite").parquet(path)
 
 
+def upsert_versioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    key_cols: list[str],
+) -> None:
+    """Update-mode foreachBatch sink: upsert the batch into a keyed serving
+    table, versioned by the epoch id so later re-fires of the same key win
+    (used by the DWS update-mode pipelines in pipelines.py and trade.py)."""
+    upsert_dim(
+        spark,
+        batch.withColumn("__ver", F.lit(batch_id).cast("long")),
+        path,
+        key_cols=key_cols,
+        order_col="__ver",
+        type_col=None,
+    )
+
+
 def apply_config_ddl(spark: SparkSession, config: DataFrame, base_dir: str) -> None:
     """S9: HBase DDL-from-config analog (DimApp.java:237-280): op d → drop
     table dir; r/c → create; u → drop + create. Here tables are parquet/

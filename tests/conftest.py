@@ -38,3 +38,22 @@ def duck():
     con = make_duck(SF_DIR)
     yield con
     con.close()
+
+
+def write_stream_file(df, src_dir: str, name: str) -> None:
+    """Write *df* as ONE parquet file ``{src_dir}/{name}.parquet`` — a
+    single micro-batch for the file-source streams. Sleeps briefly so file
+    mtimes order batches deterministically (maxFilesPerTrigger=1 processes
+    oldest-first). Shared by every streaming test that crafts sources."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    os.makedirs(src_dir, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix="stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    time.sleep(1.1)

@@ -41,18 +41,15 @@ def events_dir(spark, tmp_path_factory):
     cut = ev.agg(F.expr("percentile_approx(cast(ts as double), 0.5)")).first()[0]
     first = ev.where(F.col("ts").cast("double") <= cut)
     second = ev.where(F.col("ts").cast("double") > cut)
-    # write with raw long ts (as the source files carry nanos→long)
+    from tests.conftest import write_stream_file
+
+    # write with raw long ts (as the source files carry nanos→long);
+    # exact ns from µs (a double round-trip would lose precision >2^53)
     for i, part in enumerate([first, second]):
-        # exact ns from µs (a double round-trip would lose precision >2^53)
         out = part.withColumn(
             "ts", F.unix_micros("ts") * F.lit(1000).cast("bigint")
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
-        out.coalesce(1).write.mode("overwrite").parquet(str(base / f"stage{i}"))
-        # move the part file into the source dir with ordered names
-        stage = base / f"stage{i}"
-        part_file = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        shutil.move(str(stage / part_file), str(base / f"batch_{i}.parquet"))
-        shutil.rmtree(stage)
+        write_stream_file(out, str(base), f"batch_{i}")
     return str(base)
 
 
@@ -219,20 +216,16 @@ def test_watermark_drops_late_data(spark, tmp_path):
     src = str(tmp_path / "late_src")
     os.makedirs(src)
 
-    def write_batch(rows, name):
-        import time
+    from tests.conftest import write_stream_file
 
+    def write_batch(rows, name):
         df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"])
         out = df.select(
             "event_id",
             (F2.col("ts_s").cast("bigint") * 1_000_000_000).alias("ts"),
             "user_id", "event_type", "value", "props",
         )
-        stage = str(tmp_path / f"stage_{name}")
-        out.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        shutil.move(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
-        time.sleep(1.1)  # distinct mod times → deterministic batch order
+        write_stream_file(out, src, name)
 
     base = 1_700_000_000  # any epoch; windows are 10 s
     # Spark drops a late row only once its window has been EVICTED from
@@ -288,6 +281,8 @@ def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
 
+    from tests.conftest import write_stream_file
+
     def wb(rows, name):
         df = spark.createDataFrame(
             rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
@@ -296,11 +291,7 @@ def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
             (F.col("ts_s").cast("bigint") * 1_000_000_000).alias("ts"),
             "user_id", "event_type", "value", "props",
         )
-        stage = str(tmp_path / f"st_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        shutil.move(os.path.join(stage, pf), os.path.join(src, f"{name}.parquet"))
-        _time.sleep(1.1)
+        write_stream_file(df, src, name)
 
     b = 1_700_000_000
     # batch a: key (7, click) twice within seconds → dup suppressed
@@ -347,11 +338,13 @@ def test_dws_update_mode_upsert(spark, tmp_path, events_dir):
     got = spark.read.parquet(serving)
     ev = Tables(spark, SF_DIR).events
     batch = dws_windowed_agg(ev)
+    assert got.count() > 0  # guard: an empty serving table must not pass
     merged = got.alias("g").join(
         batch.alias("b"),
         (F.col("g.stt") == F.col("b.stt")) & (F.col("g.sku_group") == F.col("b.sku_group")),
         "inner",
     )
+    assert merged.count() == got.count()  # every serving row has a batch twin
     mismatched = merged.where(
         (F.col("g.order_amount") != F.col("b.order_amount"))
         | (F.col("g.order_ct") != F.col("b.order_ct"))
