@@ -448,26 +448,36 @@ def d2b_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "over the MinHash candidate-pair graph (min-label propagation, "
         "iterated to fixpoint), each doc labeled with its cluster's min "
         "doc_id; is_canonical marks the keeper. The iterative driver loop "
-        "converges in O(log(diameter)) rounds — each round is one shuffle "
-        "on doc_id; cluster diameters in dedup graphs are tiny. Oracle: "
+        "converges in O(component diameter) rounds — each round is one "
+        "shuffle on doc_id; dedup clusters are near-cliques so diameters "
+        "are tiny, and non-convergence raises rather than returning "
+        "partial labels. Oracle: "
         "DuckDB recursive CTE computing reachability-min labels.",
     oracle=None,  # generated below from the d3 oracle
 )
 def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges both ways + self-loops for isolated docs
+    # undirected edges both ways (isolated docs need no edges — they keep
+    # their own label from the initial assignment)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
+    # materialize once: every loop round joins against `edges`, and without
+    # this the whole MinHash+LSH candidate pipeline would re-execute from
+    # parquet each round
+    edges = edges.localCheckpoint(eager=True)
     labels = t.documents.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
-    # min-label propagation to fixpoint (bounded driver loop; each round
-    # one join + one agg — all set-oriented, nothing collected but the
-    # convergence flag)
-    for _ in range(20):
+    # min-label propagation to fixpoint. Convergence takes O(component
+    # diameter) rounds (one hop of label travel per round); dedup clusters
+    # are near-cliques so this is small, but a pathological chain could
+    # exceed the bound — in that case FAIL LOUDLY rather than return
+    # silently-wrong intermediate labels.
+    max_rounds, converged = 50, False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node2"))
@@ -491,7 +501,13 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"d6_dedup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds (pathological component diameter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

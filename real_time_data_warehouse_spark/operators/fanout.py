@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
 
 from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
@@ -72,14 +71,16 @@ def x1_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_id, e.user_id,
                CAST(i.pos AS INT) AS display_pos
         FROM events e,
-             LATERAL (SELECT unnest(range(CAST(json_extract_string(e.props, '$.k')
-                                               AS INT) % 3 + 1)) AS pos) i
-        WHERE json_extract_string(e.props, '$.k') IS NOT NULL
+             LATERAL (SELECT unnest(range(TRY_CAST(json_extract_string(e.props, '$.k')
+                                                   AS INT) % 3 + 1)) AS pos) i
+        WHERE TRY_CAST(json_extract_string(e.props, '$.k') AS INT) IS NOT NULL
     """,
 )
 def x1b_explode_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: non-numeric k filters out instead of erroring (ANSI) —
+    # mirrors the oracle's TRY_CAST
+    k = F.get_json_object("props", "$.k").try_cast("int")
     with_arr = (
         t.events.where(k.isNotNull())
         .withColumn("displays", F.sequence(F.lit(0), k % 3))

@@ -111,7 +111,7 @@ def p3_bootstrap_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(DwdInteractionCommentInfo.java:25-33).",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
                user_id
         FROM events
     """,
@@ -120,7 +120,7 @@ def p4_map_access_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return parsed_events(t).select(
         "event_id",
-        F.col("data")["k"].cast("int").alias("k_int"),
+        F.col("data")["k"].try_cast("int").alias("k_int"),
         "user_id",
     )
 
@@ -133,15 +133,15 @@ def p4_map_access_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conditions on the parsed map.",
     oracle="""
         SELECT event_id, user_id,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         FROM events
         WHERE event_type = 'purchase'
-          AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 60
+          AND TRY_CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 60
     """,
 )
 def p5_cdc_state_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    k = F.col("data")["k"].cast("int")
+    k = F.col("data")["k"].try_cast("int")
     return (
         parsed_events(t)
         .where((F.col("event_type") == "purchase") & k.between(10, 60))
@@ -158,16 +158,18 @@ def p5_cdc_state_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(CASE WHEN event_type = 'signup'
-                         THEN CAST(json_extract_string(props, '$.k') AS INT)
-                         ELSE CAST(json_extract_string(props, '$.k') AS INT) - 50
+                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                         ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) - 50
                     END AS INT) AS delta
         FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
     """,
 )
 def p6_cart_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    k = F.col("data")["k"].cast("int")
+    # try_cast: a non-numeric k filters out on BOTH engines instead of one
+    # erroring (ANSI) while the other keeps the row
+    k = F.col("data")["k"].try_cast("int")
     return (
         parsed_events(t)
         .where(k.isNotNull())

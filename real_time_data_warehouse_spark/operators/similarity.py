@@ -41,6 +41,30 @@ def _hyperplanes() -> list[list[float]]:
     ]
 
 
+def _bucket_col() -> Column:
+    """Hyperplane-LSH bucket id as a Column over `v` (array<double>) —
+    shared by s2 and d5 so both queries bucket identically."""
+    planes = _hyperplanes()
+    return sum(
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
+            F.lit(1 << j),
+        ).otherwise(0)
+        for j in range(_LSH_PLANES)
+    ).cast("int")
+
+
+def _bucket_sql() -> str:
+    """DuckDB twin of _bucket_col over `v` — same plane literals."""
+    planes = _hyperplanes()
+    plane_lits = ["[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes]
+    return " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_PLANES)
+    )
+
+
 def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
@@ -127,15 +151,7 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s2_oracle() -> str:
-    planes = _hyperplanes()
-    plane_lits = [
-        "[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes
-    ]
-    bucket_expr = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_LSH_PLANES)
-    )
+    bucket_expr = _bucket_sql()
     return f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -174,16 +190,8 @@ def s2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
-    planes = _hyperplanes()
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    bucket = sum(
-        F.when(
-            dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
-            F.lit(1 << j),
-        ).otherwise(0)
-        for j in range(_LSH_PLANES)
-    ).cast("int")
-    bucketed = emb.withColumn("bucket", bucket)
+    bucketed = emb.withColumn("bucket", _bucket_col())
     q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -219,15 +227,7 @@ _QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle()
 
 
 def _d5_oracle() -> str:
-    planes = _hyperplanes()
-    plane_lits = [
-        "[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes
-    ]
-    bucket_expr = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_LSH_PLANES)
-    )
+    bucket_expr = _bucket_sql()
     return f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -256,16 +256,8 @@ def _d5_oracle() -> str:
 )
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    planes = _hyperplanes()
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    bucket = sum(
-        F.when(
-            dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
-            F.lit(1 << j),
-        ).otherwise(0)
-        for j in range(_LSH_PLANES)
-    ).cast("int")
-    bucketed = emb.withColumn("bucket", bucket)
+    bucketed = emb.withColumn("bucket", _bucket_col())
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
     )

@@ -17,13 +17,18 @@ from real_time_data_warehouse_spark.functions.text import (
 from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
-# Tiny deterministic marker lexicon (n-gram-heuristic stand-in; the corpus
-# is synthetic ASCII so real char-n-gram profiles carry no signal).
-_LANG_MARKERS = {
-    "the": "en", "a": "en", "and": "en",
-    "der": "de", "und": "de",
-    "el": "es", "la": "es",
+# Marker lexicon — the single source of truth for t1: both the Spark hits
+# and the oracle SQL are generated from it (t1b's char-trigram profiles are
+# the heuristic proper; this is the word-marker variant).
+_MARKER_WORDS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "und"),
+    "es": ("el", "la"),
 }
+
+
+def _markers_sql(lang: str) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in _MARKER_WORDS[lang]) + ")"
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -36,9 +41,9 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in")
     oracle="""
         WITH toks AS (
             SELECT doc_id, lang,
-                   len(list_filter({t}, x -> x IN ('the','a','and'))) AS en_hits,
-                   len(list_filter({t}, x -> x IN ('der','und'))) AS de_hits,
-                   len(list_filter({t}, x -> x IN ('el','la'))) AS es_hits
+                   len(list_filter({t}, x -> x IN {en})) AS en_hits,
+                   len(list_filter({t}, x -> x IN {de})) AS de_hits,
+                   len(list_filter({t}, x -> x IN {es})) AS es_hits
             FROM documents
         )
         SELECT doc_id, lang AS labeled_lang,
@@ -48,7 +53,8 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in")
                  WHEN es_hits > 0 THEN 'es'
                  ELSE 'und' END AS predicted_lang
         FROM toks
-    """.format(t=tokenize_sql("text")),
+    """.format(t=tokenize_sql("text"), en=_markers_sql("en"),
+               de=_markers_sql("de"), es=_markers_sql("es")),
 )
 def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -57,7 +63,7 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hits(words: tuple[str, ...]) -> F.Column:
         return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
-    en, de, es = hits(("the", "a", "and")), hits(("der", "und")), hits(("el", "la"))
+    en, de, es = (hits(_MARKER_WORDS[lang]) for lang in ("en", "de", "es"))
     return t.documents.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
