@@ -71,9 +71,9 @@ def x1_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_id, e.user_id,
                CAST(i.pos AS INT) AS display_pos
         FROM events e,
-             LATERAL (SELECT unnest(range(TRY_CAST(json_extract_string(e.props, '$.k')
+             LATERAL (SELECT unnest(range(TRY_CAST(CASE WHEN json_valid(e.props) THEN json_extract_string(e.props, '$.k') END
                                                    AS INT) % 3 + 1)) AS pos) i
-        WHERE TRY_CAST(json_extract_string(e.props, '$.k') AS INT) IS NOT NULL
+        WHERE TRY_CAST(CASE WHEN json_valid(e.props) THEN json_extract_string(e.props, '$.k') END AS INT) IS NOT NULL
     """,
 )
 def x1b_explode_children(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,11 +39,11 @@ def parsed_events(t: Tables) -> DataFrame:
         "(DimApp.java:149-185).",
     oracle="""
         SELECT event_id, user_id, event_type,
-               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k
+               CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS VARCHAR) AS k
         FROM events
         WHERE event_type IN ('click', 'view', 'purchase')
           AND json_valid(props)
-          AND json_extract_string(props, '$.k') IS NOT NULL
+          AND CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL
     """,
 )
 def p1_cdc_etl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def p3_bootstrap_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(DwdInteractionCommentInfo.java:25-33).",
     oracle="""
         SELECT event_id,
-               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k_int,
                user_id
         FROM events
     """,
@@ -133,10 +133,10 @@ def p4_map_access_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conditions on the parsed map.",
     oracle="""
         SELECT event_id, user_id,
-               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+               TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k_int
         FROM events
         WHERE event_type = 'purchase'
-          AND TRY_CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 60
+          AND TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) BETWEEN 10 AND 60
     """,
 )
 def p5_cdc_state_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,11 +158,11 @@ def p5_cdc_state_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(CASE WHEN event_type = 'signup'
-                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
-                         ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) - 50
+                         THEN TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT)
+                         ELSE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) - 50
                     END AS INT) AS delta
         FROM events
-        WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+        WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) IS NOT NULL
     """,
 )
 def p6_cart_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,10 +281,10 @@ def p11_null_tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Search filter: 3-way conjunction incl. NOT NULL "
         "(DwsTrafficSourceKeywordPageViewWindow.java:42-46).",
     oracle="""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item
+        SELECT event_id, CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS VARCHAR) AS item
         FROM events
         WHERE event_type = 'view'
-          AND json_extract_string(props, '$.k') IS NOT NULL
+          AND CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL
           AND value > 0.5
     """,
 )

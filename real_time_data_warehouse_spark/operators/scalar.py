@@ -67,16 +67,16 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order.",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k,
                concat('{"event_type":"', event_type, '","k":',
-                      json_extract_string(props, '$.k'), '}') AS enriched_json
+                      TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT), '}') AS enriched_json
         FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) IS NOT NULL
     """,
 )
 def f_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         t.events.where(k.isNotNull())
         .select(

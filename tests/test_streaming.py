@@ -415,22 +415,28 @@ def test_progress_monitor_listener(spark, tmp_path, events_dir):
         q = run_dws_agg_stream(
             spark, events_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
         )
+        qid = str(q.id)
         q.awaitTermination(120)
         # listener delivery is async; give it a beat
         import time
 
-        for _ in range(20):
+        # wait for both DATA batches (an empty flush batch can be logged
+        # before the second data batch under load)
+        data_batches: list[dict] = []
+        for _ in range(60):
             try:
                 with open(log) as f:
                     recs = [json.loads(line) for line in f]
             except FileNotFoundError:
                 recs = []
-            if len(recs) >= 2:
+            # the listener is session-global: keep only THIS query's records
+            recs = [r for r in recs if r["query_id"] == qid]
+            data_batches = [r for r in recs if r["num_input_rows"] > 0]
+            if len(data_batches) >= 2:
                 break
             time.sleep(0.5)
     finally:
         detach(spark, listener)
-    data_batches = [r for r in recs if r["num_input_rows"] > 0]
     assert len(data_batches) == 2  # two source files = two data batches
     assert all(r["watermark"] is not None for r in recs if r["batch_id"] > 0)
     assert any(r["state_rows"] for r in recs)
