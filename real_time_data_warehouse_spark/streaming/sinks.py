@@ -126,3 +126,47 @@ def apply_config_ddl(spark: SparkSession, config: DataFrame, base_dir: str) -> N
 def write_serving_partitioned(df: DataFrame, path: str) -> None:
     """S7: day-partitioned serving table (the Doris par{date} analog)."""
     df.write.mode("overwrite").partitionBy("cur_date").parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_files_per_partition: int = 1,
+) -> dict[str, int]:
+    """The OPTIMIZE analog for plain-parquet tables: streaming appends
+    leave one small file per micro-batch per partition (the Doris sink's
+    buffered stream-load hides the same problem behind its 1 MB buffers);
+    scan cost then scales with file count, not data size. Rewrites the
+    table with ``target_files_per_partition`` files per partition (or
+    total, if unpartitioned) and reports before/after file counts.
+
+    Delta's OPTIMIZE does this transactionally; this is the gated-fallback
+    form: write to a staging dir, then swap — readers between the two
+    renames see the old or new listing, not a mix. Caveat of the swap:
+    DataFrames created over *path* before compaction hold the old file
+    listing and fail after it — re-read after compacting (Delta's
+    transaction log is what removes this caveat in the gated path).
+    """
+    import glob
+    import shutil
+
+    def count_files(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = count_files(path)
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    if partition_col:
+        # hash by the partition column: every key lands in exactly one
+        # task → one file per partition dir, parallel across partitions
+        out = df.repartition(F.col(partition_col))
+        writer = out.write.mode("overwrite").partitionBy(partition_col)
+    else:
+        writer = df.repartition(target_files_per_partition).write.mode("overwrite")
+    writer.parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": count_files(path)}

@@ -61,6 +61,38 @@ def test_province_and_channel_endpoints(spark, tmp_path):
     assert ch[0]["uv_ct"] >= ch[-1]["uv_ct"]
 
 
+def test_compact_table(spark, tmp_path):
+    """OPTIMIZE analog: a fragmented day-partitioned table collapses to
+    one file per partition with identical contents."""
+    from real_time_data_warehouse_spark.streaming.sinks import compact_table
+    from real_time_data_warehouse_spark.tables import Tables
+
+    path = str(tmp_path / "frag")
+    daily = (
+        Tables(spark, SF_DIR)
+        .orders.limit(300)
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("cur_date"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    # simulate 5 micro-batch appends → many small files per partition
+    for _ in range(5):
+        daily.write.mode("append").partitionBy("cur_date").parquet(path)
+    before = spark.read.parquet(path).count()
+
+    stats = compact_table(spark, path, partition_col="cur_date")
+    assert stats["files_after"] < stats["files_before"]
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    # one file per partition dir
+    import glob as g
+
+    for pdir in g.glob(f"{path}/cur_date=*"):
+        assert len(g.glob(f"{pdir}/*.parquet")) == 1, pdir
+
+
 def test_dynamic_routing_stream(spark, tmp_path):
     import os
 
