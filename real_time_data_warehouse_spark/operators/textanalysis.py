@@ -92,14 +92,17 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_chars_m, n_tokens,
-               CAST(ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4)
+               -- floor(x*1e4 + 0.5)/1e4: engine-independent rounding (plain
+               -- ROUND diverges at repr boundaries — Spark rounds the
+               -- decimal repr, DuckDB the binary value)
+               CAST(floor(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) * 10000 + 0.5) / 10000
                     AS DOUBLE) AS stopword_ratio,
-               CAST(ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0), 4)
+               CAST(floor(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0) * 10000 + 0.5) / 10000
                     AS DOUBLE) AS alpha_ratio,
-               CAST(ROUND(
+               CAST(floor((
                    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
                  + 0.3 * (CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0))
-                 + 0.3 * (CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0)), 4)
+                 + 0.3 * (CAST(n_alpha AS DOUBLE) / NULLIF(n_chars_m, 0))) * 10000 + 0.5) / 10000
                     AS DOUBLE) AS quality_score
         FROM m
     """.format(t=tokenize_sql("text"), sw=str(_STOPWORDS)),
@@ -118,13 +121,19 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * stop_ratio
         + 0.3 * alpha_ratio
     )
+    def r4(c):
+        # engine-independent round-to-4: floor on the binary double, which
+        # Spark and DuckDB evaluate identically (F.round goes through the
+        # decimal string repr and can differ at boundaries)
+        return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
+
     return t.documents.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).cast("double").alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).cast("double").alias("alpha_ratio"),
-        F.round(score, 4).cast("double").alias("quality_score"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(alpha_ratio).alias("alpha_ratio"),
+        r4(score).alias("quality_score"),
     )
 
 

@@ -24,6 +24,7 @@ SMOKE = (
     "d2b_jaccard_capped",       # cap only active at this scale
     "d3_minhash_lsh_pairs",
     "s2_lsh_ann_topk",          # bucket occupancy grows 4×
+    "t2_quality_score",         # hit a ROUND boundary only at this scale
     "t4_fingerprint",
 )
 
