@@ -75,28 +75,25 @@ def run_dim_batch(
     plain batch job): returns the sink tables written."""
     cdc = maxwell_etl_filter(parse_maxwell(raw_values), database)
     routed = dim_rows(route_and_prune(cdc, config))
-    sinks: list[str] = []
-    for row in config.select("sink_table").distinct().collect():
-        table = row["sink_table"]
-        part = routed.where(F.col("sink_table") == table).select(
-            "row_key",
-            "type",
-            "ts",
-            F.map_entries("data").alias("kv"),
-        )
-        flat = part.select(
-            "row_key",
-            "type",
-            "ts",
-            F.map_from_entries("kv").alias("data"),
-        )
-        upsert_dim(
-            spark,
-            flat,
-            os.path.join(base_dir, table),
-            key_cols=["row_key"],
-            order_col="ts",
-            type_col="type",
-        )
-        sinks.append(table)
+    # one parse/join pass shared by every sink table (the foreachBatch
+    # persist pattern — without it each table re-parses the whole batch)
+    routed.persist()
+    try:
+        sinks: list[str] = []
+        for row in config.select("sink_table").distinct().collect():
+            table = row["sink_table"]
+            part = routed.where(F.col("sink_table") == table).select(
+                "row_key", "type", "ts", "data"
+            )
+            upsert_dim(
+                spark,
+                part,
+                os.path.join(base_dir, table),
+                key_cols=["row_key"],
+                order_col="ts",
+                type_col="type",
+            )
+            sinks.append(table)
+    finally:
+        routed.unpersist()
     return sinks

@@ -28,17 +28,20 @@ class ProgressLogListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
-        state = p.stateOperators[0] if p.stateOperators else None
+        ops = p.stateOperators or []
         rec = {
             "query_id": str(p.id),
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
             "processed_rows_per_sec": p.processedRowsPerSecond,
             "watermark": (p.eventTime or {}).get("watermark"),
-            "state_rows": state.numRowsTotal if state else None,
+            # sum across ALL stateful operators (outer joins report two;
+            # the second is usually the growth culprit)
+            "state_rows": sum(o.numRowsTotal for o in ops) if ops else None,
             "state_rows_dropped_by_watermark": (
-                state.numRowsDroppedByWatermark if state else None
+                sum(o.numRowsDroppedByWatermark for o in ops) if ops else None
             ),
+            "n_state_operators": len(ops),
         }
         with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")

@@ -54,7 +54,9 @@ def stream_events(
         .parquet(path)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        # integer division: ts/1000 via double loses ~1 µs on ~1.6% of values
+        # (nanos exceed 2^53) — div keeps the exact microsecond
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -225,7 +227,10 @@ def run_dynamic_routing_stream(
         routed = batch.join(
             F.broadcast(config), batch["event_type"] == config["source_type"]
         ).drop("source_type")
-        routed.write.mode("append").partitionBy("sink_table").parquet(out_dir)
+        # per-epoch overwrite → retried batches replace, never duplicate
+        routed.write.mode("overwrite").partitionBy("sink_table").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     return (
         events.writeStream.foreachBatch(sink_batch)

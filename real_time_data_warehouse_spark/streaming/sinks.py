@@ -49,11 +49,17 @@ def upsert_dim(
     binlog CDC is commit-ordered, so the assumption holds by construction.
     The chunk-associativity property under this contract is pinned by
     tests/test_properties.py::test_upsert_dim_chunked_equals_whole."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    # Tie-break equal order_col values (Maxwell ts is epoch-SECONDS, so an
+    # insert+update in the same second tie) by arrival order within the
+    # batch — CDC batches are commit-ordered, so later-arriving wins.
+    arr = batch.withColumn("__arr", F.monotonically_increasing_id())
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("__arr").desc()
+    )
     latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
+        arr.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__arr")
     )
 
     if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
@@ -63,21 +69,32 @@ def upsert_dim(
         )
         if type_col:
             merge = merge.whenMatchedDelete(f"s.{type_col} = 'delete'")
-        (
-            merge.whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
+            # a delete for an absent key must NOT insert a phantom row
+            # (the parquet fallback filters these; keep the paths identical)
+            (
+                merge.whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll(condition=f"s.{type_col} <> 'delete'")
+                .execute()
+            )
+        else:
+            merge.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         return
 
     # Parquet fallback: read-modify-write with the same net semantics.
     if os.path.exists(path):
         old = spark.read.parquet(path)
-        merged = old.unionByName(latest, allowMissingColumns=True)
+        # new rows outrank old rows on order_col ties (stream order):
+        # tag provenance before the union
+        merged = old.withColumn("__src", F.lit(0)).unionByName(
+            latest.withColumn("__src", F.lit(1)), allowMissingColumns=True
+        )
+        w_merge = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col("__src").desc()
+        )
         merged = (
-            merged.withColumn("__rn", F.row_number().over(w))
+            merged.withColumn("__rn", F.row_number().over(w_merge))
             .where(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
     else:
         merged = latest
@@ -138,8 +155,9 @@ def compact_table(
     leave one small file per micro-batch per partition (the Doris sink's
     buffered stream-load hides the same problem behind its 1 MB buffers);
     scan cost then scales with file count, not data size. Rewrites the
-    table with ``target_files_per_partition`` files per partition (or
-    total, if unpartitioned) and reports before/after file counts.
+    table and reports before/after file counts. With ``partition_col`` the
+    result is always ONE file per partition (hash-by-key repartition);
+    ``target_files_per_partition`` applies only to unpartitioned tables.
 
     Delta's OPTIMIZE does this transactionally; this is the gated-fallback
     form: write to a staging dir, then swap — readers between the two
@@ -154,6 +172,10 @@ def compact_table(
     def count_files(p: str) -> int:
         return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
 
+    # clean debris from a previous interrupted compaction
+    for leftover in (path.rstrip("/") + ".__compact__", path.rstrip("/") + ".__old__"):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     before = count_files(path)
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"

@@ -75,7 +75,10 @@ def _make_returning_user_fn(idle_ttl_ms: int | None):
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts")
             for d in pdf["ts"].dt.strftime("%Y-%m-%d"):
-                if d == last:
+                # skip same-day AND late older-day events: regressing state
+                # to an earlier date would re-emit already-counted dates
+                # with is_uu=1 on the next batch (double-counted UU)
+                if last is not None and d <= last:
                     continue
                 is_back = 0
                 if last is not None:

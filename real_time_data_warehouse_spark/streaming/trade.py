@@ -84,7 +84,9 @@ def run_trade_pipeline(
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(180)
+    if not q1.awaitTermination(180):
+        q1.stop()
+        raise TimeoutError("trade DWD query did not finish in 180 s")
 
     # DWS query (stateful op: windowed agg) in update mode → upsert serving
     dwd_stream = (
@@ -123,7 +125,9 @@ def run_trade_pipeline(
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(180)
+    if not q2.awaitTermination(180):
+        q2.stop()
+        raise TimeoutError("trade DWS query did not finish in 180 s")
     return paths
 
 

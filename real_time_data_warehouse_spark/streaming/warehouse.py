@@ -41,7 +41,10 @@ def run_warehouse(
         batch.persist()
         try:
             for side, df in log_split(batch).items():
-                df.write.mode("append").parquet(os.path.join(dwd_dir, side))
+                # epoch-overwrite: a retried batch replaces partial output
+                df.write.mode("overwrite").parquet(
+                    os.path.join(dwd_dir, side, f"batch_id={batch_id}")
+                )
         finally:
             batch.unpersist()
 
@@ -51,7 +54,9 @@ def run_warehouse(
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(120)
+    if not q1.awaitTermination(120):
+        q1.stop()
+        raise TimeoutError("DWD split query did not finish in 120 s")
 
     # --- DWS: windowed aggregate over the DWD page stream ----------------
     # (each DWD side dir is itself a valid streaming source — the Kafka-
@@ -75,7 +80,9 @@ def run_warehouse(
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    if not q2.awaitTermination(120):
+        q2.stop()
+        raise TimeoutError("DWS aggregate query did not finish in 120 s")
     return paths
 
 

@@ -54,7 +54,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
