@@ -76,43 +76,86 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # string stays fastest.)
 _SHINGLE_N = 3
 
-_SHINGLES_SQL = f"""
-    SELECT doc_id, unnest(shs) AS sh
-    FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, len(toks) - {_SHINGLE_N} + 2),
-                   i -> {poly_hash_sql("array_to_string(toks[i:i+" + str(_SHINGLE_N - 1) + "], ' ')")}
-               )) AS shs
-        FROM (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents) base
-        WHERE len(toks) >= {_SHINGLE_N}
-    ) shingled
-"""
+
+def _shingles_sql(hashed: bool = True) -> str:
+    """DuckDB shingle relation (doc_id, sh). ``hashed`` → portable
+    poly-hash values (needed when hash values surface in results: MinHash
+    signatures, SimHash bits); else the raw shingle string (cheaper, used
+    where only shingle *identity* matters: exact-Jaccard d2/d2b)."""
+    inner = "array_to_string(toks[i:i+" + str(_SHINGLE_N - 1) + "], ' ')"
+    elem = poly_hash_sql(inner) if hashed else inner
+    return f"""
+        SELECT doc_id, unnest(shs) AS sh
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(toks) - {_SHINGLE_N} + 2),
+                       i -> {elem}
+                   )) AS shs
+            FROM (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents) base
+            WHERE len(toks) >= {_SHINGLE_N}
+        ) shingled
+    """
 
 
-def _doc_shingle_sets(t: Tables) -> DataFrame:
-    """doc_id → distinct shingle-hash array (word 3-grams). Kept as an
+_SHINGLES_SQL = _shingles_sql(hashed=True)
+
+
+def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
+    """doc_id → distinct shingle array (word 3-grams). Kept as an
     array so downstream ops choose: map-side array expressions (MinHash —
-    no shuffle at all) or explode (inverted index)."""
-    toks = t.documents.select("doc_id", tokenize("text").alias("toks")).where(
+    no shuffle at all) or explode (inverted index).
+
+    ``hashed=True`` runs every shingle through the portable poly-hash — an
+    interpreted nested-HOF per character, ~100× the cost of the native
+    string ops — so it is reserved for operators whose RESULTS contain hash
+    values (d3 minhash signatures). Identity-only consumers (d2/d2b) use
+    the raw shingle strings and stay fully inside whole-stage codegen."""
+    # Spread the CPU-heavy shingle work across all cores: a compact
+    # single-row-group parquet file otherwise yields ONE input split, and
+    # the whole stage runs on one task. Shuffling the skinny (doc_id, text)
+    # projection is ~free relative to the per-shingle work it parallelizes;
+    # on a many-file cluster layout this is a cheap no-op-equivalent guard.
+    docs = t.documents.select("doc_id", "text").repartition(
+        t.documents.sparkSession.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokenize("text").alias("toks")).where(
         F.size("toks") >= _SHINGLE_N
     )
+
+    def shingle_at(i):
+        s = F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " ")
+        return poly_hash(s) if hashed else s
+
     return toks.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - _SHINGLE_N),
-                lambda i: poly_hash(
-                    F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " ")
-                ),
+                shingle_at,
             )
         ).alias("shs"),
     )
 
 
-def _doc_shingles(t: Tables) -> DataFrame:
-    """doc_id → exploded distinct shingle hashes (word 3-grams)."""
-    return _doc_shingle_sets(t).select("doc_id", F.explode("shs").alias("sh"))
+def _explode_shingles(sets: DataFrame, *extra: F.Column) -> DataFrame:
+    """Explode the shingle array WITHOUT triggering Catalyst's
+    InferFiltersFromGenerate: that rule adds ``size(shs)>0 AND
+    isnotnull(shs)`` below the Generate, and predicate pushdown then
+    inlines the whole shingle-transform expression into the parquet scan
+    filter — below the parallelizing repartition, evaluated twice on one
+    input split (measured 7× the cost of the shingling itself at sf0.1).
+    ``explode_outer`` infers no filters; the post-Generate ``isNotNull``
+    drops the null row an empty array would emit (none exist here — the
+    token-count guard ensures ≥1 shingle) and is NOT pushed through the
+    Generate because it references the generated column."""
+    cols = ["doc_id", *extra, F.explode_outer("shs").alias("sh")]
+    return sets.select(*cols).where(F.col("sh").isNotNull())
+
+
+def _doc_shingles(t: Tables, hashed: bool = True) -> DataFrame:
+    """doc_id → exploded distinct shingles (word 3-grams)."""
+    return _explode_shingles(_doc_shingle_sets(t, hashed=hashed))
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -320,11 +363,14 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d2_ngram_jaccard_pairs",
     survey="ext-dedup",
     doc="Near-dup pairs by exact Jaccard over word-3-gram shingle sets: "
-        "inverted index on shingle hash → co-occurrence counts → "
-        "|A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6. Join key is the shingle, so the "
-        "pair space is bounded by shingle frequency, not |docs|².",
+        "inverted index on shingle hash (one groupBy, no self-join) → "
+        "per-bucket pair generation → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6. Pair "
+        "space is bounded by shingle frequency, not |docs|². Deliberately "
+        "EXACT: a shingle shared by f docs makes an f-element bucket and "
+        "f(f-1)/2 pairs — unbounded on a skewed corpus; d2b (freq-capped) "
+        "is the 100 TB form.",
     oracle=f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh AS ({_shingles_sql(hashed=False)}),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -342,24 +388,39 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # Carry the set size alongside every exploded shingle row: the pair
-    # aggregation then has |A| and |B| in its own group key — no separate
-    # sizes aggregation and no post-join with it (2 fewer joins, 1 fewer
-    # shuffle than the naive inverted-index formulation).
-    sh = _doc_shingle_sets(t).select(
-        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    # Bucket formulation of the inverted index: ONE shuffle of the shingle
+    # table (groupBy sh → sorted doc list), then candidate pairs generated
+    # map-side by double-explode within each bucket. The previous self-join
+    # form shuffled/broadcast a second full copy of the shingles and
+    # re-computed the (expensive) shingling for each side; this computes it
+    # once and never broadcasts unbounded data. Set sizes ride along in the
+    # bucket structs, so no separate sizes aggregation or post-join.
+    sh = _explode_shingles(
+        _doc_shingle_sets(t, hashed=False), F.size("shs").alias("n")
     )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "sh"
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .where(F.size("ds") >= 2)
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "sh"
+    # (i, a) × every later element of the sorted list → each unordered pair
+    # exactly once per shared shingle, with doc_a < doc_b by construction
+    cand = buckets.select(
+        F.posexplode("ds").alias("i", "a"), "ds"
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n").alias("na"),
+        F.explode(F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))).alias("b"),
+    ).select(
+        "doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb")
     )
-    pairs = (
-        a.join(b, ["sh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+    # exact size-ratio prune: J ≥ 0.6 ⟹ min(na,nb)/max(na,nb) ≥ 3/5 —
+    # integer-exact necessary condition, cuts pair-count shuffle volume
+    cand = cand.where(
+        F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 3
+    )
+    pairs = cand.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count("*").alias("inter")
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
@@ -389,7 +450,7 @@ _FREQ_CAP = 50
         "counts are then rescaled against capped set sizes. Same shape as "
         "d2 otherwise.",
     oracle=f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh AS ({_shingles_sql(hashed=False)}),
         kept AS (
             SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_FREQ_CAP}
         ),
@@ -411,23 +472,28 @@ _FREQ_CAP = 50
 )
 def d2b_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    sh = _doc_shingles(t)
-    kept = (
+    # One groupBy(sh) produces the bucket AND applies the cap: a bucket
+    # with more than _FREQ_CAP docs is the over-frequent shingle, dropped
+    # whole. Bucket arrays are therefore ≤ _FREQ_CAP structs — bounded
+    # memory per row, the invariant that makes this the 100 TB form. The
+    # capped per-doc set sizes depend on which shingles survive, so they
+    # are re-counted from the kept buckets and broadcast back (small: one
+    # row per doc).
+    sh = _doc_shingles(t, hashed=False)
+    buckets = (
         sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= _FREQ_CAP)
-        .select("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= _FREQ_CAP)
     )
-    fsh = sh.join(kept, "sh")
-    sizes = fsh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = fsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = fsh.select(F.col("doc_id").alias("doc_b"), "sh")
-    pairs = (
-        a.join(b, ["sh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    kept_docs = buckets.select(F.explode("ds").alias("doc_id"))
+    sizes = kept_docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = buckets.where(F.size("ds") >= 2).select(
+        F.posexplode("ds").alias("i", "doc_a"), "ds"
+    ).select(
+        "doc_a",
+        F.explode(F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))).alias("doc_b"),
     )
+    pairs = cand.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (

@@ -27,7 +27,7 @@ from real_time_data_warehouse_spark.tables import Tables
     oracle="""
         SELECT event_id,
                CASE WHEN value >= 0.5 THEN 'hi' ELSE 'lo' END AS value_band,
-               CAST(value AS DECIMAL(16,2)) AS value_dec,
+               CAST(CAST(value AS DECIMAL(16,2)) AS DOUBLE) AS value_dec,
                CAST(user_id AS VARCHAR) AS user_id_str,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt_str,
                strftime(ts, '%Y-%m-%d') AS date_str,
@@ -45,7 +45,10 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.select(
         "event_id",
         F.when(F.col("value") >= 0.5, "hi").otherwise("lo").alias("value_band"),
-        F.col("value").cast("decimal(16,2)").alias("value_dec"),
+        # surfaced as DOUBLE after the exact DECIMAL(16,2) rounding so both
+        # engines expose the identical float64 bits (functions/money.py
+        # discipline; Decimal('31.40') vs 31.4 diverges under exact hashing)
+        F.col("value").cast("decimal(16,2)").cast("double").alias("value_dec"),
         F.col("user_id").cast("string").alias("user_id_str"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt_str"),
         F.date_format("ts", "yyyy-MM-dd").alias("date_str"),

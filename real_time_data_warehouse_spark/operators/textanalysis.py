@@ -249,14 +249,31 @@ def _doc_trigrams(col):
 )
 def t1b_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    tgs = _doc_trigrams("text")
+    # Materialize the trigram array ONCE behind an exchange: the scoring
+    # projection references it 3× (and the argmax CASE references each
+    # score again), and project-collapse would otherwise inline the
+    # interpreted trigram transform into every use. The repartition also
+    # parallelizes the per-char work past a single-row-group input split.
+    sc = t.documents.sparkSession.sparkContext
+    tg = (
+        t.documents.select("doc_id", "lang", "text")
+        .repartition(sc.defaultParallelism)
+        .select("doc_id", "lang", _doc_trigrams("text").alias("tgs"))
+    )
 
     def hits(lang: str):
         profile = F.array(*[F.lit(x) for x in _TRIGRAM_PROFILES[lang]])
-        return F.size(F.array_intersect(tgs, profile))
+        return F.size(F.array_intersect("tgs", profile))
 
-    en, de, es = hits("en"), hits("de"), hits("es")
-    return t.documents.select(
+    scored = tg.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("en"),
+        hits("de").alias("de"),
+        hits("es").alias("es"),
+    )
+    en, de, es = F.col("en"), F.col("de"), F.col("es")
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.when((en >= de) & (en >= es), "en")

@@ -172,10 +172,17 @@ def compact_table(
     def count_files(p: str) -> int:
         return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
 
-    # clean debris from a previous interrupted compaction
-    for leftover in (path.rstrip("/") + ".__compact__", path.rstrip("/") + ".__old__"):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    # Crash recovery from a previous interrupted compaction. If the crash
+    # hit between the two renames below, *path* is absent and ``.__old__``
+    # holds the only copy of the data — restore it, never delete it.
+    staging_leftover = path.rstrip("/") + ".__compact__"
+    old_leftover = path.rstrip("/") + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old_leftover):
+        os.rename(old_leftover, path)
+    if os.path.exists(staging_leftover):
+        shutil.rmtree(staging_leftover)
+    if os.path.exists(path) and os.path.exists(old_leftover):
+        shutil.rmtree(old_leftover)
     before = count_files(path)
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"

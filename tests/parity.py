@@ -31,7 +31,11 @@ def _norm_cell(v):
         # decimals/ints, so repr is stable; tiny residue guarded by 12 sf.
         return f"{v:.12g}"
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
+        # STRICT: keep the scale (Decimal('31.40') != 31.4 under the
+        # driver's exact hasher). Queries must not surface DecimalType —
+        # cast to DOUBLE at exact scale (functions/money.py) — so any
+        # Decimal reaching here should fail against a float oracle cell.
+        return str(v)
     if isinstance(v, pd.Timestamp | datetime):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, date):

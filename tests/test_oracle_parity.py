@@ -14,6 +14,20 @@ ALL = sorted(QUERY_REGISTRY)
 
 
 @pytest.mark.parametrize("name", ALL)
+def test_no_decimal_in_output_schema(spark, name):
+    """Repo-wide decimal discipline: computed decimals are cast to DOUBLE at
+    exact scale (functions/money.py) before surfacing. A DecimalType output
+    hashes differently across engines (Decimal('31.40') vs 31.4) under the
+    driver's exact comparator even when values are equal."""
+    from pyspark.sql.types import DecimalType
+
+    q = QUERY_REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"{name}: DecimalType output columns {bad} — cast to DOUBLE"
+
+
+@pytest.mark.parametrize("name", ALL)
 def test_query_parity(spark, duck, name):
     q = QUERY_REGISTRY[name]
     df = q.fn(spark, SF_DIR)

@@ -93,6 +93,33 @@ def test_compact_table(spark, tmp_path):
         assert len(g.glob(f"{pdir}/*.parquet")) == 1, pdir
 
 
+def test_compact_table_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash between rename(path, old) and rename(staging, path) leaves
+    '.__old__' as the ONLY copy. The next invocation must restore it, not
+    delete it."""
+    import os
+
+    from real_time_data_warehouse_spark.streaming.sinks import compact_table
+    from real_time_data_warehouse_spark.tables import Tables
+
+    path = str(tmp_path / "tbl")
+    daily = Tables(spark, SF_DIR).events.limit(100).select("event_id", "user_id")
+    for _ in range(3):
+        daily.write.mode("append").parquet(path)
+    expected = spark.read.parquet(path).count()
+
+    # simulate the mid-swap crash state: path gone, .__old__ holds the data,
+    # stale staging debris present
+    os.rename(path, path + ".__old__")
+    daily.limit(1).write.mode("overwrite").parquet(path + ".__compact__")
+
+    stats = compact_table(spark, path)
+    assert spark.read.parquet(path).count() == expected
+    assert stats["files_after"] <= stats["files_before"]
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+
 def test_dynamic_routing_stream(spark, tmp_path):
     import os
 

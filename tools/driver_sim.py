@@ -40,16 +40,19 @@ def main() -> int:
     fails: list[str] = []
     t0 = time.time()
     for name, fn in sorted(qmap.items()):
+        tq = time.time()
         df = fn(spark, sf_dir)
         if name not in omap:
-            print(f"  {name}: rows-only, {df.count()} rows")
+            n = df.count()
+            print(f"  {name}: rows-only, {n} rows  [{time.time() - tq:5.1f}s]")
             continue
         ok, msg = compare(df, con, omap[name])
+        dt = time.time() - tq
         if ok:
-            print(f"  ok {name}")
+            print(f"  ok {name}  [{dt:5.1f}s]")
         else:
             fails.append(name)
-            print(f"  FAIL {name}: {msg[:300]}")
+            print(f"  FAIL {name} [{dt:5.1f}s]: {msg[:300]}")
     print(
         f"TOTAL {len(qmap)} queries, {len(fails)} fails, {time.time() - t0:.1f}s"
     )
