@@ -95,18 +95,41 @@ def a2_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2b_approx_distinct",
     survey="A2",
     doc="100 TB-scale variant of A2: HyperLogLog approx_count_distinct "
-        "(rsd 1%). Sketch-based — driver gets a rows-only check; the pytest "
-        "suite asserts ±5% of exact.",
-    oracle=None,
+        "(rsd 1%). The sketch value itself is engine-specific, so the "
+        "driver-checked contract is a BOUNDS oracle: the exact per-key "
+        "count (computed in the same aggregate) plus within_bounds = "
+        "|approx−exact|/exact ≤ 0.05, which the oracle asserts as literal "
+        "TRUE — HLL drift beyond 5% flips the row red instead of getting "
+        "a free rows-only pass.",
+    oracle="""
+        SELECT n.n_name AS province_name,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS order_user_ct_exact,
+               TRUE AS within_bounds
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
 )
 def a2b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return (
+    agg = (
         t.orders
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("province_name"))
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("order_user_ct_approx"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("order_user_ct_exact"),
+        )
+    )
+    err = F.abs(F.col("approx") - F.col("order_user_ct_exact")) / F.col(
+        "order_user_ct_exact"
+    )
+    return agg.select(
+        "province_name",
+        "order_user_ct_exact",
+        (err <= 0.05).alias("within_bounds"),
     )
 
 

@@ -16,6 +16,8 @@ share a bucket key → shuffle on bucket, never the cross product).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,43 +28,60 @@ _N_QUERIES = 10
 _TOP_K = 5
 
 # Random-hyperplane LSH: fixed deterministic planes (seed=7) shared by the
-# Spark plan and the oracle SQL as literals.
+# Spark plan and the oracle SQL as literals. The plane stream is a single
+# rng draw sequence, so the first _LSH_PLANES planes of the multi-band
+# variant are identical to the single-table ones — parameterizing the
+# count never silently re-randomizes existing queries.
 _LSH_PLANES = 6
 _EMB_DIM = 64
 
+# Banded multi-table parameters (s2b): _LSH_BANDS tables of
+# _LSH_BAND_PLANES sign bits each. Collision in ANY band makes a
+# candidate — the OR-construction that restores recall at a fixed
+# per-band bucket-size bound (see SCALE.md for the sizing math).
+_LSH_BANDS = 8
+_LSH_BAND_PLANES = 4
 
-def _hyperplanes() -> list[list[float]]:
-    import numpy as np
 
+def _hyperplanes(n_planes: int = _LSH_PLANES) -> list[list[float]]:
     rng = np.random.default_rng(7)
     return [
         [round(float(x), 6) for x in rng.standard_normal(_EMB_DIM)]
-        for _ in range(_LSH_PLANES)
+        for _ in range(n_planes)
     ]
 
 
-def _bucket_col() -> Column:
-    """Hyperplane-LSH bucket id as a Column over `v` (array<double>) —
-    shared by s2 and d5 so both queries bucket identically."""
-    planes = _hyperplanes()
+def _sign_bits_col(planes: list[list[float]], lo: int, hi: int) -> Column:
+    """Bucket id from the sign bits of planes[lo:hi] over `v`."""
     return sum(
         F.when(
             dot(F.col("v"), F.array(*[F.lit(x) for x in planes[j]])) > 0,
-            F.lit(1 << j),
+            F.lit(1 << (j - lo)),
         ).otherwise(0)
-        for j in range(_LSH_PLANES)
+        for j in range(lo, hi)
     ).cast("int")
 
 
-def _bucket_sql() -> str:
-    """DuckDB twin of _bucket_col over `v` — same plane literals."""
-    planes = _hyperplanes()
-    plane_lits = ["[" + ", ".join(f"{x}" for x in p) + "]::DOUBLE[]" for p in planes]
+def _sign_bits_sql(planes: list[list[float]], lo: int, hi: int) -> str:
+    """DuckDB twin of _sign_bits_col — same plane literals."""
     return " + ".join(
-        f"(CASE WHEN list_inner_product(v, {plane_lits[j]}) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_LSH_PLANES)
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(f"{x}" for x in planes[j])
+        + "]::DOUBLE[]) > 0 THEN "
+        + str(1 << (j - lo))
+        + " ELSE 0 END)"
+        for j in range(lo, hi)
     )
+
+
+def _bucket_col() -> Column:
+    """Single-table hyperplane bucket id — shared by s2 and d5 so both
+    queries bucket identically."""
+    return _sign_bits_col(_hyperplanes(), 0, _LSH_PLANES)
+
+
+def _bucket_sql() -> str:
+    return _sign_bits_sql(_hyperplanes(), 0, _LSH_PLANES)
 
 
 def _as_double(col: str) -> Column:
@@ -226,6 +245,130 @@ import dataclasses as _dc  # noqa: E402
 _QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle())
 
 
+def _s2b_oracle() -> str:
+    planes = _hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES)
+    branches = " ".join(
+        f"WHEN {l} THEN "
+        + _sign_bits_sql(
+            planes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
+        )
+        for l in range(_LSH_BANDS)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        bands AS (
+            SELECT vec_id, v, b.band,
+                   CASE b.band {branches} END AS bucket
+            FROM e, (SELECT unnest(range({_LSH_BANDS})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+            FROM bands q JOIN bands n
+              ON q.band = n.band AND q.bucket = n.bucket
+             AND q.vec_id <> n.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_inner_product(q.v, n.v) /
+                       (sqrt(list_inner_product(q.v, q.v)) *
+                        sqrt(list_inner_product(n.v, n.v))) AS sim
+            FROM cand c
+            JOIN e q ON c.query_id = q.vec_id
+            JOIN e n ON c.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_TOP_K}
+    """
+
+
+@register(
+    "s2b_lsh_multiband_topk",
+    survey="ext-similarity",
+    doc=f"ANN top-{_TOP_K} via BANDED hyperplane LSH: {_LSH_BANDS} tables "
+        f"× {_LSH_BAND_PLANES} sign bits; a pair is a candidate when it "
+        "collides in ANY band (the OR-construction). Per-band buckets stay "
+        "small and bounded — the shuffle key is (band, bucket) — while "
+        "recall recovers from the single-table cliff (see COVERAGE.md "
+        "numbers and SCALE.md sizing math). Same output contract as s1/s2.",
+    oracle=None,  # attached below
+)
+def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    planes = _hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES)
+    emb = (
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        # parallelize the 32 interpreted plane dots past a single-row-group
+        # input split (same guard as the dedup shingling)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("band"),
+                _sign_bits_col(
+                    planes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
+                ).alias("bucket"),
+            )
+            for l in range(_LSH_BANDS)
+        ]
+    )
+    # explode_outer: InferFiltersFromGenerate would push the 32-dot band
+    # expression into the scan filter (the dedup.py lesson); the array is
+    # always non-empty so the outer form is equivalent
+    sig = emb.select(
+        "vec_id", F.explode_outer(band_arr).alias("bb")
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).where(F.col("bucket").isNotNull())
+    q = sig.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    n = sig.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket")
+    cand = (
+        q.join(n, ["band", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
+_QR["s2b_lsh_multiband_topk"] = _dc.replace(
+    _QR["s2b_lsh_multiband_topk"], oracle=_s2b_oracle()
+)
+
+
 def _d5_oracle() -> str:
     bucket_expr = _bucket_sql()
     return f"""
@@ -281,40 +424,76 @@ _QR["d5_embedding_neardup"] = _dc.replace(
 
 
 # --- IVF (inverted-file) ANN -----------------------------------------------
-# Deterministic coarse quantizer: the first _IVF_CELLS vectors (vec_id <
-# _IVF_CELLS) act as centroids — portable to the oracle without k-means.
+# Trained coarse quantizer: seeded Lloyd's k-means, deterministic init from
+# vec_id order (first _IVF_CELLS vectors), a FIXED number of iterations,
+# unrolled identically in the Spark plan and the oracle SQL. Centroid means
+# are computed as exact bigint sums of 2^20-quantized elements divided once
+# in double — bit-identical across engines (float avg would diverge by
+# reduction order; the decimal-cast trick risks HALF_UP/HALF_EVEN ties).
 _IVF_CELLS = 16
 _IVF_PROBES = 2
+_IVF_ITERS = 5
+_IVF_QUANT = 1 << 20  # element quantization for the exact centroid mean
 
 
 def _ivf_oracle() -> str:
-    return f"""
-        WITH e AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
-        cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
-        assign AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT x.vec_id, x.v, c.cell,
+    # quantized-cosine of the EXACT integer quantizer: every
+    # list_inner_product input is integer-valued (products ≤ 2^42, sums ≤
+    # 2^48 — exactly representable in float64), so the native DuckDB
+    # reduction matches the Spark-side numpy matmul bit-for-bit whatever
+    # either one's summation order is
+    csim = (
+        "list_inner_product(x.vq, c.cv) / "
+        "(sqrt(list_inner_product(x.vq, x.vq)) * "
+        "sqrt(list_inner_product(c.cv, c.cv)))"
+    )
+    mean_terms = ", ".join(
+        f"floor(SUM(vq[{j + 1}]) / COUNT(*))" for j in range(_EMB_DIM)
+    )
+    iters = []
+    for i in range(_IVF_ITERS):
+        iters.append(f"""
+        asgn{i} AS (
+            SELECT vec_id, vq, cell FROM (
+                SELECT x.vec_id, x.vq, c.cell,
                        ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                           ORDER BY list_inner_product(x.v, c.cv) /
-                                    (sqrt(list_inner_product(x.v, x.v)) *
-                                     sqrt(list_inner_product(c.cv, c.cv))) DESC,
-                                    c.cell) AS rn
-                FROM e x, cents c)
+                           ORDER BY {csim} DESC, c.cell) AS rn
+                FROM e x, cents{i} c)
             WHERE rn = 1
         ),
+        cents{i + 1} AS (
+            SELECT cell, [{mean_terms}] AS cv
+            FROM asgn{i} GROUP BY cell
+        )""")
+    trained = f"cents{_IVF_ITERS}"
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * {_IVF_QUANT} + 0.5)) AS vq
+                   FROM embeddings),
+        cents0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+        {",".join(iters)},
+        assign AS (
+            SELECT e2.vec_id, e2.v, a.cell
+            FROM (SELECT vec_id, cell FROM (
+                      SELECT x.vec_id, c.cell,
+                             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                 ORDER BY {csim} DESC, c.cell) AS rn
+                      FROM e x, {trained} c)
+                  WHERE rn = 1) a
+            JOIN e e2 ON e2.vec_id = a.vec_id
+        ),
         probes AS (
-            SELECT vec_id AS query_id, v AS qv, cell FROM (
-                SELECT x.vec_id, x.v, c.cell,
-                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                           ORDER BY list_inner_product(x.v, c.cv) /
-                                    (sqrt(list_inner_product(x.v, x.v)) *
-                                     sqrt(list_inner_product(c.cv, c.cv))) DESC,
-                                    c.cell) AS rn
-                FROM e x, cents c
-                WHERE x.vec_id < {_N_QUERIES})
-            WHERE rn <= {_IVF_PROBES}
+            SELECT e2.vec_id AS query_id, e2.v AS qv, a.cell
+            FROM (SELECT vec_id, cell FROM (
+                      SELECT x.vec_id, c.cell,
+                             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                 ORDER BY {csim} DESC, c.cell) AS rn
+                      FROM e x, {trained} c
+                      WHERE x.vec_id < {_N_QUERIES})
+                  WHERE rn <= {_IVF_PROBES}) a
+            JOIN e e2 ON e2.vec_id = a.vec_id
         )
         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
                CAST(ROUND(sim, 6) AS DOUBLE) AS sim
@@ -334,14 +513,113 @@ def _ivf_oracle() -> str:
     """
 
 
+# The IVF quantizer runs in EXACT integer arithmetic: vectors are
+# quantized to integer-valued doubles (floor(x·2^20 + 0.5)) and centroid
+# components are integers (floored means of quantized elements). Every dot
+# product then involves only integers whose products (≤2^42) and partial
+# sums (≤2^48) are exactly representable in float64 — the result is
+# identical under ANY summation order. That frees each side to use its
+# fastest implementation: numpy matmul in an Arrow-batched pandas UDF on
+# Spark, native list_inner_product in DuckDB — with zero cross-engine
+# drift (the usual reduction-order hazard vanishes; sqrt and the final
+# division are single deterministic IEEE ops on identical inputs). The
+# SEARCH-phase cosine keeps the sequential zip_with fold ↔
+# list_inner_product pairing used by s1/s2/d5.
+
+
+def _topcells_udf(cents: list[tuple[int, list[float]]], k: int):
+    """Vectorized pandas UDF: v (array<double>) → the k nearest centroid
+    cells by quantized cosine, ties broken by ascending cell id (matching
+    the oracle's ORDER BY csim DESC, cell — exact csims make tie behavior
+    identical)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cells = np.array([c for c, _ in cents], dtype=np.int64)  # ascending
+    C = np.array([cv for _, cv in cents], dtype=np.float64)  # integer-valued
+    nc = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("array<long>")
+    def top(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        VQ = np.floor(V * _IVF_QUANT + 0.5)
+        D = VQ @ C.T  # exact: integer-valued doubles, |sums| < 2^53
+        nv = np.sqrt((VQ * VQ).sum(axis=1))
+        csim = D / (nv[:, None] * nc[None, :])
+        idx = np.argsort(-csim, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(cells[idx]))
+
+    return top
+
+
+def _train_ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Seeded Lloyd's k-means → [(cell, centroid)]: deterministic init
+    (vec_id < _IVF_CELLS), _IVF_ITERS fixed rounds of assign → exact
+    quantized mean. Assignment is a literal-coefficient projection (pure
+    codegen arithmetic, no join/window); per-round state returning to the
+    driver is 16×(1+_EMB_DIM) numbers — the offline-quantizer pattern. At
+    100 TB the identical loop runs on a deterministic sample; the
+    quantizer needs representative centroids, not a full pass.
+
+    Cross-engine exactness: element sums are bigint (associative, any
+    partitioning), the mean's single double division and the driver-side
+    norms replay the oracle's IEEE op sequence exactly."""
+    import math
+
+    init = (
+        emb.where(F.col("vec_id") < _IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), "v")
+        .collect()
+    )
+    cents = sorted(
+        (
+            int(r["cell"]),
+            [float(math.floor(x * _IVF_QUANT + 0.5)) for x in r["v"]],
+        )
+        for r in init
+    )
+    qcol = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    for _ in range(_IVF_ITERS):
+        best = _topcells_udf(cents, 1)
+        asgn = emb.select(
+            best(F.col("v"))[0].alias("cell"),
+            F.posexplode(qcol).alias("pos", "q"),
+        )
+        # exact bigint-valued sums: associative, so Spark may combine in
+        # any partition order; the floored mean is the new integer centroid
+        rows = (
+            asgn.groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                float(r["s"]),
+                int(r["cnt"]),
+            )
+        cents = sorted(
+            (
+                cell,
+                [
+                    float(math.floor(d[j][0] / d[j][1]))
+                    for j in range(_EMB_DIM)
+                ],
+            )
+            for cell, d in by_cell.items()
+        )
+    return cents
+
+
 @register(
     "s3_ivf_ann_topk",
     survey="ext-similarity",
-    doc=f"IVF ANN top-{_TOP_K}: {_IVF_CELLS}-cell inverted file "
-        f"(deterministic centroids), queries probe the {_IVF_PROBES} "
-        "nearest cells. The centroid assignment is a broadcast nested "
-        "cross over 16 rows (map-side); search shuffles only on the cell "
-        "key — the IVF counterpart of the s2 hyperplane path.",
+    doc=f"IVF ANN top-{_TOP_K}: {_IVF_CELLS}-cell inverted file with a "
+        f"TRAINED coarse quantizer (seeded Lloyd's k-means, {_IVF_ITERS} "
+        f"fixed rounds, deterministic init from vec_id order), queries "
+        f"probe the {_IVF_PROBES} nearest cells. Training and assignment "
+        "are broadcast nested loops over 16 rows (map-side); search "
+        "shuffles only on the cell key — the IVF counterpart of the s2 "
+        "hyperplane path.",
     oracle=None,  # attached below
 )
 def s3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,24 +627,14 @@ def s3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    cents = emb.where(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    scored_cells = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "cell",
-            cosine(F.col("v"), F.col("cv")).alias("csim"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell")
-    )
-    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.where(F.col("rn") == 1).select("vec_id", "v", "cell")
-    probes = (
-        ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    cents = _train_ivf_centroids(emb)
+    top2 = _topcells_udf(cents, _IVF_PROBES)
+    cellcol = emb.withColumn("cells", top2(F.col("v")))
+    assign = cellcol.select("vec_id", "v", F.col("cells")[0].alias("cell"))
+    probes = cellcol.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"),
     )
     cand = probes.join(
         assign.select(

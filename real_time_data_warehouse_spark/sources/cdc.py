@@ -33,6 +33,7 @@ MAXWELL_SCHEMA = StructType(
         StructField("table", StringType()),
         StructField("type", StringType()),
         StructField("ts", LongType()),  # epoch SECONDS (BaseSQLApp.java:60)
+        StructField("xoffset", LongType()),  # row order within the binlog tx
         StructField("data", _STR_MAP),
         StructField("old", _STR_MAP),
     ]
@@ -52,10 +53,27 @@ def parse_maxwell(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Raw JSON strings → typed Maxwell envelope + event time + watermark
     (BaseSQLApp.java:63-65: et = to_timestamp_ltz(ts, 0), watermark 3 s).
     Works on batch and streaming DataFrames alike; the watermark is a no-op
-    in batch."""
+    in batch.
+
+    Also surfaces ``__seq``, a true commit-order tie-break for same-second
+    CDC records (Maxwell ts is epoch-SECONDS, so insert+update in one
+    second tie on ts): the Kafka partition offset when the source carries
+    one (Kafka keys CDC by primary key, so per-key offsets are
+    commit-ordered), else the Maxwell ``xoffset`` (row order within the
+    binlog transaction), else 0."""
+    keep = [F.col("offset").alias("__kafka_offset")] if "offset" in df.columns else []
     parsed = df.select(
-        F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA).alias("r")
-    ).select("r.*")
+        F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA).alias("r"),
+        *keep,
+    ).select("r.*", *(["__kafka_offset"] if keep else []))
+    seq = (
+        F.coalesce("__kafka_offset", "xoffset", F.lit(0))
+        if keep
+        else F.coalesce("xoffset", F.lit(0))
+    )
+    parsed = parsed.withColumn("__seq", seq.cast("long"))
+    if keep:
+        parsed = parsed.drop("__kafka_offset")
     with_et = parsed.withColumn("et", F.timestamp_seconds("ts"))
     return with_et.withWatermark("et", "3 seconds") if with_et.isStreaming else with_et
 

@@ -47,20 +47,23 @@ def route_and_prune(cdc: DataFrame, config: DataFrame) -> DataFrame:
     pruned = routed.withColumn(
         "data", F.map_filter(F.col("data"), lambda k, v: F.array_contains(keep, k))
     )
+    seq = ["__seq"] if "__seq" in pruned.columns else []
     return pruned.select(
-        "sink_table", "sink_row_key", "type", "ts", "et", "data"
+        "sink_table", "sink_row_key", "type", "ts", "et", "data", *seq
     )
 
 
 def dim_rows(routed: DataFrame) -> DataFrame:
     """Flatten the pruned map into dim-table columns (string-typed wide
     row, the HBase column-family shape — HBaseUtil.putRow analog)."""
+    seq = ["__seq"] if "__seq" in routed.columns else []
     return routed.select(
         "sink_table",
         F.element_at("data", F.col("sink_row_key")).alias("row_key"),
         "type",
         "ts",
         "data",
+        *seq,
     )
 
 
@@ -82,8 +85,9 @@ def run_dim_batch(
         sinks: list[str] = []
         for row in config.select("sink_table").distinct().collect():
             table = row["sink_table"]
+            seq = ["__seq"] if "__seq" in routed.columns else []
             part = routed.where(F.col("sink_table") == table).select(
-                "row_key", "type", "ts", "data"
+                "row_key", "type", "ts", "data", *seq
             )
             upsert_dim(
                 spark,
@@ -92,6 +96,7 @@ def run_dim_batch(
                 key_cols=["row_key"],
                 order_col="ts",
                 type_col="type",
+                seq_col="__seq",
             )
             sinks.append(table)
     finally:

@@ -35,6 +35,7 @@ def upsert_dim(
     key_cols: list[str],
     order_col: str = "ts",
     type_col: str | None = "type",
+    seq_col: str | None = None,
 ) -> None:
     """S8: apply a CDC micro-batch to a dim table — upsert rows, delete
     where the CDC type says so (``type=='delete'``).
@@ -50,17 +51,26 @@ def upsert_dim(
     The chunk-associativity property under this contract is pinned by
     tests/test_properties.py::test_upsert_dim_chunked_equals_whole."""
     # Tie-break equal order_col values (Maxwell ts is epoch-SECONDS, so an
-    # insert+update in the same second tie) by arrival order within the
-    # batch — CDC batches are commit-ordered, so later-arriving wins.
-    arr = batch.withColumn("__arr", F.monotonically_increasing_id())
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(order_col).desc(), F.col("__arr").desc()
-    )
+    # insert+update in the same second tie). Prefer ``seq_col`` — a true
+    # commit-order column (Kafka offset / Maxwell xoffset, surfaced as
+    # ``__seq`` by parse_maxwell). The monotonically_increasing_id fallback
+    # orders by partition index before row order, so when one key's records
+    # span partitions of a micro-batch it can pick the older record —
+    # correct only for single-partition (or per-key-partitioned) batches.
+    if seq_col is not None and seq_col in batch.columns:
+        arr, tie = batch, F.col(seq_col)
+    else:
+        arr = batch.withColumn("__arr", F.monotonically_increasing_id())
+        tie = F.col("__arr")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), tie.desc())
     latest = (
         arr.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__arr")
     )
+    if seq_col is not None and seq_col in latest.columns:
+        # intra-batch tie-break only; keep the dim table schema clean
+        latest = latest.drop(seq_col)
 
     if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
         cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)

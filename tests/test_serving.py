@@ -120,6 +120,31 @@ def test_compact_table_recovers_from_mid_swap_crash(spark, tmp_path):
     assert not os.path.exists(path + ".__compact__")
 
 
+def test_upsert_dim_seq_tiebreak_across_partitions(spark, tmp_path):
+    """Same key + same epoch-second ts (Maxwell ties), later-commit record in
+    an EARLIER partition: the monotonically_increasing_id fallback ranks by
+    partition index first and picks the stale row; a true commit-order
+    seq_col (__seq from parse_maxwell) must pick the later one."""
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+
+    schema = "row_key string, type string, ts long, status string, __seq long"
+    later = spark.createDataFrame([("k1", "update", 1000, "F", 2)], schema).coalesce(1)
+    earlier = spark.createDataFrame([("k1", "insert", 1000, "O", 1)], schema).coalesce(1)
+    batch = later.unionAll(earlier)  # partition 0 = later, partition 1 = earlier
+
+    buggy = str(tmp_path / "dim_fallback")
+    upsert_dim(spark, batch, buggy, key_cols=["row_key"], order_col="ts",
+               type_col="type")
+    assert spark.read.parquet(buggy).collect()[0]["status"] == "O"  # stale pick
+
+    fixed = str(tmp_path / "dim_seq")
+    upsert_dim(spark, batch, fixed, key_cols=["row_key"], order_col="ts",
+               type_col="type", seq_col="__seq")
+    rows = spark.read.parquet(fixed).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "F"
+    assert "__seq" not in spark.read.parquet(fixed).columns
+
+
 def test_dynamic_routing_stream(spark, tmp_path):
     import os
 
