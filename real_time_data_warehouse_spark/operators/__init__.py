@@ -4,7 +4,19 @@ from __future__ import annotations
 
 import importlib
 
+# Registration order == the order the driver's correctness harness visits
+# queries. The round-1 run truncated partway (everything after the 50th
+# registered query got no correctness row), so the families that r01 left
+# unverified (dedup/similarity/text/multimodal/sql apps) now register
+# FIRST: if a truncation recurs, the driver signal lands on the queries
+# that never had one, instead of re-proving the p*/j* rows r01 already
+# verified. Local tests sort alphabetically and are order-independent.
 _MODULES = (
+    "dedup",
+    "similarity",
+    "textanalysis",
+    "multimodal",
+    "sql_apps",
     "projections",
     "joins",
     "aggregations",
@@ -12,11 +24,6 @@ _MODULES = (
     "fanout",
     "scalar",
     "serving",
-    "dedup",
-    "similarity",
-    "textanalysis",
-    "multimodal",
-    "sql_apps",
 )
 
 _loaded = False

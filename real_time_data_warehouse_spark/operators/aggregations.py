@@ -402,3 +402,48 @@ def w9_over_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "a12_salted_skew_agg",
+    survey="A1,ext-scale",
+    doc="Salted two-phase aggregation (functions/skew.py) on a genuinely "
+        "skewed key: events.event_type has only 5 distinct values, so a "
+        "plain groupBy funnels everything through 5 reducers regardless of "
+        "cluster size — the viral-sku straggler. Phase 1 reduces on "
+        "(key, salt) across 16× more reducers; phase 2 combines partials. "
+        "Measures ride in DECIMAL so the two-phase sum is "
+        "reduction-order-independent and the plain-GROUP-BY oracle matches "
+        "exactly.",
+    oracle=f"""
+        SELECT event_type,
+               {oracle_dec_sum('value', 'total_value')},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(user_id) AS BIGINT) AS min_user,
+               CAST(MAX(user_id) AS BIGINT) AS max_user
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.skew import salted_agg
+
+    t = Tables(spark, sf_dir)
+    out = salted_agg(
+        t.events,
+        ["event_type"],
+        {
+            "total_value": (dec("value"), "sum"),
+            "n": ("event_id", "count"),
+            "min_user": ("user_id", "min"),
+            "max_user": ("user_id", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )

@@ -78,12 +78,17 @@ _SHINGLE_N = 3
 
 
 def _shingles_sql(hashed: bool = True) -> str:
-    """DuckDB shingle relation (doc_id, sh). ``hashed`` → portable
-    poly-hash values (needed when hash values surface in results: MinHash
-    signatures, SimHash bits); else the raw shingle string (cheaper, used
+    """DuckDB shingle relation (doc_id, sh). ``hashed`` → portable 32-bit
+    md5-prefix hash (int64-safe MinHash input both engines compute with
+    NATIVE functions — md5 + hex parse — instead of the interpreted
+    per-character poly-hash); else the raw shingle string (cheapest, used
     where only shingle *identity* matters: exact-Jaccard d2/d2b)."""
     inner = "array_to_string(toks[i:i+" + str(_SHINGLE_N - 1) + "], ' ')"
-    elem = poly_hash_sql(inner) if hashed else inner
+    elem = (
+        f"CAST(concat('0x', substr(md5({inner}), 1, 8)) AS BIGINT)"
+        if hashed
+        else inner
+    )
     return f"""
         SELECT doc_id, unnest(shs) AS sh
         FROM (
@@ -106,11 +111,12 @@ def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
     array so downstream ops choose: map-side array expressions (MinHash —
     no shuffle at all) or explode (inverted index).
 
-    ``hashed=True`` runs every shingle through the portable poly-hash — an
-    interpreted nested-HOF per character, ~100× the cost of the native
-    string ops — so it is reserved for operators whose RESULTS contain hash
-    values (d3 minhash signatures). Identity-only consumers (d2/d2b) use
-    the raw shingle strings and stay fully inside whole-stage codegen."""
+    ``hashed=True`` hashes each shingle to the first 32 bits of its md5 —
+    native (codegen'd) md5+conv on Spark, native md5+hex-cast in DuckDB,
+    identical values. The earlier portable poly-hash computed the same
+    thing as an interpreted per-character fold at ~100× the cost.
+    Identity-only consumers (d2/d2b) skip hashing entirely and use the
+    raw shingle strings."""
     # Spread the CPU-heavy shingle work across all cores: a compact
     # single-row-group parquet file otherwise yields ONE input split, and
     # the whole stage runs on one task. Shuffling the skinny (doc_id, text)
@@ -125,7 +131,9 @@ def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
 
     def shingle_at(i):
         s = F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " ")
-        return poly_hash(s) if hashed else s
+        if not hashed:
+            return s
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
     return toks.select(
         "doc_id",
@@ -159,14 +167,19 @@ def _doc_shingles(t: Tables, hashed: bool = True) -> DataFrame:
 
 
 # --- MinHash + LSH ---------------------------------------------------------
-# k hash functions h_j(x) = (a_j·x + b_j) mod P over shingle hashes
-# x < P < 2^55 and a_j ≤ 200 keep a_j·x + b_j < 2^63: no int64 overflow in
-# either engine (Spark would wrap silently, DuckDB would raise). The same
-# (a_j, b_j) constants generate both the Spark plan and the oracle SQL.
+# k hash functions h_j(x) = (a_j·x + b_j) mod P over the 32-bit shingle
+# hashes. a_j must be LARGE (≈2^25..2^30): with x < 2^32, a small a_j
+# keeps a_j·x + b_j below P so the mod never wraps — then every h_j is
+# monotone in x, all K functions share one argmin shingle, and the
+# signature collapses to a single bit of information (observed: est ∈
+# {0,1}, 15× spurious pairs). Bounds: a_j < 2^30 keeps a_j·x + b_j <
+# 2^62 + 2^55 < 2^63 — no int64 overflow in either engine (Spark would
+# wrap silently, DuckDB would raise). The same (a_j, b_j) constants
+# generate both the Spark plan and the oracle SQL.
 _MINHASH_K = 16
 _LSH_BANDS = 4  # 4 bands × 4 rows
 _BAND_ROWS = _MINHASH_K // _LSH_BANDS
-_MH_A = [(17 + 6 * j) % 199 + 2 for j in range(_MINHASH_K)]
+_MH_A = [(2654435761 * (j + 7)) % (1 << 30) | 1 for j in range(_MINHASH_K)]
 _MH_B = [(982451653 * (j + 1)) % POLY_P for j in range(_MINHASH_K)]
 
 _EST_THRESHOLD = 0.5
@@ -243,7 +256,14 @@ def _minhash_sql() -> str:
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    sigs = _minhash_sigs(t)
+    # Materialize signatures once: the plan below references `sigs` six
+    # times (4 band branches + both verify sides), and without a
+    # materialization barrier Catalyst re-computes the whole
+    # tokenize→shingle→minhash pipeline for every branch (measured 8
+    # copies, each dragging its own parallelizing repartition into the
+    # plan). Signatures are K ints per doc — the cheapest thing in this
+    # query to persist, at any scale.
+    sigs = _minhash_sigs(t).localCheckpoint(eager=True)
 
     band_sig = [
         (

@@ -16,7 +16,9 @@ def test_cli_list_subprocess():
     )
     assert out.returncode == 0
     assert "q0_flagship_trade_summary" in out.stdout
-    assert "(oracle)" in out.stdout and "rows-only" in out.stdout
+    # since a2b gained its bounds oracle, EVERY registry query is
+    # oracle-checked — no rows-only free passes left
+    assert "(oracle)" in out.stdout and "rows-only" not in out.stdout
 
 
 def test_cli_apps(capsys):

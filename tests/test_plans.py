@@ -90,7 +90,11 @@ def test_interval_join_no_cartesian(spark):
         ("a1_windowed_sum", 1),     # one partial→final agg exchange
         ("q0_flagship_trade_summary", 2),  # fact join + final agg
         ("st5_returning_user", 2),  # one user_id exchange serves both windows
-        ("d3_minhash_lsh_pairs", 2),  # band self-join + candidate dedup
+        # band self-join + candidate dedup + the deliberate round-robin
+        # repartition that spreads shingle hashing past a single-row-group
+        # input split (dedup.py::_doc_shingle_sets)
+        ("d3_minhash_lsh_pairs", 3),
+        ("a12_salted_skew_agg", 2),  # exactly phase-1 (key,salt) + phase-2 (key)
         ("st4_first_per_day_uv", 2),
     ],
 )
@@ -99,6 +103,25 @@ def test_shuffle_budget(spark, name, budget):
     exchange that becomes the bottleneck at 100 TB."""
     df = q(name, spark)
     assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+def test_salted_agg_two_phase_plan(spark):
+    """a12: the salted aggregation must really expand the hot key — an
+    exchange hash-partitioned on (event_type, __salt) feeding the phase-1
+    aggregate, then a second exchange on event_type alone for the combine.
+    Collapsing to one exchange means the salt was optimized away and the
+    hot key funnels through one reducer again."""
+    df = q("a12_salted_skew_agg", spark)
+    plan = formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert shuffle_count(df) == 2, plan
+    # the salt column must be a partitioning key of the first exchange
+    import re
+
+    exchanges = [
+        line for line in plan.splitlines() if "hashpartitioning" in line
+    ]
+    assert any("__salt" in e for e in exchanges), exchanges
 
 
 def test_column_pruning_fact_scan(spark):

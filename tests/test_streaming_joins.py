@@ -56,6 +56,79 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, events_dir):  # noq
     assert got <= all_pairs
 
 
+def test_interval_join_exact_microsecond_boundaries(spark, tmp_path):
+    """Adversarial µs-edge fixture for the `ts div 1000` fix (nanos >
+    2^53): pay_ns = 1700000000000000896 float-divides one µs HIGH
+    (int(float(ns)/1000) = …001 vs exact …000), so double math would shift
+    the [pay_ts−30min, pay_ts) boundaries and misclassify all four edge
+    priors. Asserts the exact-integer contract: the boundary prior (==
+    pay_ts−30min) and the adjacent prior (== pay_ts−1µs) join; the ones
+    1 µs outside do not; and every emitted timestamp equals ns // 1000."""
+    import shutil
+    import time as _time
+
+    from real_time_data_warehouse_spark.streaming.pipelines import stream_events
+
+    PAY_NS = 1_700_000_000_000_000_896  # float-div rounds UP a microsecond
+    assert int(float(PAY_NS) / 1000.0) != PAY_NS // 1000  # stays adversarial
+    PAY_US = PAY_NS // 1000
+    LOOKBACK_US = 30 * 60 * 1_000_000
+    REM = 896  # give every prior the same adversarial ns remainder
+
+    def ns(us: int) -> int:
+        return us * 1000 + REM
+
+    rows = [
+        # (event_id, ns, user_id, event_type)
+        (100, PAY_NS, 7, "purchase"),
+        (1, ns(PAY_US - LOOKBACK_US), 7, "view"),      # == lower bound → IN
+        (2, ns(PAY_US - LOOKBACK_US - 1), 7, "view"),  # 1 µs below → OUT
+        (3, ns(PAY_US - 1), 7, "view"),                # 1 µs before pay → IN
+        (4, ns(PAY_US), 7, "view"),                    # == pay_ts → OUT
+        # far-future rows (both a purchase and a plain event) push the
+        # final watermark far past every window on both join sides
+        (990, PAY_NS + 10_000 * 1_000_000_000, 99, "purchase"),
+        (991, PAY_NS + 10_000 * 1_000_000_000, 98, "view"),
+    ]
+    src = str(tmp_path / "edge_events")
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, t, u, e, 1.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    stage = src + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    shutil.move(os.path.join(stage, pf), os.path.join(src, "b.parquet"))
+    _time.sleep(0.2)
+
+    joined = interval_join_purchases(stream_events(spark, src))
+    sink, ckpt = str(tmp_path / "edge_ij"), str(tmp_path / "edge_ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    pairs = {(r["pay_id"], r["prior_id"]) for r in out.collect()}
+    assert pairs == {(100, 1), (100, 3)}, pairs
+    # the conversion is exact to the microsecond on every surviving row
+    exact = {
+        r["prior_id"]: r["us"]
+        for r in out.select(
+            "prior_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    }
+    assert exact[1] == PAY_US - LOOKBACK_US
+    assert exact[3] == PAY_US - 1
+    pay_us = out.select(F.unix_micros("pay_ts").alias("us")).first()["us"]
+    assert pay_us == PAY_US
+
+
 def test_left_outer_stream_join_null_padding(spark, tmp_path):
     """J2 streaming: matched order joins its payment; unmatched order is
     emitted null-padded exactly once, after the watermark closes its
