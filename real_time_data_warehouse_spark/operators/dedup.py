@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.functions.text import (
     POLY_P,
-    poly_hash,
-    poly_hash_sql,
+    md5_hash,
+    md5_hash_sql,
     tokenize,
     tokenize_sql,
 )
@@ -84,11 +84,7 @@ def _shingles_sql(hashed: bool = True) -> str:
     per-character poly-hash); else the raw shingle string (cheapest, used
     where only shingle *identity* matters: exact-Jaccard d2/d2b)."""
     inner = "array_to_string(toks[i:i+" + str(_SHINGLE_N - 1) + "], ' ')"
-    elem = (
-        f"CAST(concat('0x', substr(md5({inner}), 1, 8)) AS BIGINT)"
-        if hashed
-        else inner
-    )
+    elem = md5_hash_sql(inner) if hashed else inner
     return f"""
         SELECT doc_id, unnest(shs) AS sh
         FROM (
@@ -106,10 +102,10 @@ def _shingles_sql(hashed: bool = True) -> str:
 _SHINGLES_SQL = _shingles_sql(hashed=True)
 
 
-def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
-    """doc_id → distinct shingle array (word 3-grams). Kept as an
-    array so downstream ops choose: map-side array expressions (MinHash —
-    no shuffle at all) or explode (inverted index).
+def shingle_sets_for(docs: DataFrame, hashed: bool = True) -> DataFrame:
+    """(doc_id, text) frame → (doc_id, shs) distinct shingle array (word
+    3-grams). Kept as an array so downstream ops choose: map-side array
+    expressions (MinHash — no shuffle at all) or explode (inverted index).
 
     ``hashed=True`` hashes each shingle to the first 32 bits of its md5 —
     native (codegen'd) md5+conv on Spark, native md5+hex-cast in DuckDB,
@@ -122,8 +118,8 @@ def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
     # the whole stage runs on one task. Shuffling the skinny (doc_id, text)
     # projection is ~free relative to the per-shingle work it parallelizes;
     # on a many-file cluster layout this is a cheap no-op-equivalent guard.
-    docs = t.documents.select("doc_id", "text").repartition(
-        t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
     toks = docs.select("doc_id", tokenize("text").alias("toks")).where(
         F.size("toks") >= _SHINGLE_N
@@ -131,9 +127,7 @@ def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
 
     def shingle_at(i):
         s = F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " ")
-        if not hashed:
-            return s
-        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        return md5_hash(s) if hashed else s
 
     return toks.select(
         "doc_id",
@@ -161,6 +155,10 @@ def _explode_shingles(sets: DataFrame, *extra: F.Column) -> DataFrame:
     return sets.select(*cols).where(F.col("sh").isNotNull())
 
 
+def _doc_shingle_sets(t: Tables, hashed: bool = True) -> DataFrame:
+    return shingle_sets_for(t.documents, hashed=hashed)
+
+
 def _doc_shingles(t: Tables, hashed: bool = True) -> DataFrame:
     """doc_id → exploded distinct shingles (word 3-grams)."""
     return _explode_shingles(_doc_shingle_sets(t, hashed=hashed))
@@ -185,15 +183,16 @@ _MH_B = [(982451653 * (j + 1)) % POLY_P for j in range(_MINHASH_K)]
 _EST_THRESHOLD = 0.5
 
 
-def _minhash_sigs(t: Tables) -> DataFrame:
-    """doc_id → K minhash values over the shingle-hash set.
+def minhash_sigs_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → doc_id + K minhash values over the
+    shingle-hash set.
 
     Computed as ``array_min(transform(shs, ...))`` per hash function —
     pure map-side array expressions over the per-doc shingle array, ZERO
     shuffle (vs. the naive explode + groupBy(doc_id).agg(K mins), which
     shuffles every (doc, shingle) row). Per-doc output is K int64s — the
     100 TB path: signature size independent of document length."""
-    sets = _doc_shingle_sets(t)
+    sets = shingle_sets_for(docs)
     mins = [
         F.array_min(
             F.transform(F.col("shs"), lambda s: (s * a + b) % POLY_P)
@@ -201,6 +200,10 @@ def _minhash_sigs(t: Tables) -> DataFrame:
         for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     return sets.select("doc_id", *mins)
+
+
+def _minhash_sigs(t: Tables) -> DataFrame:
+    return minhash_sigs_for(t.documents)
 
 
 def _minhash_sql() -> str:
@@ -256,6 +259,12 @@ def _minhash_sql() -> str:
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    return _minhash_pairs_for(t.documents)
+
+
+def _minhash_pairs_for(docs: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, est_jaccard ≥ threshold) MinHash+LSH pairs over any
+    (doc_id, text) frame — the d3 computation, reused by the d7 gate."""
     # Materialize signatures once: the plan below references `sigs` six
     # times (4 band branches + both verify sides), and without a
     # materialization barrier Catalyst re-computes the whole
@@ -263,7 +272,7 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies, each dragging its own parallelizing repartition into the
     # plan). Signatures are K ints per doc — the cheapest thing in this
     # query to persist, at any scale.
-    sigs = _minhash_sigs(t).localCheckpoint(eager=True)
+    sigs = minhash_sigs_for(docs).localCheckpoint(eager=True)
 
     band_sig = [
         (
@@ -319,7 +328,7 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash ---------------------------------------------------------------
-_SIMHASH_BITS = 32  # bits of the portable poly-hash used for the sketch
+_SIMHASH_BITS = 32  # bits of the portable md5-prefix hash used for the sketch
 
 
 @register(
@@ -337,7 +346,7 @@ _SIMHASH_BITS = 32  # bits of the portable poly-hash used for the sketch
                   FROM documents) t
             GROUP BY doc_id, t.tok
         ),
-        hashed AS (SELECT doc_id, {poly_hash_sql('tok')} AS h, w FROM tok),
+        hashed AS (SELECT doc_id, {md5_hash_sql('tok')} AS h, w FROM tok),
         bits AS (
             SELECT doc_id,
                    {", ".join(
@@ -356,27 +365,46 @@ _SIMHASH_BITS = 32  # bits of the portable poly-hash used for the sketch
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # same two guards as the shingle path: spread the tokenize work past a
+    # single-row-group input split, and explode_outer so the inferred
+    # generate-filters don't inline the tokenizer into the scan
+    docs = t.documents.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = (
-        t.documents.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        docs.select("doc_id", F.explode_outer(tokenize("text")).alias("tok"))
+        .where(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("w"))
     )
-    hashed = tok.select("doc_id", poly_hash("tok").alias("h"), "w")
-    bit_sums = [
+    hashed = tok.select("doc_id", md5_hash("tok").alias("h"), "w")
+    # NARROW formulation of the per-bit weighted vote: explode the bit
+    # index instead of 32 side-by-side conditional aggregates — the wide
+    # agg costs ~3 s of one-time whole-stage codegen compilation, which
+    # dominates this query at correctness-gate scale. Shuffle bytes are
+    # comparable (32 skinny rows vs 32 aggregate columns per group) and
+    # both forms combine map-side.
+    per_bit = hashed.select(
+        "doc_id", "h", "w",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("i"),
+    )
+    vote = F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN w ELSE -w END")
+    sbits = per_bit.groupBy("doc_id", "i").agg(F.sum(vote).alias("s"))
+    simhash = (
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-        ).alias(f"s{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
-    bits = hashed.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = sum(
-        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
-        for i in range(_SIMHASH_BITS)
-    ).cast("bigint")
-    return bits.select(
-        "doc_id", fingerprint.alias("simhash")
-    ).withColumn("bucket", F.shiftright("simhash", _SIMHASH_BITS - 8).cast("bigint"))
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    return (
+        sbits.groupBy("doc_id")
+        .agg(simhash)
+        .withColumn(
+            "bucket", F.shiftright("simhash", _SIMHASH_BITS - 8).cast("bigint")
+        )
+    )
 
 
 @register(
@@ -634,3 +662,73 @@ from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QR2
 _QR2["d6_dedup_clusters"] = _dc.replace(
     _QR2["d6_dedup_clusters"], oracle=_d6_oracle()
 )
+
+
+@register(
+    "d7_dedup_gate",
+    survey="ext-dedup",
+    doc="Ingestion dedup gate (batch form of streaming/dedup_gate.py): "
+        "every doc is classified against all EARLIER docs (doc_id order = "
+        "arrival order) — exact_dup when an earlier doc has the same md5 "
+        "text hash, else near_dup when MinHash est ≥ 0.5 against any "
+        "earlier doc, else unique; dup_of = the earliest matching doc. "
+        "All docs participate as comparison targets whether or not they "
+        "were themselves duplicates (dup-of-a-dup is still a dup), which "
+        "is what makes the sequential gate ≡ this one-pass form.",
+    oracle=None,  # generated below from the d3 oracle
+)
+def d7_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return dedup_gate_batch(t.documents)
+
+
+def dedup_gate_batch(docs: DataFrame, near_pairs: DataFrame | None = None) -> DataFrame:
+    """One-pass gate over any (doc_id, text) frame; ``near_pairs``
+    defaults to the d3 MinHash pair computation over the same frame.
+    tests/test_dedup_gate.py pins streaming-gate ≡ this."""
+    from pyspark.sql.window import Window
+
+    if near_pairs is None:
+        near_pairs = _minhash_pairs_for(docs)
+    w = Window.partitionBy(F.md5(F.lower("text")))
+    exact = docs.select("doc_id", F.min("doc_id").over(w).alias("first_id"))
+    near = near_pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("near_of")
+    )
+    is_exact = F.col("first_id") < F.col("doc_id")
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(is_exact, "exact_dup")
+        .when(F.col("near_of").isNotNull(), "near_dup")
+        .otherwise("unique")
+        .alias("status"),
+        F.when(is_exact, F.col("first_id"))
+        .otherwise(F.col("near_of"))
+        .cast("bigint")
+        .alias("dup_of"),
+    )
+
+
+def _d7_oracle() -> str:
+    d3 = _QR2["d3_minhash_lsh_pairs"].oracle
+    return f"""
+        WITH exact AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS first_id
+            FROM documents
+        ),
+        near_first AS (
+            SELECT doc_b AS doc_id, MIN(doc_a) AS near_of
+            FROM ({d3}) p GROUP BY doc_b
+        )
+        SELECT e.doc_id,
+               CASE WHEN e.first_id < e.doc_id THEN 'exact_dup'
+                    WHEN nf.near_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status,
+               CAST(CASE WHEN e.first_id < e.doc_id THEN e.first_id
+                         ELSE nf.near_of END AS BIGINT) AS dup_of
+        FROM exact e LEFT JOIN near_first nf ON e.doc_id = nf.doc_id
+    """
+
+
+_QR2["d7_dedup_gate"] = _dc.replace(_QR2["d7_dedup_gate"], oracle=_d7_oracle())

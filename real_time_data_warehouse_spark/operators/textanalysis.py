@@ -9,8 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.functions.text import (
-    poly_hash,
-    poly_hash_sql,
+    md5_hash,
+    md5_hash_sql,
     tokenize,
     tokenize_sql,
 )
@@ -168,15 +168,16 @@ def t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t4_fingerprint",
     survey="ext-text,ext-dedup",
-    doc="Document fingerprinting: portable rolling hash over the "
-        "normalized token stream; fingerprint collisions = exact near-dup "
-        "clusters (content-defined identity, whitespace/punct-insensitive).",
+    doc="Document fingerprinting: 60-bit content hash (md5 prefix, native "
+        "in both engines) over the normalized token stream; fingerprint "
+        "collisions = exact near-dup clusters (content-defined identity, "
+        "whitespace/punct-insensitive).",
     oracle="""
         SELECT doc_id,
                {h} AS fingerprint,
                CAST(COUNT(*) OVER (PARTITION BY {h}) AS BIGINT) AS cluster_size
         FROM (SELECT doc_id, array_to_string({t}, ' ') AS norm FROM documents) n
-    """.format(h=poly_hash_sql("norm"), t=tokenize_sql("text")),
+    """.format(h=md5_hash_sql("norm", bits=60), t=tokenize_sql("text")),
 )
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -185,7 +186,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = t.documents.select(
         "doc_id", F.array_join(tokenize("text"), " ").alias("norm")
     )
-    fp = norm.withColumn("fingerprint", poly_hash("norm"))
+    fp = norm.withColumn("fingerprint", md5_hash("norm", bits=60))
     return fp.select(
         "doc_id",
         "fingerprint",

@@ -7,3 +7,10 @@ from real_time_data_warehouse_spark.sources.cdc import (  # noqa: F401
     parse_maxwell,
     synthetic_cdc_json,
 )
+from real_time_data_warehouse_spark.sources.files import (  # noqa: F401
+    EVENTS_FILE_SCHEMA,
+    read_events_csv,
+    read_events_jsonl,
+    stream_events_jsonl,
+    write_events_jsonl,
+)

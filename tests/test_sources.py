@@ -48,3 +48,83 @@ def test_kafka_source_gated(spark):
         kafka_source(spark, "topic_db")
     msg = str(ei.value)
     assert "kafka" in msg.lower()
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, tmp_path):
+    """JSONL events (the Kafka-value stand-in) must normalize to EXACTLY
+    the frame tables.load yields from parquet — same schema, same µs
+    timestamps (div-1000 integer math), same rows."""
+    from real_time_data_warehouse_spark.sources.files import (
+        read_events_csv,
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+
+    ev = Tables(spark, SF_DIR).events
+    raw_nanos = ev.select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000).cast("bigint")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    jdir = str(tmp_path / "events_jsonl")
+    write_events_jsonl(raw_nanos, jdir)
+    got = read_events_jsonl(spark, jdir)
+    assert got.schema == ev.select(*got.columns).schema
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in ev.select(*got.columns).collect()}
+    assert a == b
+
+    cdir = str(tmp_path / "events_csv")
+    raw_nanos.write.mode("overwrite").option("header", "true").csv(cdir)
+    got_csv = read_events_csv(spark, cdir)
+    assert {tuple(r) for r in got_csv.drop("props").collect()} == {
+        tuple(r) for r in ev.select(*got.columns).drop("props").collect()
+    }
+
+
+def test_jsonl_stream_drives_pipeline(spark, tmp_path):
+    """stream_events_jsonl is a drop-in source: the X1 log split over a
+    JSONL stream equals the batch split over parquet."""
+    import os
+    import shutil
+    import time as _time
+
+    from real_time_data_warehouse_spark.sources.files import (
+        stream_events_jsonl,
+        write_events_jsonl,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import log_split
+
+    ev = Tables(spark, SF_DIR).events
+    raw_nanos = ev.select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000).cast("bigint")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    stage = str(tmp_path / "stage")
+    write_events_jsonl(raw_nanos.coalesce(2), stage)
+    src = str(tmp_path / "jsonl_src")
+    os.makedirs(src, exist_ok=True)
+    for i, p in enumerate(sorted(os.listdir(stage))):
+        if p.endswith(".json"):
+            shutil.move(os.path.join(stage, p), os.path.join(src, f"b{i}.json"))
+            _time.sleep(0.2)
+
+    stream = stream_events_jsonl(spark, src)
+    page = log_split(stream)["page"]
+    sink, ckpt = str(tmp_path / "page_out"), str(tmp_path / "ckpt_jsonl")
+    q = (
+        page.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    want = ev.where(F.col("event_type") == "purchase")
+    assert got.count() == want.count()
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in want.collect()
+    }
