@@ -17,6 +17,7 @@ _MODULES = (
     "textanalysis",
     "multimodal",
     "sql_apps",
+    "curation",  # composes d7/t1/t2/t3 — must load after them
     "projections",
     "joins",
     "aggregations",

@@ -1,0 +1,217 @@
+"""Corpus-curation operators — the end-to-end training-data decisions
+composed from the analysis families: keep/drop with reasons (c1),
+deterministic stratified sampling (c2), sharded sequence packing (c3).
+
+These are the operators a 100 TB pre-training pipeline actually runs
+LAST: after language-ID, quality scoring and dedup have produced per-doc
+signals, something has to (a) decide membership with an auditable
+reason, (b) rebalance the language/quality mix reproducibly, and (c)
+pack documents into fixed token budgets for the trainer. All three stay
+pure Catalyst; determinism comes from content hashes and explicit
+orderings, never from `rand()` — a re-run over the same corpus yields
+byte-identical curation decisions (the property that makes data
+ablations comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.text import md5_hash, md5_hash_sql
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, register
+
+_QUALITY_MIN = 0.45  # ≈ 40th percentile on the fixture — non-trivial split
+
+# per-language sampling rates out of 100 (c2): downsample the dominant
+# language, keep the rest
+_SAMPLE_RATES = {"en": 60, "de": 100, "es": 100, "und": 25}
+
+_PACK_CAPACITY = 512  # tokens per training sequence (c3)
+_PACK_SHARDS = 32  # packing parallelism; bins are (shard, bin) pairs
+
+
+def _c1_oracle() -> str:
+    d7 = QUERY_REGISTRY["d7_dedup_gate"].oracle
+    t1 = QUERY_REGISTRY["t1_lang_id"].oracle
+    t2 = QUERY_REGISTRY["t2_quality_score"].oracle
+    return f"""
+        WITH gate AS ({d7}),
+        lang AS ({t1}),
+        qual AS ({t2})
+        SELECT g.doc_id,
+               CAST(CASE WHEN g.status = 'unique'
+                          AND l.predicted_lang = 'en'
+                          AND q.quality_score >= {_QUALITY_MIN}
+                    THEN 1 ELSE 0 END AS INT) AS keep,
+               CASE WHEN g.status <> 'unique' THEN concat('dup:', g.status)
+                    WHEN l.predicted_lang <> 'en'
+                        THEN concat('lang:', l.predicted_lang)
+                    WHEN q.quality_score < {_QUALITY_MIN} THEN 'low_quality'
+                    ELSE 'kept' END AS reason
+        FROM gate g
+        JOIN lang l ON g.doc_id = l.doc_id
+        JOIN qual q ON g.doc_id = q.doc_id
+    """
+
+
+@register(
+    "c1_corpus_curation",
+    survey="ext-curation,ext-text,ext-dedup",
+    doc="Membership decision per document with an auditable reason, in "
+        "strict precedence order (dedup > language > quality): composes "
+        "the d7 gate, t1 language-ID and t2 quality score — three "
+        "broadcast-friendly doc_id equi-joins over per-doc signal frames; "
+        "at scale each signal is a materialized column table and this is "
+        "a zipper join, no recomputation.",
+    oracle=None,  # composed below from the d7/t1/t2 oracles
+)
+def c1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gate = QUERY_REGISTRY["d7_dedup_gate"].fn(spark, sf_dir)
+    lang = QUERY_REGISTRY["t1_lang_id"].fn(spark, sf_dir).select(
+        "doc_id", "predicted_lang"
+    )
+    qual = QUERY_REGISTRY["t2_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    keep = (
+        (F.col("status") == "unique")
+        & (F.col("predicted_lang") == "en")
+        & (F.col("quality_score") >= _QUALITY_MIN)
+    )
+    return (
+        gate.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            keep.cast("int").alias("keep"),
+            F.when(
+                F.col("status") != "unique",
+                F.concat(F.lit("dup:"), F.col("status")),
+            )
+            .when(
+                F.col("predicted_lang") != "en",
+                F.concat(F.lit("lang:"), F.col("predicted_lang")),
+            )
+            .when(F.col("quality_score") < _QUALITY_MIN, "low_quality")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
+
+
+def _rates_sql() -> str:
+    return " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES.items()
+    )
+
+
+@register(
+    "c2_stratified_sample",
+    survey="ext-curation",
+    doc="Deterministic stratified sampling: per-language keep rates "
+        "applied via a content-derived hash (md5 of the doc id) — no "
+        "rand(), so re-runs and engine changes reproduce the exact sample "
+        "(ablation comparability). The hash is uniform per stratum, so "
+        "realized rates converge to the configured ones; a rate table "
+        "swap is a broadcast, not a reshuffle.",
+    oracle=f"""
+        WITH lang AS ({{t1}})
+        SELECT l.doc_id, l.predicted_lang AS lang,
+               CAST(CASE WHEN {md5_hash_sql("CAST(l.doc_id AS VARCHAR)")} % 100 <
+                         CASE l.predicted_lang {_rates_sql()} ELSE 100 END
+                    THEN 1 ELSE 0 END AS INT) AS sampled
+        FROM lang l
+    """,
+)
+def c2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang = QUERY_REGISTRY["t1_lang_id"].fn(spark, sf_dir).select(
+        "doc_id", F.col("predicted_lang").alias("lang")
+    )
+    rate = F.lit(100)
+    for lg, r in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lg, r).otherwise(rate)
+    bucket = md5_hash(F.col("doc_id").cast("string")) % 100
+    return lang.select(
+        "doc_id", "lang", (bucket < rate).cast("int").alias("sampled")
+    )
+
+
+@register(
+    "c3_sequence_packing",
+    survey="ext-curation",
+    doc=f"Sharded sequence packing: docs are assigned to fixed "
+        f"{_PACK_CAPACITY}-token training bins by a running token cumsum "
+        f"within each of {_PACK_SHARDS} doc_id-hash shards (bin = "
+        "floor(cum_before/capacity); a doc may straddle its bin boundary "
+        "— the trainer-side truncate/pad handles it, the standard "
+        "fixed-boundary approximation of next-fit). The window runs PER "
+        "SHARD: an unpartitioned global cumsum would serialize the whole "
+        "corpus through one reducer at 100 TB; sharding keeps packing "
+        "embarrassingly parallel and bins globally addressable as "
+        "(shard, bin).",
+    oracle=f"""
+        WITH toks AS ({{t3}}),
+        sharded AS (
+            SELECT doc_id, ws_tokens,
+                   CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard
+            FROM toks
+        )
+        SELECT doc_id, shard, ws_tokens AS n_tokens,
+               CAST(floor(CAST(
+                   COALESCE(SUM(ws_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS DOUBLE) / {_PACK_CAPACITY})
+                    AS BIGINT) AS bin_id,
+               CAST(COALESCE(SUM(ws_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) % {_PACK_CAPACITY}
+                    AS BIGINT) AS offset_in_bin
+        FROM sharded
+    """,
+)
+def c3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = QUERY_REGISTRY["t3_token_count"].fn(spark, sf_dir).select(
+        "doc_id", "ws_tokens"
+    )
+    sharded = toks.withColumn(
+        "shard", (F.col("doc_id") % _PACK_SHARDS).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("ws_tokens").over(w), F.lit(0))
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.col("ws_tokens").alias("n_tokens"),
+        F.floor(cum_before.cast("double") / _PACK_CAPACITY)
+        .cast("bigint")
+        .alias("bin_id"),
+        (cum_before % _PACK_CAPACITY).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+# compose the c1/c2/c3 oracles from the registered building blocks
+import dataclasses as _dc  # noqa: E402
+
+_QR = QUERY_REGISTRY
+_QR["c1_corpus_curation"] = _dc.replace(
+    _QR["c1_corpus_curation"], oracle=_c1_oracle()
+)
+_QR["c2_stratified_sample"] = _dc.replace(
+    _QR["c2_stratified_sample"],
+    oracle=_QR["c2_stratified_sample"].oracle.format(
+        t1=_QR["t1_lang_id"].oracle
+    ),
+)
+_QR["c3_sequence_packing"] = _dc.replace(
+    _QR["c3_sequence_packing"],
+    oracle=_QR["c3_sequence_packing"].oracle.format(
+        t3=_QR["t3_token_count"].oracle
+    ),
+)
