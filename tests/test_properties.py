@@ -200,3 +200,46 @@ def test_minhash_estimates_bounded_error(spark):
     for pair, e in est.items():
         if pair in exact:
             assert abs(e - exact[pair]) <= 0.35, (pair, e, exact[pair])
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=99), min_size=1, max_size=4))
+def test_dedup_gate_split_invariance(spark, tmp_path_factory, cut_pcts):
+    """The incremental gate must produce the classification of the
+    one-pass batch query under ANY partitioning of the corpus into
+    ordered batches (hypothesis draws random doc_id percentile cuts)."""
+    from real_time_data_warehouse_spark.operators.dedup import dedup_gate_batch
+    from real_time_data_warehouse_spark.streaming.dedup_gate import (
+        apply_gate_batch,
+    )
+
+    docs = (
+        Tables(spark, SF_DIR).documents.select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = sorted({ids[min(len(ids) - 1, len(ids) * p // 100)] for p in cut_pcts})
+
+    tmp = tmp_path_factory.mktemp("gate_prop")
+    store, out = str(tmp / "store"), str(tmp / "out")
+    lo = None
+    bounds = [*cuts, ids[-1]]
+    for i, hi in enumerate(bounds):
+        batch = docs.where(
+            (F.col("doc_id") <= hi)
+            & (F.col("doc_id") > (lo if lo is not None else -1))
+        )
+        if batch.count():
+            apply_gate_batch(spark, batch, i, store, out)
+        lo = hi
+
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    expected = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in dedup_gate_batch(docs).collect()
+    }
+    assert got == expected
