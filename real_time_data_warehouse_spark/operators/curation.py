@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.functions.text import md5_hash, md5_hash_sql
+from real_time_data_warehouse_spark.operators import dedup as _dep_dedup  # noqa: F401
+from real_time_data_warehouse_spark.operators import (  # noqa: F401
+    textanalysis as _dep_text,
+)
 from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, register
 
 _QUALITY_MIN = 0.45  # ≈ 40th percentile on the fixture — non-trivial split

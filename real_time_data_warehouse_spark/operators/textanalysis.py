@@ -58,20 +58,28 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in")
 )
 def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang_col().alias("predicted_lang"),
+    )
+
+
+def predicted_lang_col() -> F.Column:
+    """Marker-word language vote over a `text` column — reused by the t1
+    query and the streaming curation pipeline (identical predictions by
+    construction)."""
     toks = tokenize("text")
 
     def hits(words: tuple[str, ...]) -> F.Column:
         return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
     en, de, es = (hits(_MARKER_WORDS[lang]) for lang in ("en", "de", "es"))
-    return t.documents.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
+    return (
         F.when((en >= de) & (en >= es) & (en > 0), "en")
         .when((de >= es) & (de > 0), "de")
         .when(es > 0, "es")
         .otherwise("und")
-        .alias("predicted_lang"),
     )
 
 
@@ -109,6 +117,12 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    return quality_frame(t.documents)
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """t2's quality metrics over any (doc_id, text) frame — shared with
+    the streaming curation pipeline."""
     toks = tokenize("text")
     n_tokens = F.size(toks).cast("bigint")
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
@@ -127,7 +141,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal string repr and can differ at boundaries)
         return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
 
-    return t.documents.select(
+    return docs.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),

@@ -118,19 +118,12 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return _empty_store(spark)
 
 
-def apply_gate_batch(
-    spark: SparkSession,
-    batch: DataFrame,
-    batch_id: int,
-    store_dir: str,
-    out_dir: str,
-) -> None:
-    """Classify one batch of (doc_id, text) docs against the store, write
-    (doc_id, status, dup_of) to out_dir/batch_id=N and the batch's
-    signatures to store_dir/batch_id=N (both overwrite → retry-safe)."""
-    # the batch is referenced by the hash path, the signature path and the
-    # final join — materialize once
-    docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
+def classify_batch(
+    spark: SparkSession, docs: DataFrame, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Classify a materialized (doc_id, text) batch against the store →
+    ((doc_id, status, dup_of), batch signature entries). Pure read path —
+    callers decide what/where to write."""
     hashed = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
     sigs = minhash_sigs_for(docs)
     batch_entry = hashed.join(sigs, "doc_id", "left")  # short docs: null sigs
@@ -181,6 +174,23 @@ def apply_gate_batch(
             F.coalesce("exact_of", "near_of").cast("bigint").alias("dup_of"),
         )
     )
+    return out, batch_entry
+
+
+def apply_gate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    out_dir: str,
+) -> None:
+    """Classify one batch of (doc_id, text) docs against the store, write
+    (doc_id, status, dup_of) to out_dir/batch_id=N and the batch's
+    signatures to store_dir/batch_id=N (both overwrite → retry-safe)."""
+    # the batch is referenced by the hash path, the signature path and the
+    # final join — materialize once
+    docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    out, batch_entry = classify_batch(spark, docs, store_dir)
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
