@@ -219,3 +219,101 @@ _QR["c3_sequence_packing"] = _dc.replace(
         t3=_QR["t3_token_count"].oracle
     ),
 )
+
+
+_SHUFFLE_SHARDS = 16  # c4: parallel shard count for the epoch shuffle
+_SHUFFLE_SEED = "c4:epoch0"  # changing the seed string re-deals the epoch
+
+
+@register(
+    "c4_corpus_shuffle",
+    survey="ext-curation",
+    doc="Deterministic epoch shuffle: every doc gets a content-derived "
+        "48-bit hash of (seed, doc_id); shard = hash mod "
+        f"{_SHUFFLE_SHARDS}, position = rank of (hash, doc_id) within the "
+        "shard. Reading shards in order yields a uniform pseudo-random "
+        "permutation that any engine reproduces bit-for-bit (no rand(), "
+        "no partitioning dependence) — and a new seed string is a new "
+        "epoch order. The sort runs PER SHARD, so the 100 TB corpus never "
+        "funnels through one reducer; each shard's sort key is an int64, "
+        "the cheapest possible ordering.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(h % {_SHUFFLE_SHARDS} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY h % {_SHUFFLE_SHARDS} ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id,
+                   {md5_hash_sql(
+                       "concat('" + _SHUFFLE_SEED + ":', CAST(doc_id AS VARCHAR))",
+                       48,
+                   )} AS h
+            FROM documents
+        ) hashed
+    """,
+)
+def c4_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    h = md5_hash(
+        F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")),
+        bits=48,
+    )
+    hashed = t.documents.select("doc_id", h.alias("h"))
+    w = Window.partitionBy(F.col("h") % _SHUFFLE_SHARDS).orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        (F.col("h") % _SHUFFLE_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+_PSEUDO_PEPPER = "pepper0"  # rotate to re-key the pseudonym space
+_K_ANON = 3  # users with fewer events than this are suppressed outright
+
+
+@register(
+    "c5_pseudonymize",
+    survey="ext-curation",
+    doc="Privacy stage for log-derived training data: user ids are "
+        "replaced by a peppered-md5 pseudonym (stable within a pepper "
+        "rotation, unlinkable across rotations), and users appearing in "
+        f"fewer than {_K_ANON} events are suppressed entirely "
+        "(pseudonym nulled) — the cheap k-anonymity floor that stops "
+        "singleton users from being re-identifiable by their single "
+        "event. One window count per user_id — a single shuffle on the "
+        "natural key; the pseudonym itself is map-side codegen.",
+    oracle=f"""
+        SELECT event_id,
+               CASE WHEN COUNT(*) OVER (PARTITION BY user_id) >= {_K_ANON}
+                    THEN md5(concat('{_PSEUDO_PEPPER}:',
+                                    CAST(user_id AS VARCHAR)))
+               END AS user_pseudo,
+               event_type,
+               value,
+               CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id)
+                         < {_K_ANON} THEN 1 ELSE 0 END AS INT) AS suppressed
+        FROM events
+    """,
+)
+def c5_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    n_user = F.count("*").over(Window.partitionBy("user_id"))
+    pseudo = F.md5(
+        F.concat(F.lit(_PSEUDO_PEPPER + ":"), F.col("user_id").cast("string"))
+    )
+    return t.events.select(
+        "event_id",
+        F.when(n_user >= _K_ANON, pseudo).alias("user_pseudo"),
+        "event_type",
+        "value",
+        (n_user < _K_ANON).cast("int").alias("suppressed"),
+    )

@@ -732,3 +732,77 @@ def _d7_oracle() -> str:
 
 
 _QR2["d7_dedup_gate"] = _dc.replace(_QR2["d7_dedup_gate"], oracle=_d7_oracle())
+
+
+# --- Benchmark decontamination (d8) ----------------------------------------
+# The one dedup-family op whose two sides are ASYMMETRIC: a huge training
+# corpus vs a tiny held-out eval suite. The fixture stands in for the
+# benchmark suite with the doc_id % _EVAL_MOD == 0 shard (~5 %); a real
+# deployment loads it from its own table, which changes nothing below.
+
+_EVAL_MOD = 20
+_CONTAM_MIN = 0.5  # flag when ≥ half the eval doc's distinct shingles leak
+
+
+@register(
+    "d8_decontamination",
+    survey="ext-dedup,ext-text",
+    doc=f"Train/eval decontamination: a training doc is contaminated by an "
+        f"eval doc when ≥ {_CONTAM_MIN:.0%} of the eval doc's distinct "
+        "word-3-gram shingles appear in it (the standard n-gram-overlap "
+        "test-set-leakage check). The eval shingle index is tiny by "
+        "definition, so it is materialized once and BROADCAST — the 100 TB "
+        "training side streams map-side through the join and only "
+        "(train, eval) hit pairs shuffle into the overlap count; the "
+        "corpus itself is never shuffled.",
+    oracle=f"""
+        WITH sh AS ({_shingles_sql(hashed=False)}),
+        ev AS (
+            SELECT doc_id AS eval_id, sh FROM sh
+            WHERE doc_id % {_EVAL_MOD} = 0
+        ),
+        evs AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY eval_id),
+        hits AS (
+            SELECT t.doc_id AS train_id, e.eval_id, COUNT(*) AS overlap
+            FROM sh t JOIN ev e ON t.sh = e.sh
+            WHERE t.doc_id % {_EVAL_MOD} <> 0
+            GROUP BY t.doc_id, e.eval_id
+        )
+        SELECT h.train_id, h.eval_id,
+               CAST(h.overlap AS BIGINT) AS overlap,
+               CAST(ROUND(CAST(h.overlap AS DOUBLE) / s.n_eval, 4) AS DOUBLE)
+                   AS contamination
+        FROM hits h JOIN evs s ON h.eval_id = s.eval_id
+        WHERE CAST(h.overlap AS DOUBLE) / s.n_eval >= {_CONTAM_MIN}
+    """,
+)
+def d8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sets = _doc_shingle_sets(t, hashed=False)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    # Eval index: shingled once (doc_id filter prunes the scan to the eval
+    # shard), materialized eagerly — it is the precomputed artifact a real
+    # pipeline would load, and materializing stops the train branch's plan
+    # from re-deriving it per reference.
+    ev = (
+        _explode_shingles(sets.where(is_eval), F.size("shs").alias("n_eval"))
+        .select(F.col("doc_id").alias("eval_id"), "n_eval", "sh")
+        .localCheckpoint(eager=True)
+    )
+    train = _explode_shingles(sets.where(~is_eval)).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    hits = train.join(F.broadcast(ev), "sh")
+    overlap = hits.groupBy("train_id", "eval_id", "n_eval").agg(
+        F.count("*").alias("overlap")
+    )
+    frac = F.col("overlap").cast("double") / F.col("n_eval")
+    return (
+        overlap.where(frac >= _CONTAM_MIN)
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.round(frac, 4).cast("double").alias("contamination"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Behavioral invariants for the round-2 pipeline operators (d8 decon,
+c4 epoch shuffle, c5 pseudonymization) — properties the oracle-parity
+check cannot see (parity would pass if both engines were wrong the same
+way; these pin the *semantics*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.operators.curation import _K_ANON
+from real_time_data_warehouse_spark.operators.dedup import _EVAL_MOD
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from real_time_data_warehouse_spark.tables import Tables
+from tests.conftest import SF_DIR
+
+query_map()
+
+
+def q(name, spark):
+    return QUERY_REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_d8_split_and_planted_duplicates(spark):
+    """Flagged pairs respect the train/eval split, contamination is a
+    valid fraction, and every EXACT duplicate that crosses the split is
+    caught at contamination 1.0 (identical text ⇒ identical shingle set)."""
+    rows = q("d8_decontamination", spark).collect()
+    assert rows, "fixture contains cross-split duplicates; d8 found none"
+    for r in rows:
+        assert r.train_id % _EVAL_MOD != 0
+        assert r.eval_id % _EVAL_MOD == 0
+        assert 0.0 < r.contamination <= 1.0
+    flagged = {(r.train_id, r.eval_id) for r in rows}
+    full = {(r.train_id, r.eval_id): r.contamination for r in rows}
+    # planted check: same-text pairs crossing the split, with enough tokens
+    # to shingle, must be flagged with contamination 1.0
+    docs = Tables(spark, SF_DIR).documents.select(
+        "doc_id", F.md5(F.lower("text")).alias("h"), F.col("text")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    planted = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(
+            (F.col("a.doc_id") % _EVAL_MOD != 0)
+            & (F.col("b.doc_id") % _EVAL_MOD == 0)
+            & (F.size(F.split(F.col("a.text"), r"\s+")) >= 5)
+        )
+        .select(
+            F.col("a.doc_id").alias("train_id"),
+            F.col("b.doc_id").alias("eval_id"),
+        )
+        .collect()
+    )
+    # (the sf0.001 fixture may have no exact dup crossing the split — the
+    # d8 rows above are then all near-dups; the planted loop is vacuous)
+    for r in planted:
+        key = (r.train_id, r.eval_id)
+        assert key in flagged, f"exact dup {key} not flagged"
+        assert full[key] == 1.0
+
+
+def test_c4_is_a_sharded_permutation(spark):
+    """Every doc appears exactly once; per-shard positions are a dense
+    1..n ranking; the hash spreads docs across shards (no shard hogs the
+    corpus — the property that keeps the per-shard sort parallel)."""
+    df = q("c4_corpus_shuffle", spark)
+    total = Tables(spark, SF_DIR).documents.count()
+    rows = df.collect()
+    assert len(rows) == total
+    assert len({r.doc_id for r in rows}) == total
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    assert max(len(p) for p in by_shard.values()) <= 2 * (
+        total / len(by_shard)
+    ), "one shard holds far more than its share"
+
+
+def test_c5_suppression_and_pseudonym_stability(spark):
+    """Suppressed ⟺ the user has < _K_ANON events; pseudonyms are stable
+    per user, distinct across users, and never expose the raw id."""
+    events = Tables(spark, SF_DIR).events
+    counts = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    out = (
+        q("c5_pseudonymize", spark)
+        .join(events.select("event_id", "user_id"), "event_id")
+        .collect()
+    )
+    per_user: dict[int, set] = {}
+    for r in out:
+        assert (r.suppressed == 1) == (counts[r.user_id] < _K_ANON)
+        assert (r.user_pseudo is None) == (r.suppressed == 1)
+        if r.user_pseudo is not None:
+            per_user.setdefault(r.user_id, set()).add(r.user_pseudo)
+    for pseudos in per_user.values():
+        assert len(pseudos) == 1  # stable within a pepper rotation
+    all_pseudos = [next(iter(p)) for p in per_user.values()]
+    assert len(set(all_pseudos)) == len(all_pseudos)  # distinct across users

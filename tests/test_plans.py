@@ -105,6 +105,15 @@ def test_shuffle_budget(spark, name, budget):
     assert shuffle_count(df) <= budget, formatted_plan(df)
 
 
+def test_d8_broadcasts_eval_index(spark):
+    """d8: the tiny eval shingle index must join as a broadcast — the
+    100 TB training side streams map-side; a sort-merge here would
+    shuffle the whole corpus's shingles."""
+    df = q("d8_decontamination", spark)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
 def test_salted_agg_two_phase_plan(spark):
     """a12: the salted aggregation must really expand the hot key — an
     exchange hash-partitioned on (event_type, __salt) feeding the phase-1
