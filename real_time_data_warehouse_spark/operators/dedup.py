@@ -582,8 +582,14 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this the whole MinHash+LSH candidate pipeline would re-execute from
     # parquet each round
     edges = edges.localCheckpoint(eager=True)
-    labels = t.documents.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    # the loop runs over EDGE NODES only: a doc with no near-dup edge can
+    # never change label, and near-dup graph nodes are a sliver of the
+    # corpus (every round over all docs would shuffle 100 TB-scale row
+    # counts per iteration; over edge nodes it shuffles |near-dup members|)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
     # min-label propagation to fixpoint. Convergence takes O(component
     # diameter) rounds (one hop of label travel per round); dedup clusters
@@ -622,10 +628,15 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"d6_dedup_clusters: label propagation did not converge in "
             f"{max_rounds} rounds (pathological component diameter)"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.when(F.col("node") == F.col("label"), 1).otherwise(0)
+    # stitch the untouched majority back in: isolated docs are their own
+    # cluster. The converged label table is small — broadcast it.
+    return t.documents.select("doc_id").join(
+        F.broadcast(labels), F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        F.when(F.coalesce("label", "doc_id") == F.col("doc_id"), 1)
+        .otherwise(0)
         .cast("int")
         .alias("is_canonical"),
     )

@@ -436,17 +436,23 @@ _IVF_ITERS = 5
 _IVF_QUANT = 1 << 20  # element quantization for the exact centroid mean
 
 
-def _ivf_oracle() -> str:
-    # quantized-cosine of the EXACT integer quantizer: every
-    # list_inner_product input is integer-valued (products ≤ 2^42, sums ≤
-    # 2^48 — exactly representable in float64), so the native DuckDB
-    # reduction matches the Spark-side numpy matmul bit-for-bit whatever
-    # either one's summation order is
-    csim = (
-        "list_inner_product(x.vq, c.cv) / "
-        "(sqrt(list_inner_product(x.vq, x.vq)) * "
-        "sqrt(list_inner_product(c.cv, c.cv)))"
-    )
+# quantized-cosine of the EXACT integer quantizer: every
+# list_inner_product input is integer-valued (products ≤ 2^42, sums ≤
+# 2^48 — exactly representable in float64), so the native DuckDB
+# reduction matches the Spark-side numpy matmul bit-for-bit whatever
+# either one's summation order is
+_IVF_CSIM_SQL = (
+    "list_inner_product(x.vq, c.cv) / "
+    "(sqrt(list_inner_product(x.vq, x.vq)) * "
+    "sqrt(list_inner_product(c.cv, c.cv)))"
+)
+
+
+def _ivf_training_ctes() -> tuple[str, str]:
+    """Shared WITH-clause prefix for every oracle that replays the IVF
+    training loop: quantized embeddings `e` plus the Lloyd's-iteration
+    chain; returns (cte_body, trained_table_name)."""
+    csim = _IVF_CSIM_SQL
     mean_terms = ", ".join(
         f"floor(SUM(vq[{j + 1}]) / COUNT(*))" for j in range(_EMB_DIM)
     )
@@ -465,15 +471,21 @@ def _ivf_oracle() -> str:
             SELECT cell, [{mean_terms}] AS cv
             FROM asgn{i} GROUP BY cell
         )""")
-    trained = f"cents{_IVF_ITERS}"
-    return f"""
-        WITH e AS (SELECT vec_id,
+    ctes = f"""e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                           list_transform(embedding,
                               x -> floor(CAST(x AS DOUBLE) * {_IVF_QUANT} + 0.5)) AS vq
                    FROM embeddings),
         cents0 AS (SELECT vec_id AS cell, vq AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
-        {",".join(iters)},
+        {",".join(iters)}"""
+    return ctes, f"cents{_IVF_ITERS}"
+
+
+def _ivf_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    return f"""
+        WITH {ctes},
         assign AS (
             SELECT e2.vec_id, e2.v, a.cell
             FROM (SELECT vec_id, cell FROM (
@@ -659,3 +671,109 @@ def s3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["s3_ivf_ann_topk"] = _dc.replace(_QR["s3_ivf_ann_topk"], oracle=_ivf_oracle())
+
+
+def _s4_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    return f"""
+        WITH {ctes},
+        asgn AS (
+            SELECT vec_id, vq, cell, csim FROM (
+                SELECT x.vec_id, x.vq, c.cell, {csim} AS csim,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY {csim} DESC, c.cell) AS rn
+                FROM e x, {trained} c)
+            WHERE rn = 1
+        ),
+        lab AS (
+            SELECT a.cell, a.csim, emb.label
+            FROM asgn a JOIN embeddings emb ON a.vec_id = emb.vec_id
+        ),
+        cellagg AS (
+            SELECT cell, COUNT(*) AS n_vecs,
+                   CAST(SUM(CAST(ROUND(csim, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sum_sim
+            FROM lab GROUP BY cell
+        ),
+        modes AS (
+            SELECT cell, label, cnt FROM (
+                SELECT cell, label, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY COUNT(*) DESC, label) AS rn
+                FROM lab GROUP BY cell, label)
+            WHERE rn = 1
+        )
+        SELECT CAST(c.cell AS INT) AS cell,
+               CAST(c.n_vecs AS BIGINT) AS n_vecs,
+               CAST(m.label AS INT) AS top_label,
+               CAST(ROUND(CAST(m.cnt AS DOUBLE) / c.n_vecs, 4) AS DOUBLE)
+                   AS purity,
+               CAST(ROUND(c.sum_sim / c.n_vecs, 6) AS DOUBLE) AS mean_sim
+        FROM cellagg c JOIN modes m ON c.cell = m.cell
+    """
+
+
+@register(
+    "s4_cluster_stats",
+    survey="ext-similarity,ext-curation",
+    doc=f"Semantic-cluster profile of the embedding corpus: every vector "
+        f"is assigned to its nearest trained IVF centroid (same seeded "
+        f"Lloyd's quantizer as s3), then per cluster: size, majority "
+        "label, label purity, and mean quantized-cosine to the centroid "
+        "(cohesion). The per-cluster mix is what a data-mixing/pruning "
+        "pass consumes (e.g. SemDeDup-style cluster-then-prune). "
+        "Assignment is map-side against broadcast centroids; the only "
+        "shuffles are the two per-cell aggregations. Cosines are exact "
+        "integer-quantized values summed through DECIMAL(18,6), so the "
+        "mean is partition-order-independent cross-engine.",
+    oracle=None,  # attached below (replays the training chain)
+)
+def s4_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double("embedding").alias("v"), "label"
+    )
+    cents = _train_ivf_centroids(emb.select("vec_id", "v"))
+    best = _topcells_udf(cents, 1)
+    vq = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    asgn = emb.select(
+        "label", best(F.col("v"))[0].alias("cell"), vq.alias("vq")
+    )
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell long, cv array<double>"
+    )
+    csim = dot(F.col("vq"), F.col("cv")) / (
+        F.sqrt(dot(F.col("vq"), F.col("vq")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    lab = asgn.join(F.broadcast(cent_df), "cell").select(
+        "cell", "label", csim.alias("csim")
+    )
+    cellagg = lab.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.round("csim", 6).cast("decimal(18,6)")).alias("sum_dec"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("cnt").desc(), "label")
+    modes = (
+        lab.groupBy("cell", "label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return cellagg.join(modes, "cell").select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("label").cast("int").alias("top_label"),
+        F.round(F.col("cnt").cast("double") / F.col("n_vecs"), 4)
+        .cast("double")
+        .alias("purity"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n_vecs"), 6)
+        .cast("double")
+        .alias("mean_sim"),
+    )
+
+
+_QR["s4_cluster_stats"] = _dc.replace(_QR["s4_cluster_stats"], oracle=_s4_oracle())
