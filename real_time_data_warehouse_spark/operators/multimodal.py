@@ -221,3 +221,62 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("frame_bytes"),
     )
+
+
+@register(
+    "m3_corrupt_quarantine",
+    survey="ext-multimodal",
+    doc="Corrupt-sample quarantine — the validation gate every multimodal "
+        "ingest needs before decode workers see a byte: payloads are "
+        "checked structurally (length ≥ header size, magic bytes intact) "
+        "with pure Catalyst binary expressions, no Python. The fixture "
+        "plants deterministic corruption (doc_id % 17 → truncation, "
+        "doc_id % 23 → magic flip) so the gate provably catches both "
+        "classes; the oracle recomputes the verdicts arithmetically. "
+        "Map-side only — a 100 TB media scan quarantines in the same "
+        "pass that reads it.",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END
+                   AS media_type,
+               CASE WHEN doc_id % 17 = 0 THEN 'truncated'
+                    WHEN doc_id % 23 = 0 THEN 'bad_magic'
+                    ELSE 'ok' END AS status,
+               CAST(CASE WHEN doc_id % 17 = 0 THEN 10
+                         ELSE 16 + octet_length(encode(substr(text, 1, 32)))
+                    END AS INT) AS payload_bytes
+        FROM documents
+    """,
+)
+def m3_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    media = synthesize_media(t)
+    # plant the two corruption classes the validator must catch
+    corrupted = media.select(
+        "doc_id",
+        "media_type",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.substring("payload", 1, 10)
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.unhex(F.lit("00")),
+                F.substring(F.col("payload"), 2, 2147483647),
+            ),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    # the validator proper: structural checks on the raw bytes
+    n_bytes = F.length("payload")
+    magic_ok = F.hex(F.substring("payload", 1, 4)) == F.hex(F.lit(_MAGIC))
+    return corrupted.select(
+        "doc_id",
+        "media_type",
+        F.when(n_bytes < 16, "truncated")
+        .when(~magic_ok, "bad_magic")
+        .otherwise("ok")
+        .alias("status"),
+        n_bytes.cast("int").alias("payload_bytes"),
+    )

@@ -299,3 +299,52 @@ def t1b_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         de.cast("int").alias("de_hits"),
         es.cast("int").alias("es_hits"),
     )
+
+
+@register(
+    "t5_normalize",
+    survey="ext-text",
+    doc="Canonical text normalization — the first transform of every "
+        "ingest pipeline: lowercase, collapse whitespace runs, trim. "
+        "The fixture text is already canonical, so deterministic dirt is "
+        "planted first (doc_id % 7 → uppercased + padded) and the "
+        "normalizer must erase exactly it: norm_hash of a dirtied doc "
+        "equals md5(lower(text)) of the clean one — the key exact dedup "
+        "and the ingestion gate hash on (normalize BEFORE hashing is what "
+        "makes 'same doc modulo whitespace/case' one cluster). Map-side "
+        "codegen only.",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(dirty) AS BIGINT) AS n_raw,
+               CAST(length(norm) AS BIGINT) AS n_norm,
+               CAST(CASE WHEN norm <> dirty THEN 1 ELSE 0 END AS INT)
+                   AS changed,
+               md5(norm) AS norm_hash
+        FROM (
+            SELECT doc_id, dirty,
+                   trim(regexp_replace(lower(dirty), '\\s+', ' ', 'g')) AS norm
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat('  ', upper(text), '  ')
+                            ELSE text END AS dirty
+                FROM documents
+            ) d
+        ) n
+    """,
+)
+def t5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    dirty = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")),
+    ).otherwise(F.col("text"))
+    base = t.documents.select("doc_id", dirty.alias("dirty"))
+    norm = F.trim(F.regexp_replace(F.lower("dirty"), r"\s+", " "))
+    return base.select(
+        "doc_id",
+        F.length("dirty").cast("bigint").alias("n_raw"),
+        F.length(norm).cast("bigint").alias("n_norm"),
+        (norm != F.col("dirty")).cast("int").alias("changed"),
+        F.md5(norm).alias("norm_hash"),
+    )
