@@ -317,3 +317,86 @@ def c5_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (n_user < _K_ANON).cast("int").alias("suppressed"),
     )
+
+
+# c6: target mixture config — curated sources get 3× the weight of the
+# long tail. In production this is a config table; literals keep both
+# engines on identical inputs.
+_MIX_CURATED = ("src0", "src1", "src2", "src3", "src4")
+_MIX_CURATED_W = 3.0
+_MIX_TAIL_W = 1.0
+
+
+@register(
+    "c6_mixture_weights",
+    survey="ext-curation",
+    doc="Data-mixture rebalancing: each source's sampling rate is derived "
+        "from a target weight config (curated sources upweighted 3×) and "
+        "the OBSERVED per-source counts — rate = min(1, N·share/n_s), "
+        "then applied per doc with the same content-hash threshold as c2 "
+        "(reproducible, engine-independent; no rand()). Two tiny "
+        "aggregations produce the 20-row rate table, which broadcasts "
+        "back onto the corpus — at 100 TB the rebalance is one map-side "
+        "join, not a reshuffle. Upsampling (rate > 1) is clamped: "
+        "replication is the trainer's job, not the corpus store's.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_s,
+                   CASE WHEN source IN {_MIX_CURATED}
+                        THEN {_MIX_CURATED_W} ELSE {_MIX_TAIL_W} END AS w,
+                   SUM(n_s) OVER () AS n_total,
+                   SUM(CASE WHEN source IN {_MIX_CURATED}
+                            THEN {_MIX_CURATED_W} ELSE {_MIX_TAIL_W} END)
+                       OVER () AS w_total
+            FROM counts
+        ),
+        rates AS (
+            SELECT source,
+                   LEAST(1.0, CAST(n_total AS DOUBLE) * w / w_total / n_s)
+                       AS rate
+            FROM weighted
+        )
+        SELECT d.doc_id, d.source,
+               CAST(ROUND(r.rate, 4) AS DOUBLE) AS rate,
+               CAST(CASE WHEN {md5_hash_sql("CAST(d.doc_id AS VARCHAR)")}
+                         % 10000 < floor(r.rate * 10000 + 0.5)
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM documents d JOIN rates r ON d.source = r.source
+    """,
+)
+def c6_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    w_lit = F.when(
+        F.col("source").isin(*_MIX_CURATED), _MIX_CURATED_W
+    ).otherwise(_MIX_TAIL_W)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    # totals as a 1-row aggregate cross-joined back — the rate table is
+    # O(#sources) rows, so every piece of this is broadcast-sized
+    totals = counts.select("n_s", w_lit.alias("w")).agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("n_total").cast("double")
+            * w_lit
+            / F.col("w_total")
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    bucket = md5_hash(F.col("doc_id").cast("string")) % 10000
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        F.round("rate", 4).cast("double").alias("rate"),
+        (bucket < F.floor(F.col("rate") * 10000 + F.lit(0.5)))
+        .cast("int")
+        .alias("keep"),
+    )

@@ -348,3 +348,73 @@ def t5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("dirty")).cast("int").alias("changed"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+@register(
+    "t6_repetition",
+    survey="ext-text",
+    doc="Within-document repetition ratio — the Gopher/C4-class quality "
+        "signal exact dedup can't see: fraction of a doc's word-3-grams "
+        "that are repeats of an earlier 3-gram in the SAME doc "
+        "(1 − distinct/total). Degenerate looping text scores high and "
+        "gets filtered before training. Pure map-side array arithmetic "
+        "(no shuffle at all); docs under 3 tokens emit NULL rather than "
+        "a fake 0 — unratable is not 'not repetitive'. Rounding uses the "
+        "engine-independent floor(x·10⁴+0.5)/10⁴ form (t2's discipline).",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(CASE WHEN n_grams > 0 THEN
+                        floor((1.0 - CAST(n_distinct AS DOUBLE) / n_grams)
+                              * 10000 + 0.5) / 10000
+                    END AS DOUBLE) AS rep_ratio
+        FROM (
+            SELECT doc_id,
+                   len(shs) AS n_grams,
+                   len(list_distinct(shs)) AS n_distinct
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [] END AS shs
+                FROM (SELECT doc_id, {{tokens}} AS toks FROM documents) b
+            ) s
+        ) c
+    """,
+)
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    shs = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = t.documents.select(
+        "doc_id",
+        F.size(shs).alias("n_grams"),
+        F.size(F.array_distinct(shs)).alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return base.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.when(
+            F.col("n_grams") > 0,
+            (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).cast("double"),
+        ).alias("rep_ratio"),
+    )
+
+
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QRT  # noqa: E402
+import dataclasses as _dct  # noqa: E402
+
+_QRT["t6_repetition"] = _dct.replace(
+    _QRT["t6_repetition"],
+    oracle=_QRT["t6_repetition"].oracle.format(tokens=tokenize_sql("text")),
+)
