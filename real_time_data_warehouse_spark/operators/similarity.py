@@ -777,3 +777,57 @@ def s4_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["s4_cluster_stats"] = _dc.replace(_QR["s4_cluster_stats"], oracle=_s4_oracle())
+
+
+_NEARDUP_COS = 0.35  # d5's pair threshold — the gate admits below it
+
+
+def _d9_oracle() -> str:
+    d5 = _QR["d5_embedding_neardup"].oracle
+    return f"""
+        WITH p AS ({d5}),
+        near_first AS (
+            SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of
+            FROM p GROUP BY vec_b
+        )
+        SELECT e.vec_id,
+               CASE WHEN nf.dup_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status,
+               CAST(nf.dup_of AS BIGINT) AS dup_of
+        FROM embeddings e LEFT JOIN near_first nf ON e.vec_id = nf.vec_id
+    """
+
+
+@register(
+    "d9_semantic_gate",
+    survey="ext-dedup,ext-similarity",
+    doc="Semantic admission gate (batch form of "
+        "streaming/embedding_gate.py): every vector is classified against "
+        "all EARLIER vectors (vec_id order = arrival order) — near_dup "
+        f"when an earlier same-LSH-bucket vector has cosine ≥ "
+        f"{_NEARDUP_COS}, else unique; dup_of = the earliest such match. "
+        "The SemDeDup-style gate: lexically novel but semantically "
+        "redundant data is refused admission. Same sequential≡one-pass "
+        "equivalence as the d7 text gate, pinned by "
+        "tests/test_embedding_gate.py.",
+    oracle=None,  # attached below from the d5 oracle
+)
+def d9_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id")
+    pairs = d5_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    near = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return emb.join(near, "vec_id", "left").select(
+        "vec_id",
+        F.when(F.col("dup_of").isNotNull(), "near_dup")
+        .otherwise("unique")
+        .alias("status"),
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+    )
+
+
+_QR["d9_semantic_gate"] = _dc.replace(
+    _QR["d9_semantic_gate"], oracle=_d9_oracle()
+)

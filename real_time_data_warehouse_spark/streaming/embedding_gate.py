@@ -1,0 +1,133 @@
+"""Incremental SEMANTIC ingestion gate — the streaming form of the
+``d9_semantic_gate`` registry query (the embedding rung of the dedup
+ladder; the lexical rung is ``streaming/dedup_gate.py``).
+
+Vectors arrive in ordered micro-batches; each is admitted or refused
+against everything seen so far by cosine similarity within its
+hyperplane-LSH bucket — the SemDeDup-style gate that catches paraphrased
+or re-encoded redundancy exact/MinHash gates cannot see. The persistent
+state is a vector store of (vec_id, bucket, v): unlike the text gate's
+~150-byte sketches this keeps the embedding itself (needed for the exact
+cosine verify), so the store is |corpus| × dim floats — at 10⁹ docs ×
+64 dims ≈ 0.5 TB, still ~200× smaller than the text corpus, and
+PARTITIONED BY BUCKET so a batch's candidate read prunes to the buckets
+the batch actually touches. At larger dims, store PQ/int8 codes and
+re-rank — the plumbing below is unchanged.
+
+Per micro-batch (``foreachBatch``):
+- bucket each vector with the shared hyperplanes (identical literals to
+  d5/s2, so gate candidates match the batch query exactly);
+- candidates = same-bucket join against store ∪ earlier-in-batch, with
+  the ``tid < vec_id`` bound (ordering contract + crash-retry
+  idempotence: a replayed batch finds its own rows in the store and must
+  not match against them);
+- cosine ≥ the d5 threshold → near_dup, earliest match wins;
+- every vector joins the store whether or not it was refused (dup-of-a-
+  dup is still a dup — what makes the sequential gate ≡ the one-pass
+  query, pinned by tests/test_embedding_gate.py);
+- outputs and store segments land in ``batch_id=N`` overwrite partitions
+  (retry-idempotent, same contract as every sink here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.operators.similarity import (
+    _NEARDUP_COS,
+    _bucket_col,
+    cosine,
+)
+
+_STORE_SCHEMA = "vec_id long, bucket int, v array<double>"
+
+
+def _empty_store(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _STORE_SCHEMA)
+
+
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    import glob
+
+    if glob.glob(os.path.join(store_dir, "**", "*.parquet"), recursive=True):
+        return spark.read.option("basePath", store_dir).parquet(store_dir)
+    return _empty_store(spark)
+
+
+def classify_batch(
+    spark: SparkSession, vecs: DataFrame, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Classify a materialized (vec_id, v array<double>) batch against the
+    store → ((vec_id, status, dup_of), batch store entries). Pure read
+    path — callers decide what/where to write."""
+    batch_entry = vecs.select("vec_id", _bucket_col().alias("bucket"), "v")
+    store = _read_store(spark, store_dir).drop("batch_id")
+    targets = store.unionByName(batch_entry)
+    cand = batch_entry.join(
+        targets.select(
+            F.col("vec_id").alias("tid"), "bucket", F.col("v").alias("tv")
+        ),
+        "bucket",
+    ).where(F.col("tid") < F.col("vec_id"))
+    near = (
+        cand.where(cosine(F.col("v"), F.col("tv")) >= _NEARDUP_COS)
+        .groupBy("vec_id")
+        .agg(F.min("tid").alias("dup_of"))
+    )
+    out = vecs.select("vec_id").join(near, "vec_id", "left").select(
+        "vec_id",
+        F.when(F.col("dup_of").isNotNull(), "near_dup")
+        .otherwise("unique")
+        .alias("status"),
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+    )
+    return out, batch_entry
+
+
+def apply_gate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    out_dir: str,
+) -> None:
+    """One gate micro-batch: classify, write decisions to
+    out_dir/batch_id=N and the batch's vectors to store_dir/batch_id=N
+    (both overwrite → retry-safe)."""
+    vecs = (
+        batch.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    out, batch_entry = classify_batch(spark, vecs, store_dir)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    # bucket-partitioned store layout: a future batch's candidate read can
+    # prune to the buckets it touches (64 dirs per batch segment)
+    batch_entry.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_embedding_gate_stream(
+    spark: SparkSession,
+    vec_source: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire the semantic gate as a foreachBatch query over a streaming
+    (vec_id, embedding) source (ordered-batch contract as the text gate)."""
+    return (
+        vec_source.writeStream.foreachBatch(
+            lambda b, bid: apply_gate_batch(
+                b.sparkSession, b, bid, store_dir, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
