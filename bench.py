@@ -52,9 +52,19 @@ def main() -> None:
     qmap = query_map()
     names = [n for n in HEADLINE if n in QUERY_REGISTRY]
 
-    # Warm the JVM/reader paths once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM/reader paths AND the Arrow/pandas-UDF worker pool once
+    # so per-query numbers measure the queries, not session or Python
+    # worker startup (the first pandas-UDF query otherwise pays ~2 s of
+    # interpreter fork that has nothing to do with its plan).
     qmap["q0_flagship_trade_summary"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(32).select(_noop(F.col("id"))).count()
 
     times: dict[str, float] = {}
     for name in names:

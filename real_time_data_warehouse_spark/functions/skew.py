@@ -60,3 +60,29 @@ def salted_agg(
             for name, (_, kind) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    id_col: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join for a skewed fact key against a dim too large to
+    broadcast: fact rows get a deterministic content-hash salt (no
+    rand() — re-runs and engines agree), dim rows replicate across all
+    ``salt_buckets`` salts, and the join key widens to (key, __salt) —
+    one hot key's rows split across ``salt_buckets`` reducers instead of
+    funnelling through one. The dim-side blowup is ×salt_buckets rows,
+    which is the deliberate trade: replicate the small-ish side, split
+    the hot side."""
+    from real_time_data_warehouse_spark.functions.text import md5_hash
+
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    salted_fact = fact.withColumn(
+        "__salt",
+        (md5_hash(F.col(id_col).cast("string")) % salt_buckets).cast("int"),
+    )
+    salted_dim = dim.withColumn("__salt", F.explode(salts))
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")

@@ -320,3 +320,59 @@ def j8b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier_ct",
         "customer_ct",
     )
+
+
+_J9_DIM = (
+    ("click", 1.5),
+    ("view", 1.0),
+    ("purchase", 3.0),
+    ("signup", 2.0),
+    ("error", 0.5),
+)
+
+
+@register(
+    "j9_salted_skew_join",
+    survey="J1,ext-scale",
+    doc="Salted skew JOIN (the join-side sibling of a12's salted agg): "
+        "the fact key is salted with a deterministic content hash, the "
+        "dim replicated across all salts, and the join runs on "
+        "(key, __salt) — one hot key's rows spread over 8 reducers "
+        "instead of one. The dim side carries a shuffle_hash hint to "
+        "stand in for a dim too large to broadcast (with a broadcast "
+        "join salting would be vacuous — there is no shuffle to skew). "
+        "Weighted totals aggregate through DECIMAL(18,4), exact for "
+        "2-decimal values × 1-decimal weights.",
+    oracle="""
+        SELECT e.event_type,
+               CAST(SUM(CAST(e.value * d.weight AS DECIMAL(18,4)))
+                    AS DOUBLE) AS weighted_amount,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e
+        JOIN (VALUES ('click', 1.5), ('view', 1.0), ('purchase', 3.0),
+                     ('signup', 2.0), ('error', 0.5))
+             AS d(event_type, weight)
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+)
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec4
+    from real_time_data_warehouse_spark.functions.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    dim = spark.createDataFrame(
+        list(_J9_DIM), "event_type string, weight double"
+    ).hint("shuffle_hash")
+    joined = salted_join(
+        t.events.select("event_id", "event_type", "value"),
+        dim,
+        key="event_type",
+        id_col="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum(dec4(F.col("value") * F.col("weight")))
+        .cast("double")
+        .alias("weighted_amount"),
+        F.count("*").alias("n"),
+    )

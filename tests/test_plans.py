@@ -96,6 +96,12 @@ def test_interval_join_no_cartesian(spark):
         ("d3_minhash_lsh_pairs", 3),
         ("a12_salted_skew_agg", 2),  # exactly phase-1 (key,salt) + phase-2 (key)
         ("st4_first_per_day_uv", 2),
+        # t6 is pure map-side array arithmetic — any exchange is a regression
+        ("t6_repetition", 0),
+        ("t5_normalize", 0),
+        ("m3_corrupt_quarantine", 0),
+        ("c4_corpus_shuffle", 1),   # the per-shard rank window only
+        ("c5_pseudonymize", 1),     # the per-user count window only
     ],
 )
 def test_shuffle_budget(spark, name, budget):
@@ -103,6 +109,21 @@ def test_shuffle_budget(spark, name, budget):
     exchange that becomes the bottleneck at 100 TB."""
     df = q(name, spark)
     assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+def test_j9_salted_join_plan(spark):
+    """j9: the salt must survive into the join's partitioning — a
+    (key, __salt) hash-partitioned exchange on the fact side and NO
+    broadcast (a broadcast would make the salting vacuous)."""
+    df = q("j9_salted_skew_join", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) == 0, plan
+    exchanges = [
+        line for line in plan.splitlines() if "hashpartitioning" in line
+    ]
+    assert any(
+        "__salt" in e and "event_type" in e for e in exchanges
+    ), exchanges
 
 
 def test_d8_broadcasts_eval_index(spark):
