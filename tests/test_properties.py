@@ -243,3 +243,44 @@ def test_dedup_gate_split_invariance(spark, tmp_path_factory, cut_pcts):
         for r in dedup_gate_batch(docs).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=99), min_size=1, max_size=4))
+def test_embedding_gate_split_invariance(spark, tmp_path_factory, cut_pcts):
+    """The semantic gate must match the one-pass d9 batch query under ANY
+    partitioning of the vectors into ordered batches."""
+    from real_time_data_warehouse_spark.streaming.embedding_gate import (
+        apply_gate_batch,
+    )
+
+    vecs = (
+        Tables(spark, SF_DIR).embeddings.select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ids = sorted(r["vec_id"] for r in vecs.select("vec_id").collect())
+    cuts = sorted({ids[min(len(ids) - 1, len(ids) * p // 100)] for p in cut_pcts})
+
+    tmp = tmp_path_factory.mktemp("emb_gate_prop")
+    store, out = str(tmp / "store"), str(tmp / "out")
+    lo = None
+    bounds = [*cuts, ids[-1]]
+    for i, hi in enumerate(bounds):
+        batch = vecs.where(
+            (F.col("vec_id") <= hi)
+            & (F.col("vec_id") > (lo if lo is not None else -1))
+        )
+        if batch.count():
+            apply_gate_batch(spark, batch, i, store, out)
+        lo = hi
+
+    got = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    expected = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in QUERY_REGISTRY["d9_semantic_gate"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
