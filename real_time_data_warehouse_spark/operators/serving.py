@@ -191,3 +191,43 @@ def a9_topk_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("uv_ct").desc(), F.col("ch"))
         .limit(3)
     )
+
+
+@register(
+    "a11b_approx_percentiles",
+    survey="A10,S12,ext-scale",
+    doc="100 TB-scale variant of a11: t-digest-style approx_percentile "
+        "(accuracy 10000) instead of the exact sort-based percentile — "
+        "sketches merge associatively, so the plan is partial→final with "
+        "no per-key value sort. Sketch values are engine-specific, so "
+        "the driver contract is a BOUNDS oracle (a2b's pattern): exact "
+        "quantiles plus within_bounds = relative error ≤ 5% on both "
+        "p50 and p95, asserted as literal TRUE by the oracle.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50_exact,
+               CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95_exact,
+               TRUE AS within_bounds
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a11b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    agg = t.orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ap"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95_exact"),
+    )
+    rel = lambda a, e: F.abs(a - F.col(e)) / F.col(e)  # noqa: E731
+    return agg.select(
+        "o_orderpriority",
+        "p50_exact",
+        "p95_exact",
+        (
+            (rel(F.col("ap")[0], "p50_exact") <= 0.05)
+            & (rel(F.col("ap")[1], "p95_exact") <= 0.05)
+        ).alias("within_bounds"),
+    )
