@@ -84,6 +84,58 @@ def _bucket_sql() -> str:
     return _sign_bits_sql(_hyperplanes(), 0, _LSH_PLANES)
 
 
+_SIG_QUANT = 1 << 20  # element quantization for exact signature dots
+
+
+def _quantized_planes(
+    planes: list[list[float]],
+) -> list[list[int]]:
+    """Plane literals → exact integers (×10⁶, the 6-decimal grid the
+    literals already live on). With |v| < 1 quantized at 2^20 and plane
+    ints < 2^23, a 64-term dot stays < 2^53 — exact in float64 under ANY
+    summation order, so a numpy matmul and DuckDB's list_inner_product
+    agree bit-for-bit (the IVF trick applied to LSH signatures)."""
+    import math
+
+    return [
+        [int(math.floor(x * 1e6 + 0.5)) for x in plane] for plane in planes
+    ]
+
+
+def _band_buckets_udf(planes: list[list[float]]):
+    """Vectorized pandas UDF: v (array<double>) → the _LSH_BANDS bucket
+    ids, all 32 plane dots in ONE exact-integer matmul per Arrow batch —
+    replaces 32 interpreted zip_with folds per row (the 100 TB form of
+    signature computation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    PQ = np.array(_quantized_planes(planes), dtype=np.float64)
+    weights = 1 << np.arange(_LSH_BAND_PLANES)
+
+    @pandas_udf("array<int>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        VQ = np.floor(V * _SIG_QUANT + 0.5)
+        D = VQ @ PQ.T  # exact: integer-valued doubles, |sums| < 2^53
+        bits = (D > 0).reshape(len(V), _LSH_BANDS, _LSH_BAND_PLANES)
+        return pd.Series(list((bits * weights).sum(axis=2).astype(np.int32)))
+
+    return buckets
+
+
+def _qsign_bits_sql(qplanes: list[list[int]], lo: int, hi: int) -> str:
+    """DuckDB twin of one band of _band_buckets_udf — same integer plane
+    literals over the quantized vector column ``vq``."""
+    return " + ".join(
+        "(CASE WHEN list_inner_product(vq, ["
+        + ", ".join(str(x) for x in qplanes[j])
+        + "]::DOUBLE[]) > 0 THEN "
+        + str(1 << (j - lo))
+        + " ELSE 0 END)"
+        for j in range(lo, hi)
+    )
+
+
 def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
@@ -246,17 +298,19 @@ _QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle()
 
 
 def _s2b_oracle() -> str:
-    planes = _hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES)
+    qplanes = _quantized_planes(_hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES))
     branches = " ".join(
         f"WHEN {l} THEN "
-        + _sign_bits_sql(
-            planes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
+        + _qsign_bits_sql(
+            qplanes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
         )
         for l in range(_LSH_BANDS)
     )
     return f"""
         WITH e AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * {_SIG_QUANT} + 0.5)) AS vq
                    FROM embeddings),
         bands AS (
             SELECT vec_id, v, b.band,
@@ -306,28 +360,16 @@ def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES)
     emb = (
         t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-        # parallelize the 32 interpreted plane dots past a single-row-group
-        # input split (same guard as the dedup shingling)
+        # parallelize the signature batches past a single-row-group input
+        # split (same guard as the dedup shingling)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(l).alias("band"),
-                _sign_bits_col(
-                    planes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
-                ).alias("bucket"),
-            )
-            for l in range(_LSH_BANDS)
-        ]
-    )
-    # explode_outer: InferFiltersFromGenerate would push the 32-dot band
-    # expression into the scan filter (the dedup.py lesson); the array is
-    # always non-empty so the outer form is equivalent
+    # all 32 plane dots in one exact-integer matmul per Arrow batch (see
+    # _band_buckets_udf); posexplode_outer + isNotNull for the
+    # InferFiltersFromGenerate lesson (dedup.py)
+    buckets = _band_buckets_udf(planes)
     sig = emb.select(
-        "vec_id", F.explode_outer(band_arr).alias("bb")
-    ).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        "vec_id", F.posexplode_outer(buckets(F.col("v"))).alias("band", "bucket")
     ).where(F.col("bucket").isNotNull())
     q = sig.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
