@@ -4,16 +4,15 @@ from __future__ import annotations
 
 import importlib
 
-# Registration order == the order the driver's correctness harness visits
-# queries. The round-1 run truncated partway (everything after the 50th
-# registered query got no correctness row), so the families that r01 left
-# unverified (dedup/similarity/text/multimodal/sql apps) now register
-# FIRST: if a truncation recurs, the driver signal lands on the queries
-# that never had one, instead of re-proving the p*/j* rows r01 already
-# verified. Local tests sort alphabetically and are order-independent.
+# Import order only — the driver's visit order is the EXPLICIT
+# registry.MANIFEST (registry.ordered_registry), not import side-effect
+# order. Constraints here are purely load-time: curation composes
+# d7/t1/t2/t3 and gate_replay reuses the d7/d9 oracles, so both load
+# after dedup/similarity.
 _MODULES = (
     "dedup",
     "similarity",
+    "gate_replay",  # reuses the d7/d9 oracles — after dedup/similarity
     "textanalysis",
     "multimodal",
     "sql_apps",

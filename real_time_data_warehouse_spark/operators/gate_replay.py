@@ -1,0 +1,131 @@
+"""Streaming-gate REPLAY queries — driver-verifiable forms of the
+streaming halves of the d7 lexical gate and the d9 semantic gate.
+
+The batch forms (``d7_dedup_gate``, ``d9_semantic_gate``) are one-pass
+queries with DuckDB oracles; the streaming forms
+(``streaming/dedup_gate.py``, ``streaming/embedding_gate.py``) process
+ordered micro-batches against a persistent signature/vector store. Their
+equivalence (sequential gate ≡ one-pass query) is the core correctness
+claim of the ingestion-gate design — previously pinned only by pytest
+(tests/test_dedup_gate.py, tests/test_embedding_gate.py).
+
+These two queries put that claim in front of the external driver: split
+the fixture into a FIXED number of ascending-id batches (the gates'
+ordering contract), replay them sequentially through the streaming
+``apply_gate_batch`` path — real parquet store segments, real
+``batch_id=N`` overwrite partitions, the exact code ``foreachBatch``
+runs — and return the concatenated per-batch decisions. The oracle is
+the one-pass batch oracle, so a green row IS the driver checking
+batch ≡ stream.
+
+Scratch layout lives in a throwaway temp dir; the result is detached
+from it (``localCheckpoint``) before cleanup so the returned DataFrame
+owns its data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# direct imports (not load_all) so the batch-form oracles these queries
+# reuse are attached no matter how this module is reached
+from real_time_data_warehouse_spark.operators import dedup as _dedup  # noqa: F401
+from real_time_data_warehouse_spark.operators import (  # noqa: F401
+    similarity as _similarity,
+)
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, register
+from real_time_data_warehouse_spark.streaming import dedup_gate, embedding_gate
+from real_time_data_warehouse_spark.tables import Tables
+
+# Fixed batch count — the replay is deterministic for a given fixture:
+# batch b covers ids in [span*b/N, span*(b+1)/N). The oracle (the
+# one-pass form) is independent of the boundaries, which is exactly the
+# equivalence being asserted.
+_N_BATCHES = 4
+
+
+def _replay_batches(
+    spark: SparkSession,
+    rows: DataFrame,
+    id_col: str,
+    apply_batch: Callable[[SparkSession, DataFrame, int, str, str], None],
+) -> DataFrame:
+    """Split ``rows`` into ``_N_BATCHES`` ascending ``id_col`` ranges,
+    feed them sequentially through ``apply_batch`` (the streaming gate's
+    foreachBatch body) against a throwaway store, and return the
+    concatenated decisions detached from the scratch dirs."""
+    span = int(rows.agg(F.max(id_col)).first()[0]) + 1
+    tmp = tempfile.mkdtemp(prefix="rtdw_gate_replay_")
+    store_dir = os.path.join(tmp, "store")
+    out_dir = os.path.join(tmp, "out")
+    try:
+        for b in range(_N_BATCHES):
+            lo = span * b // _N_BATCHES
+            hi = span * (b + 1) // _N_BATCHES
+            batch = rows.where(
+                (F.col(id_col) >= lo) & (F.col(id_col) < hi)
+            )
+            apply_batch(spark, batch, b, store_dir, out_dir)
+        out = spark.read.option("basePath", out_dir).parquet(out_dir)
+        # materialize before the scratch dir is removed — the returned
+        # frame must not depend on the replay's files
+        return out.drop("batch_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "d7s_dedup_gate_replay",
+    survey="ext-dedup",
+    doc=f"Streaming lexical-gate replay: the documents table is split "
+        f"into {_N_BATCHES} ascending-doc_id batches and pushed through "
+        "streaming/dedup_gate.apply_gate_batch — the exact foreachBatch "
+        "body, with real parquet signature-store segments — then the "
+        "per-batch decisions are concatenated. Checked against the "
+        "ONE-PASS d7 oracle: a green row is the driver verifying the "
+        "sequential gate ≡ the batch query (previously pytest-only).",
+    oracle=None,  # attached below: the d7 batch-form oracle, verbatim
+)
+def d7s_dedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    return _replay_batches(
+        spark, docs, "doc_id", dedup_gate.apply_gate_batch
+    )
+
+
+@register(
+    "d9s_semantic_gate_replay",
+    survey="ext-dedup,ext-similarity",
+    doc=f"Streaming semantic-gate replay: the embeddings table is split "
+        f"into {_N_BATCHES} ascending-vec_id batches and pushed through "
+        "streaming/embedding_gate.apply_gate_batch (bucket-partitioned "
+        "vector-store segments, same-bucket candidate joins), then the "
+        "per-batch decisions are concatenated. Checked against the "
+        "ONE-PASS d9 oracle — the driver-verified batch ≡ stream claim "
+        "for the SemDeDup-style gate.",
+    oracle=None,  # attached below: the d9 batch-form oracle, verbatim
+)
+def d9s_semantic_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    vecs = t.embeddings.select("vec_id", "embedding")
+    return _replay_batches(
+        spark, vecs, "vec_id", embedding_gate.apply_gate_batch
+    )
+
+
+import dataclasses as _dc
+
+_QR = QUERY_REGISTRY
+_QR["d7s_dedup_gate_replay"] = _dc.replace(
+    _QR["d7s_dedup_gate_replay"], oracle=_QR["d7_dedup_gate"].oracle
+)
+_QR["d9s_semantic_gate_replay"] = _dc.replace(
+    _QR["d9s_semantic_gate_replay"], oracle=_QR["d9_semantic_gate"].oracle
+)
