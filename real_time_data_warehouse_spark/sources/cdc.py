@@ -33,6 +33,7 @@ MAXWELL_SCHEMA = StructType(
         StructField("table", StringType()),
         StructField("type", StringType()),
         StructField("ts", LongType()),  # epoch SECONDS (BaseSQLApp.java:60)
+        StructField("xid", LongType()),  # binlog transaction id (monotone)
         StructField("xoffset", LongType()),  # row order within the binlog tx
         StructField("data", _STR_MAP),
         StructField("old", _STR_MAP),
@@ -59,18 +60,24 @@ def parse_maxwell(df: DataFrame, value_col: str = "value") -> DataFrame:
     CDC records (Maxwell ts is epoch-SECONDS, so insert+update in one
     second tie on ts): the Kafka partition offset when the source carries
     one (Kafka keys CDC by primary key, so per-key offsets are
-    commit-ordered), else the Maxwell ``xoffset`` (row order within the
-    binlog transaction), else 0."""
+    commit-ordered), else ``xid * 2^20 + xoffset`` — Maxwell's binlog
+    transaction id ranks first because ``xoffset`` restarts at 0 per
+    transaction (two same-second records from different transactions must
+    order by transaction, not by row-within-transaction). When neither is
+    present ``__seq`` is NULL, and ``upsert_dim`` falls back to
+    arrival-order tie-breaking instead of a meaningless constant."""
     keep = [F.col("offset").alias("__kafka_offset")] if "offset" in df.columns else []
     parsed = df.select(
         F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA).alias("r"),
         *keep,
     ).select("r.*", *(["__kafka_offset"] if keep else []))
-    seq = (
-        F.coalesce("__kafka_offset", "xoffset", F.lit(0))
-        if keep
-        else F.coalesce("xoffset", F.lit(0))
-    )
+    # 2^20 rows-per-transaction headroom: xids are monotone and sparse, so
+    # the composite stays well under 2^63 for any realistic binlog
+    tx_seq = F.when(
+        F.col("xid").isNotNull(),
+        F.col("xid") * F.lit(1 << 20) + F.coalesce("xoffset", F.lit(0)),
+    ).otherwise(F.col("xoffset"))
+    seq = F.coalesce("__kafka_offset", tx_seq) if keep else tx_seq
     parsed = parsed.withColumn("__seq", seq.cast("long"))
     if keep:
         parsed = parsed.drop("__kafka_offset")

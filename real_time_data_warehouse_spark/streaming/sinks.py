@@ -51,18 +51,22 @@ def upsert_dim(
     The chunk-associativity property under this contract is pinned by
     tests/test_properties.py::test_upsert_dim_chunked_equals_whole."""
     # Tie-break equal order_col values (Maxwell ts is epoch-SECONDS, so an
-    # insert+update in the same second tie). Prefer ``seq_col`` — a true
-    # commit-order column (Kafka offset / Maxwell xoffset, surfaced as
-    # ``__seq`` by parse_maxwell). The monotonically_increasing_id fallback
+    # insert+update in the same second tie). Rank by ``seq_col`` first — a
+    # true commit-order column (Kafka offset / Maxwell xid·2^20+xoffset,
+    # surfaced as ``__seq`` by parse_maxwell) — then by arrival order, so
+    # a NULL or constant seq (sources that carry neither offset nor xid)
+    # degrades to the arrival-order behavior instead of a nondeterministic
+    # row_number over equal keys. The monotonically_increasing_id fallback
     # orders by partition index before row order, so when one key's records
     # span partitions of a micro-batch it can pick the older record —
     # correct only for single-partition (or per-key-partitioned) batches.
-    if seq_col is not None and seq_col in batch.columns:
-        arr, tie = batch, F.col(seq_col)
-    else:
-        arr = batch.withColumn("__arr", F.monotonically_increasing_id())
-        tie = F.col("__arr")
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), tie.desc())
+    arr = batch.withColumn("__arr", F.monotonically_increasing_id())
+    ties = (
+        [F.col(seq_col).desc_nulls_last(), F.col("__arr").desc()]
+        if seq_col is not None and seq_col in batch.columns
+        else [F.col("__arr").desc()]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), *ties)
     latest = (
         arr.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
