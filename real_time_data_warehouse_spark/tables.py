@@ -44,18 +44,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark vectorized
-        # reader rejects; with nanosAsLong (set in tune()) it arrives as
-        # bigint nanos. Normalize to a microsecond timestamp — the W6
-        # "ts unit normalization" discipline from SURVEY.md §2.5 (the
-        # reference mixes epoch seconds and millis per topic; here it's
-        # nanos vs micros). No sub-microsecond residue exists in the data.
-        from pyspark.sql import functions as F
+    # W6 "ts unit normalization" discipline (SURVEY.md §2.5): the reference
+    # mixes epoch seconds and millis per topic; the fixture generator has
+    # emitted both TIMESTAMP(NANOS) (rounds 1-3, arrives as bigint nanos
+    # under nanosAsLong) and plain TIMESTAMP micros (round 4+, arrives as
+    # TIMESTAMP_NTZ under inferTimestampNTZ). Normalize every time-typed
+    # column to session-TZ TimestampType (UTC session → identical values)
+    # so downstream operators see ONE type regardless of generator vintage.
+    from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
