@@ -66,12 +66,23 @@ def main() -> None:
 
     spark.range(32).select(_noop(F.col("id"))).count()
 
+    # Median-of-3 per query: single-shot numbers proved untrustworthy on a
+    # shared machine (round-3 driver run was ~40% slower than round 2 with
+    # identical code and data — transient host load). Three runs per query,
+    # report the median; the first-run ("cold") times ride along so plan
+    # regressions that only bite cold caches stay visible.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        cold[name] = round(samples[0], 3)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -81,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold": cold,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
