@@ -35,6 +35,9 @@ _TOP_K = 5
 _LSH_PLANES = 6
 _EMB_DIM = 64
 
+# d5's exact-cosine pair threshold — the semantic gate admits below it.
+_NEARDUP_COS = 0.35
+
 # Banded multi-table parameters (s2b): _LSH_BANDS tables of
 # _LSH_BAND_PLANES sign bits each. Collision in ANY band makes a
 # candidate — the OR-construction that restores recall at a fixed
@@ -133,6 +136,33 @@ def _qsign_bits_sql(qplanes: list[list[int]], lo: int, hi: int) -> str:
         + str(1 << (j - lo))
         + " ELSE 0 END)"
         for j in range(lo, hi)
+    )
+
+
+def _banded_sig(emb: DataFrame, *carry: str) -> DataFrame:
+    """(vec_id, v) → one (vec_id[, carry...], band, bucket) row per band —
+    the shared candidate-generation key for every banded-LSH consumer
+    (s2b, d5, d9, the streaming semantic gate). Signatures come from ONE
+    exact-integer matmul per Arrow batch (_band_buckets_udf), so Spark and
+    the oracle's quantized CASE expressions agree bit-for-bit."""
+    buckets = _band_buckets_udf(_hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES))
+    return emb.select(
+        "vec_id",
+        *carry,
+        F.posexplode_outer(buckets(F.col("v"))).alias("band", "bucket"),
+    ).where(F.col("bucket").isNotNull())
+
+
+def _bands_branches_sql() -> str:
+    """The per-band CASE branches of the banded bucket id — the oracle
+    twin of _banded_sig, shared by every banded-LSH oracle."""
+    qplanes = _quantized_planes(_hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES))
+    return " ".join(
+        f"WHEN {l} THEN "
+        + _qsign_bits_sql(
+            qplanes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
+        )
+        for l in range(_LSH_BANDS)
     )
 
 
@@ -249,12 +279,13 @@ def _s2_oracle() -> str:
 @register(
     "s2_lsh_ann_topk",
     survey="ext-similarity",
-    doc=f"ANN top-{_TOP_K} via random-hyperplane LSH ({_LSH_PLANES} planes "
-        f"→ {1 << _LSH_PLANES} buckets): sign-of-dot-product signature, "
-        "candidates only within the same bucket — the 100 TB path (shuffle "
-        "on the bucket key, never a cross product). Approximate by design; "
-        "the oracle replicates the same bucketing, so results compare "
-        "exactly.",
+    doc=f"PEDAGOGICAL single-table LSH top-{_TOP_K} ({_LSH_PLANES} planes "
+        f"→ {1 << _LSH_PLANES} buckets) — the minimal bucketing pattern, "
+        "kept for contrast. Its recall cliffs (~0.02 on the fixture, "
+        "COVERAGE.md) because one 6-bit table ANDs all the planes; "
+        "production ANN is s2b (banded OR-construction, recall 0.64) or "
+        "s3 (trained IVF, recall 0.84). The oracle replicates the same "
+        "bucketing, so results compare exactly.",
     oracle=None,  # set below after definition to keep the literal close by
 )
 def s2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,14 +329,7 @@ _QR["s2_lsh_ann_topk"] = _dc.replace(_QR["s2_lsh_ann_topk"], oracle=_s2_oracle()
 
 
 def _s2b_oracle() -> str:
-    qplanes = _quantized_planes(_hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES))
-    branches = " ".join(
-        f"WHEN {l} THEN "
-        + _qsign_bits_sql(
-            qplanes, l * _LSH_BAND_PLANES, (l + 1) * _LSH_BAND_PLANES
-        )
-        for l in range(_LSH_BANDS)
-    )
+    branches = _bands_branches_sql()
     return f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -357,7 +381,6 @@ def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
-    planes = _hyperplanes(_LSH_BANDS * _LSH_BAND_PLANES)
     emb = (
         t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
         # parallelize the signature batches past a single-row-group input
@@ -367,10 +390,7 @@ def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all 32 plane dots in one exact-integer matmul per Arrow batch (see
     # _band_buckets_udf); posexplode_outer + isNotNull for the
     # InferFiltersFromGenerate lesson (dedup.py)
-    buckets = _band_buckets_udf(planes)
-    sig = emb.select(
-        "vec_id", F.posexplode_outer(buckets(F.col("v"))).alias("band", "bucket")
-    ).where(F.col("bucket").isNotNull())
+    sig = _banded_sig(emb)
     q = sig.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -412,21 +432,34 @@ _QR["s2b_lsh_multiband_topk"] = _dc.replace(
 
 
 def _d5_oracle() -> str:
-    bucket_expr = _bucket_sql()
+    branches = _bands_branches_sql()
     return f"""
         WITH e AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * {_SIG_QUANT} + 0.5)) AS vq
                    FROM embeddings),
-        bucketed AS (SELECT vec_id, v, CAST({bucket_expr} AS INT) AS bucket FROM e)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        bands AS (
+            SELECT vec_id, b.band,
+                   CASE b.band {branches} END AS bucket
+            FROM e, (SELECT unnest(range({_LSH_BANDS})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, n.vec_id AS vec_b
+            FROM bands a JOIN bands n
+              ON a.band = n.band AND a.bucket = n.bucket
+             AND a.vec_id < n.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
                CAST(ROUND(list_inner_product(a.v, b.v) /
                     (sqrt(list_inner_product(a.v, a.v)) *
                      sqrt(list_inner_product(b.v, b.v))), 6) AS DOUBLE) AS cos_sim
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM cand c
+        JOIN e a ON c.vec_a = a.vec_id
+        JOIN e b ON c.vec_b = b.vec_id
         WHERE list_inner_product(a.v, b.v) /
                   (sqrt(list_inner_product(a.v, a.v)) *
-                   sqrt(list_inner_product(b.v, b.v))) >= 0.35
+                   sqrt(list_inner_product(b.v, b.v))) >= {_NEARDUP_COS}
     """
 
 
@@ -434,26 +467,39 @@ def _d5_oracle() -> str:
     "d5_embedding_neardup",
     survey="ext-dedup,ext-similarity",
     doc="Embedding-cosine near-dup detection (the dedup-ladder rung above "
-        "lexical methods): candidate pairs from the hyperplane-LSH bucket, "
-        "kept at cosine ≥ 0.35 (≈99.9th pct of the random-embedding similarity distribution — chosen so the fixture yields a non-trivial pair set). All-pairs work is bounded by bucket size — "
-        "the 100 TB contract: shuffle on bucket, never |V|² pairs.",
+        f"lexical methods): candidate pairs collide in ANY of the "
+        f"{_LSH_BANDS} LSH bands ({_LSH_BAND_PLANES} sign bits each — the "
+        "same banded OR-construction as s2b), then the exact cosine keeps "
+        f"pairs ≥ {_NEARDUP_COS} (≈99.9th pct of the random-embedding "
+        "similarity distribution). The banded key is the 100 TB contract: "
+        "per-(band,bucket) work stays bounded as the corpus grows — the "
+        "single-table 64-bucket variant this replaced concentrates "
+        "quadratic work per bucket (SCALE.md sizing math).",
     oracle=None,  # attached below (generated from the shared hyperplanes)
 )
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    bucketed = emb.withColumn("bucket", _bucket_col())
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    emb = (
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        # parallelize signature batches past a single-row-group input split
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    sig = _banded_sig(emb)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(sim >= 0.35)
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .where(sim >= _NEARDUP_COS)
         .select(
             "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cos_sim")
         )
@@ -837,9 +883,6 @@ def s4_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QR["s4_cluster_stats"] = _dc.replace(_QR["s4_cluster_stats"], oracle=_s4_oracle())
 
 
-_NEARDUP_COS = 0.35  # d5's pair threshold — the gate admits below it
-
-
 def _d9_oracle() -> str:
     d5 = _QR["d5_embedding_neardup"].oracle
     return f"""
@@ -862,7 +905,7 @@ def _d9_oracle() -> str:
     doc="Semantic admission gate (batch form of "
         "streaming/embedding_gate.py): every vector is classified against "
         "all EARLIER vectors (vec_id order = arrival order) — near_dup "
-        f"when an earlier same-LSH-bucket vector has cosine ≥ "
+        f"when an earlier vector colliding in ANY LSH band has cosine ≥ "
         f"{_NEARDUP_COS}, else unique; dup_of = the earliest such match. "
         "The SemDeDup-style gate: lexically novel but semantically "
         "redundant data is refused admission. Same sequential≡one-pass "

@@ -58,74 +58,24 @@ def register(
 
 # Driver visit order — EXPLICIT manifest, not import side-effect order.
 # The external correctness driver truncates at 50 queries per round
-# (observed rounds 1 and 2; documented in BASELINE.md), so the first 50
-# slots are the only hard-signal slots. Priority tiers:
-#   1-5   never driver-verified as of round 2 (f_scalar_suite was the one
-#         r1 red row; its fix must meet the driver first);
-#   6-7   new round-3 streaming-replay gate queries (d7s/d9s);
-#   8-36  last verified in round 1 only (the driver skipped them in r2);
-#   37-50 round-2-verified dedup/similarity family — re-verification
-#         slots for the round-3 banded-LSH rebase (d5/d9/s4 changed);
-#   51+   round-2-verified and unchanged.
+# (observed rounds 1-3; documented in BASELINE.md), so the first 50
+# slots are the only hard-signal slots. Round-4 priority tiers:
+#   1-3   changed this round: the banded-LSH rebase moved d5/d9 (and the
+#         d9s streaming replay) from the single 64-bucket table to the
+#         (band, bucket) OR-construction — their fresh oracles must meet
+#         the driver first;
+#   4-39  last driver-verified in round 2 (round 3 ran the then-first 50,
+#         which excluded these);
+#   40-50 new round-4 queries (registered below as they land);
+#   51+   driver-green in round 3 and unchanged since.
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
-# on any mismatch, and tests/test_cli.py pins the tier-1 slots.
+# on any mismatch, and tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # tier 1: never driver-verified (registering past slot 50 in r1/r2)
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
-    # tier 2: new round-3 queries — no driver row yet
-    "d7s_dedup_gate_replay",
-    "d9s_semantic_gate_replay",
-    # tier 3: green in round 1 only (r2 ran the first 50 = LLM families)
-    "q0_flagship_trade_summary",
-    "f_json_roundtrip",
-    "j6_dim_chain_join",
-    "j7_broadcast_config_join",
-    "j8_semi_anti_join",
-    "j8b_full_outer_join",
-    "a1_windowed_sum",
-    "a2_distinct_count",
-    "a3_multikey_window",
-    "a4_global_window",
-    "a5_windowed_uu",
-    "a6_keyword_count",
-    "a7_daily_gmv",
-    "a8_province_amount",
-    "a9_topk_channel",
-    "a10_rollup",
-    "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
-    "w8b_session_window",
-    "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",
-    # tier 4: r2-green dedup/similarity — touched by the round-3 banded
-    # rebase (d5/d9) and rounding fix (s4), so they get hard-signal slots
+    # tier 1: changed by the round-4 banded-LSH rebase
     "d5_embedding_neardup",
     "d9_semantic_gate",
-    "s4_cluster_stats",
-    "s2b_lsh_multiband_topk",
-    "d7_dedup_gate",
-    "s3_ivf_ann_topk",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d2b_jaccard_capped",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "d6_dedup_clusters",
-    "d8_decontamination",
-    "s1_cosine_topk",
-    # --- slot 50 boundary: everything below is r2-green and unchanged ---
+    "d9s_semantic_gate_replay",
+    # tier 2: last driver-verified in round 2 (skipped by round 3's cut)
     "s2_lsh_ann_topk",
     "t1_lang_id",
     "t1b_trigram_langid",
@@ -162,6 +112,56 @@ MANIFEST: tuple[str, ...] = (
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
+    # tier 3: new round-4 queries land here (slots up to the 50 boundary)
+    # --- slot 50 boundary region: everything below was driver-green in
+    # round 3 (CORRECTNESS_r03.json) and is unchanged since ---
+    "f_scalar_suite",
+    "a2b_approx_distinct",
+    "j9_salted_skew_join",
+    "a12_salted_skew_agg",
+    "a11b_approx_percentiles",
+    "d7s_dedup_gate_replay",
+    "q0_flagship_trade_summary",
+    "f_json_roundtrip",
+    "j6_dim_chain_join",
+    "j7_broadcast_config_join",
+    "j8_semi_anti_join",
+    "j8b_full_outer_join",
+    "a1_windowed_sum",
+    "a2_distinct_count",
+    "a3_multikey_window",
+    "a4_global_window",
+    "a5_windowed_uu",
+    "a6_keyword_count",
+    "a7_daily_gmv",
+    "a8_province_amount",
+    "a9_topk_channel",
+    "a10_rollup",
+    "a10b_cube",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",
+    "s4_cluster_stats",
+    "s2b_lsh_multiband_topk",
+    "d7_dedup_gate",
+    "s3_ivf_ann_topk",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d2b_jaccard_capped",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "s1_cosine_topk",
 )
 
 

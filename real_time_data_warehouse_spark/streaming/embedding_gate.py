@@ -3,24 +3,30 @@
 ladder; the lexical rung is ``streaming/dedup_gate.py``).
 
 Vectors arrive in ordered micro-batches; each is admitted or refused
-against everything seen so far by cosine similarity within its
-hyperplane-LSH bucket — the SemDeDup-style gate that catches paraphrased
-or re-encoded redundancy exact/MinHash gates cannot see. The persistent
-state is a vector store of (vec_id, bucket, v): unlike the text gate's
-~150-byte sketches this keeps the embedding itself (needed for the exact
-cosine verify), so the store is |corpus| × dim floats — at 10⁹ docs ×
-64 dims ≈ 0.5 TB, still ~200× smaller than the text corpus, and
-PARTITIONED BY BUCKET so a batch's candidate read prunes to the buckets
-the batch actually touches. At larger dims, store PQ/int8 codes and
-re-rank — the plumbing below is unchanged.
+against everything seen so far by cosine similarity among its banded-LSH
+candidates — the SemDeDup-style gate that catches paraphrased or
+re-encoded redundancy exact/MinHash gates cannot see. The persistent
+state is a vector store of (band, bucket, vec_id, v): one row per band
+(the classic multi-table LSH index layout — FAISS-style hash tables
+store a payload per table; here the payload is the vector itself, needed
+for the exact cosine verify). At 10⁹ docs × 64 dims × 8 bands ≈ 4 TB —
+still ~25× smaller than the text corpus — PARTITIONED BY (band, bucket)
+so a batch's candidate read prunes to the cells the batch actually
+touches. At larger dims, store PQ/int8 codes (or ids only) per band and
+re-rank from a single vector table — the plumbing below is unchanged.
+
+The banded OR-construction (collide in ANY of the 8 × 4-bit bands →
+candidate) replaced the original single 6-bit/64-bucket table: per-cell
+candidate work stays bounded as the corpus grows, where the single
+table's per-bucket cost grows quadratically (SCALE.md sizing math).
 
 Per micro-batch (``foreachBatch``):
-- bucket each vector with the shared hyperplanes (identical literals to
-  d5/s2, so gate candidates match the batch query exactly);
-- candidates = same-bucket join against store ∪ earlier-in-batch, with
-  the ``tid < vec_id`` bound (ordering contract + crash-retry
-  idempotence: a replayed batch finds its own rows in the store and must
-  not match against them);
+- signature each vector with the shared plane stream (identical literals
+  to d5/s2b, so gate candidates match the batch query exactly);
+- candidates = (band, bucket) join against store ∪ earlier-in-batch,
+  deduped on the pair, with the ``tid < vec_id`` bound (ordering
+  contract + crash-retry idempotence: a replayed batch finds its own
+  rows in the store and must not match against them);
 - cosine ≥ the d5 threshold → near_dup, earliest match wins;
 - every vector joins the store whether or not it was refused (dup-of-a-
   dup is still a dup — what makes the sequential gate ≡ the one-pass
@@ -38,11 +44,11 @@ from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.operators.similarity import (
     _NEARDUP_COS,
-    _bucket_col,
+    _banded_sig,
     cosine,
 )
 
-_STORE_SCHEMA = "vec_id long, bucket int, v array<double>"
+_STORE_SCHEMA = "vec_id long, band int, bucket int, v array<double>"
 
 
 def _empty_store(spark: SparkSession) -> DataFrame:
@@ -63,15 +69,24 @@ def classify_batch(
     """Classify a materialized (vec_id, v array<double>) batch against the
     store → ((vec_id, status, dup_of), batch store entries). Pure read
     path — callers decide what/where to write."""
-    batch_entry = vecs.select("vec_id", _bucket_col().alias("bucket"), "v")
+    batch_entry = _banded_sig(vecs, "v").select(
+        "vec_id", "band", "bucket", "v"
+    )
     store = _read_store(spark, store_dir).drop("batch_id")
     targets = store.unionByName(batch_entry)
-    cand = batch_entry.join(
-        targets.select(
-            F.col("vec_id").alias("tid"), "bucket", F.col("v").alias("tv")
-        ),
-        "bucket",
-    ).where(F.col("tid") < F.col("vec_id"))
+    cand = (
+        batch_entry.join(
+            targets.select(
+                F.col("vec_id").alias("tid"), "band", "bucket",
+                F.col("v").alias("tv"),
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("tid") < F.col("vec_id"))
+        # a pair colliding in several bands is one candidate — dedupe
+        # before the exact-cosine verify so each pair is scored once
+        .dropDuplicates(["vec_id", "tid"])
+    )
     near = (
         cand.where(cosine(F.col("v"), F.col("tv")) >= _NEARDUP_COS)
         .groupBy("vec_id")
@@ -105,9 +120,9 @@ def apply_gate_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    # bucket-partitioned store layout: a future batch's candidate read can
-    # prune to the buckets it touches (64 dirs per batch segment)
-    batch_entry.write.mode("overwrite").partitionBy("bucket").parquet(
+    # (band, bucket)-partitioned store layout: a future batch's candidate
+    # read can prune to the cells it touches (8×16 dirs per batch segment)
+    batch_entry.write.mode("overwrite").partitionBy("band", "bucket").parquet(
         os.path.join(store_dir, f"batch_id={batch_id}")
     )
 

