@@ -555,23 +555,18 @@ def d2b_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d6_dedup_clusters",
-    survey="ext-dedup",
-    doc="Near-dup clustering + canonical selection: connected components "
-        "over the MinHash candidate-pair graph (min-label propagation, "
-        "iterated to fixpoint), each doc labeled with its cluster's min "
-        "doc_id; is_canonical marks the keeper. The iterative driver loop "
-        "converges in O(component diameter) rounds — each round is one "
-        "shuffle on doc_id; dedup clusters are near-cliques so diameters "
-        "are tiny, and non-convergence raises rather than returning "
-        "partial labels. Oracle: "
-        "DuckDB recursive CTE computing reachability-min labels.",
-    oracle=None,  # generated below from the d3 oracle
-)
-def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation to fixpoint → (node, label) for every node with an edge.
+
+    Convergence takes O(component diameter) rounds (one hop of label
+    travel per round, plus one verification round to observe the
+    fixpoint); dedup clusters are near-cliques so diameters are tiny, but
+    a pathological chain could exceed the bound — in that case FAIL
+    LOUDLY rather than return silently-wrong intermediate labels. The
+    exact boundary (a path of N nodes converges iff N ≤ max_rounds) is
+    pinned by tests/test_properties.py.
+    """
     # undirected edges both ways (isolated docs need no edges — they keep
     # their own label from the initial assignment)
     edges = (
@@ -579,8 +574,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
     # materialize once: every loop round joins against `edges`, and without
-    # this the whole MinHash+LSH candidate pipeline would re-execute from
-    # parquet each round
+    # this the upstream candidate pipeline would re-execute each round
     edges = edges.localCheckpoint(eager=True)
     # the loop runs over EDGE NODES only: a doc with no near-dup edge can
     # never change label, and near-dup graph nodes are a sliver of the
@@ -591,12 +585,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    # min-label propagation to fixpoint. Convergence takes O(component
-    # diameter) rounds (one hop of label travel per round); dedup clusters
-    # are near-cliques so this is small, but a pathological chain could
-    # exceed the bound — in that case FAIL LOUDLY rather than return
-    # silently-wrong intermediate labels.
-    max_rounds, converged = 50, False
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -625,9 +614,30 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            f"d6_dedup_clusters: label propagation did not converge in "
+            f"min_label_propagation did not converge in "
             f"{max_rounds} rounds (pathological component diameter)"
         )
+    return labels
+
+
+@register(
+    "d6_dedup_clusters",
+    survey="ext-dedup",
+    doc="Near-dup clustering + canonical selection: connected components "
+        "over the MinHash candidate-pair graph (min-label propagation, "
+        "iterated to fixpoint), each doc labeled with its cluster's min "
+        "doc_id; is_canonical marks the keeper. The iterative driver loop "
+        "converges in O(component diameter) rounds — each round is one "
+        "shuffle on doc_id; dedup clusters are near-cliques so diameters "
+        "are tiny, and non-convergence raises rather than returning "
+        "partial labels. Oracle: "
+        "DuckDB recursive CTE computing reachability-min labels.",
+    oracle=None,  # generated below from the d3 oracle
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagation(pairs)
     # stitch the untouched majority back in: isolated docs are their own
     # cluster. The converged label table is small — broadcast it.
     return t.documents.select("doc_id").join(

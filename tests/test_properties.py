@@ -284,3 +284,54 @@ def test_embedding_gate_split_invariance(spark, tmp_path_factory, cut_pcts):
         for r in QUERY_REGISTRY["d9_semantic_gate"].fn(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+# --- d6 min-label propagation: convergence boundary -------------------------
+# One hop of label travel per round + one verification round to observe
+# the fixpoint, so a PATH of N nodes (diameter N-1) converges iff
+# N <= max_rounds. The guard must fail loudly past the bound instead of
+# returning partial labels (the silently-wrong failure mode of every
+# iterate-to-fixpoint distributed algorithm).
+
+def _chain_pairs(spark, n):
+    """Path graph 0-1-2-...-(n-1) as a candidate-pair frame."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+
+
+def test_label_propagation_converges_at_diameter_bound(spark):
+    from real_time_data_warehouse_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    bound = 8
+    labels = min_label_propagation(_chain_pairs(spark, bound), max_rounds=bound)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    # a single path is one component: every node takes the min label 0
+    assert got == {i: 0 for i in range(bound)}
+
+
+def test_label_propagation_raises_past_diameter_bound(spark):
+    import pytest
+
+    from real_time_data_warehouse_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    bound = 8
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(_chain_pairs(spark, bound + 2), max_rounds=bound)
+
+
+def test_label_propagation_handles_long_chain_within_default_bound(spark):
+    """The VERDICT-requested stress shape: a 50-node chain (diameter 49)
+    is exactly the worst case the default max_rounds=50 must still
+    converge on — the O(diameter) claim at the production bound."""
+    from real_time_data_warehouse_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    labels = min_label_propagation(_chain_pairs(spark, 50))
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(50)}
