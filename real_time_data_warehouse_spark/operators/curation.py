@@ -400,3 +400,55 @@ def c6_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+_QUOTA_PER_STRATUM = 5
+
+
+@register(
+    "c7_quota_sample",
+    survey="ext-curation",
+    doc=f"Quota (cap-per-stratum) sampling — the mixing-side complement "
+        f"of c2's rate-based sampling: each (lang, source) stratum keeps "
+        f"at most {_QUOTA_PER_STRATUM} docs, chosen by deterministic "
+        "content-hash order (md5 of doc_id, doc_id tiebreak) — no "
+        "rand(), so the selected corpus is identical across runs, "
+        "engines and partitionings (ablation comparability), and "
+        "over-represented strata are truncated instead of down-weighted "
+        "(the dominant-source cap of real pretraining mixes). One "
+        "shuffle on the stratum key; the rank window is per-stratum, "
+        "never global.",
+    oracle=f"""
+        SELECT doc_id, lang, source,
+               CAST(rn AS INT) AS pick_rank,
+               CAST(CASE WHEN rn <= {_QUOTA_PER_STRATUM} THEN 1 ELSE 0 END
+                    AS INT) AS kept
+        FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY {md5_hash_sql("CAST(doc_id AS VARCHAR)")},
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+    """,
+)
+def c7_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).cast("int").alias("pick_rank"),
+        (F.row_number().over(w) <= _QUOTA_PER_STRATUM)
+        .cast("int")
+        .alias("kept"),
+    )

@@ -376,3 +376,92 @@ def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_amount"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "j10_asof_join",
+    survey="J5,ext-scale",
+    doc="AS-OF (batch temporal) join: every event is matched to the most "
+        "recent order of its customer at or before the event time — the "
+        "batch form of Flink's event-time temporal table join "
+        "(reference: TableApi temporal joins / DimApp lookup-by-time "
+        "semantics), and the standard point-in-time join of feature "
+        "stores and training-data pipelines (no feature leakage from the "
+        "future). Spark has no native as-of join, and a range join "
+        "(o_orderdate <= ts) explodes to |events| x |orders-per-key| "
+        "pairs; instead both inputs are UNIONED on the key and a single "
+        "window pass carries the last seen order forward onto each event "
+        "row (last(ignorenulls) over rows-unbounded-preceding). ONE "
+        "shuffle on the key, per-row state o(1) — the 100 TB shape. "
+        "Ties (same customer, same order date) break to the max "
+        "o_orderkey; same-instant orders are visible to the event "
+        "(kind-ordered sort puts orders first).",
+    oracle="""
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   o.o_orderkey, o.o_orderdate,
+                   CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, event_type,
+               o_orderkey AS asof_orderkey,
+               o_orderdate AS asof_orderdate,
+               o_totalprice AS asof_totalprice
+        FROM ranked WHERE rn = 1
+    """,
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    # kind 0 = order (state), kind 1 = event (probe): at equal timestamps
+    # orders sort first, so an order at exactly the event time is visible
+    orders = t.orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    events = t.events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # one window pass: within a key, ascending time; among equal-date
+    # orders the max o_orderkey sorts last, so last() picks it — the same
+    # tie-break the oracle's ORDER BY ... o_orderkey DESC encodes
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = orders.unionByName(events).select(
+        "k", "t", "kind", "event_id", "event_type",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_orderdate"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return carried.where(F.col("kind") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "event_type",
+        "asof_orderkey",
+        "asof_orderdate",
+        "asof_totalprice",
+    )

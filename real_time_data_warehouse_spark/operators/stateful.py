@@ -216,3 +216,63 @@ def st6_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("user_id").agg(
         F.sum("is_new_session").cast("bigint").alias("session_ct")
     )
+
+
+@register(
+    "st8_scd2_intervals",
+    survey="ST1,S8,ext-scale",
+    doc="SCD type-2 history from a CDC-style stream: per user, runs of "
+        "equal event_type collapse to one VERSION with "
+        "[valid_from, valid_to) bounds (valid_to = next version's start, "
+        "NULL while current) and a version sequence number. The "
+        "reference's dim layer keeps only the LATEST row per key "
+        "(HBaseSinkFunction.java upsert semantics); SCD2 is the "
+        "warehouse-native history-preserving alternative, built from the "
+        "same change stream with two window passes (change-point "
+        "detection via lag, interval close via lead) — both on the SAME "
+        "(user_id x time) partitioning, so Catalyst plans ONE shuffle "
+        "and both windows run in a single sort.",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts AS valid_from
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+               CAST(CASE WHEN LEAD(valid_from) OVER w2 IS NULL
+                    THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def st8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t.events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.when(F.lead("valid_from").over(w2).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )

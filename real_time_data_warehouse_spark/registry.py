@@ -113,6 +113,9 @@ MANIFEST: tuple[str, ...] = (
     "j4_interval_join",
     "j5_lookup_dim_join",
     # tier 3: new round-4 queries land here (slots up to the 50 boundary)
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
     # --- slot 50 boundary region: everything below was driver-green in
     # round 3 (CORRECTNESS_r03.json) and is unchanged since ---
     "f_scalar_suite",

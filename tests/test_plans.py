@@ -102,6 +102,11 @@ def test_interval_join_no_cartesian(spark):
         ("m3_corrupt_quarantine", 0),
         ("c4_corpus_shuffle", 1),   # the per-shard rank window only
         ("c5_pseudonymize", 1),     # the per-user count window only
+        # as-of join: ONE key exchange for the union+window carry — a
+        # range-join rewrite would show as extra exchanges/joins
+        ("j10_asof_join", 1),
+        ("st8_scd2_intervals", 1),  # both windows share one user_id sort
+        ("c7_quota_sample", 1),     # the per-stratum rank window only
     ],
 )
 def test_shuffle_budget(spark, name, budget):
