@@ -932,3 +932,353 @@ def d9_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QR["d9_semantic_gate"] = _dc.replace(
     _QR["d9_semantic_gate"], oracle=_d9_oracle()
 )
+
+
+# --- PQ (product quantization) ANN ------------------------------------------
+# The memory-side scale complement of IVF's cell pruning: vectors compress
+# to _PQ_M one-byte codes (64 dims -> 8 bytes, a 32x reduction), and query
+# scoring never touches the original vectors — an asymmetric-distance
+# (ADC) lookup against per-query tables of subspace dot products. At
+# 100 TB the encoded corpus is small enough to keep hot while the float
+# vectors stay cold; re-ranking survivors against the exact tier is the
+# standard two-stage recipe (used below only for the reported cosine).
+# Training follows the IVF discipline exactly: per-subspace seeded
+# Lloyd's in integer-exact arithmetic (quantized elements, bigint sums,
+# floored means), L2 assignment with ascending-code tie-break, unrolled
+# identically in the Spark loop and the oracle SQL.
+_PQ_M = 8          # subspaces (64 dims / 8 per subspace)
+_PQ_SUBDIM = _EMB_DIM // _PQ_M
+_PQ_K = 16         # codes per subspace codebook
+_PQ_ITERS = 5
+_PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact re-rank
+
+
+def _pq_sub_sql(col: str, m: int) -> str:
+    """DuckDB 1-based inclusive slice of subspace m from list column."""
+    return f"{col}[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}]"
+
+
+def _train_pq_codebooks(
+    emb: DataFrame,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace seeded Lloyd's → codebooks[m] = [(code, centroid)].
+    Init: subvectors of the first _PQ_K vectors (vec_id order). Each round
+    assigns by minimal exact L2 (quantized ints; ties to the lower code)
+    and recomputes centroids as floored means of bigint element sums —
+    the same cross-engine-exact recipe as the IVF quantizer, with all
+    _PQ_M subspaces trained in the same two Spark jobs per round."""
+    import math
+
+    init = (
+        emb.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), "v")
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUBDIM
+        books.append(
+            sorted(
+                (
+                    int(r["code"]),
+                    [
+                        float(math.floor(x * _IVF_QUANT + 0.5))
+                        for x in r["v"][lo : lo + _PQ_SUBDIM]
+                    ],
+                )
+                for r in init
+            )
+        )
+    qcol = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    for _ in range(_PQ_ITERS):
+        codes = _pq_encode_udf(books)
+        asgn = emb.select(
+            F.posexplode(codes(F.col("v"))).alias("m", "code"),
+            qcol.alias("vq"),
+        ).select(
+            "m",
+            "code",
+            F.posexplode(
+                F.slice(
+                    "vq",
+                    F.col("m") * _PQ_SUBDIM + 1,
+                    _PQ_SUBDIM,
+                )
+            ).alias("pos", "q"),
+        )
+        rows = (
+            asgn.groupBy("m", "code", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            acc.setdefault((int(r["m"]), int(r["code"])), {})[int(r["pos"])] = (
+                float(r["s"]),
+                int(r["cnt"]),
+            )
+        books = [
+            sorted(
+                (
+                    code,
+                    [
+                        float(math.floor(d[j][0] / d[j][1]))
+                        for j in range(_PQ_SUBDIM)
+                    ],
+                )
+                for (mm, code), d in acc.items()
+                if mm == m
+            )
+            for m in range(_PQ_M)
+        ]
+    return books
+
+
+def _pq_encode_udf(books: list[list[tuple[int, list[float]]]]):
+    """Vectorized pandas UDF: v → the _PQ_M nearest-code ids, one exact
+    L2 argmin per subspace (ties to the LOWER code id — matching the
+    oracle's ORDER BY l2, code). All subspaces in one pass per Arrow
+    batch; distances are integer-valued doubles < 2^53, so argmin order
+    is identical to DuckDB's."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        np.array([cv for _, cv in book], dtype=np.float64) for book in books
+    ]
+    ids = [np.array([c for c, _ in book], dtype=np.int64) for book in books]
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        VQ = np.floor(V * _IVF_QUANT + 0.5)
+        out = np.empty((len(V), _PQ_M), dtype=np.int32)
+        for m in range(_PQ_M):
+            S = VQ[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            C = mats[m]
+            # exact: ||s||² - 2 s·c + ||c||², every term integer-valued
+            d2 = (
+                (S * S).sum(axis=1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            # stable argmin == lowest code on ties (ids[m] is ascending)
+            out[:, m] = ids[m][np.argmin(d2, axis=1)]
+        return pd.Series(list(out))
+
+    return encode
+
+
+_PQ_BOOK_CACHE: dict[str, list[list[tuple[int, list[float]]]]] = {}
+
+
+def _trained_codebooks(
+    sf_dir: str, emb: DataFrame
+) -> list[list[tuple[int, list[float]]]]:
+    if sf_dir not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[sf_dir] = _train_pq_codebooks(emb)
+    return _PQ_BOOK_CACHE[sf_dir]
+
+
+def _pq_oracle() -> str:
+    """Replays per-subspace training, encoding, and ADC ranking in SQL.
+    L2 assignment: ip(s,s) - 2·ip(s,c) + ip(c,c) over quantized ints —
+    exact, so ROW_NUMBER ties (ORDER BY l2, code) match numpy argmin."""
+    subq = ", ".join(
+        f"{_pq_sub_sql('vq', m)} AS s{m}" for m in range(_PQ_M)
+    )
+    iters = []
+    for i in range(_PQ_ITERS):
+        asgn_unions = " UNION ALL ".join(
+            f"""SELECT vec_id, {m} AS m, code, s{m} AS s FROM (
+                SELECT x.vec_id, c.code, x.s{m},
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                           list_inner_product(x.s{m}, x.s{m})
+                           - 2 * list_inner_product(x.s{m}, c.cv)
+                           + list_inner_product(c.cv, c.cv), c.code) AS rn
+                FROM e x, book{i} c WHERE c.m = {m}) WHERE rn = 1"""
+            for m in range(_PQ_M)
+        )
+        mean_terms = ", ".join(
+            f"floor(SUM(s[{j + 1}]) / COUNT(*))" for j in range(_PQ_SUBDIM)
+        )
+        iters.append(f"""
+        asgn{i} AS MATERIALIZED ({asgn_unions}),
+        book{i + 1} AS MATERIALIZED (
+            SELECT m, code, [{mean_terms}] AS cv
+            FROM asgn{i} GROUP BY m, code
+        )""")
+    book0_unions = " UNION ALL ".join(
+        f"SELECT {m} AS m, vec_id AS code, s{m} AS cv FROM e WHERE vec_id < {_PQ_K}"
+        for m in range(_PQ_M)
+    )
+    final_unions = " UNION ALL ".join(
+        f"""SELECT vec_id, {m} AS m, code FROM (
+            SELECT x.vec_id, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                       list_inner_product(x.s{m}, x.s{m})
+                       - 2 * list_inner_product(x.s{m}, c.cv)
+                       + list_inner_product(c.cv, c.cv), c.code) AS rn
+            FROM e x, book{_PQ_ITERS} c WHERE c.m = {m}) WHERE rn = 1"""
+        for m in range(_PQ_M)
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+                   SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          {subq}
+                   FROM (SELECT vec_id, embedding,
+                                list_transform(embedding,
+                                    x -> floor(CAST(x AS DOUBLE) * {_IVF_QUANT} + 0.5)) AS vq
+                         FROM embeddings)),
+        book0 AS MATERIALIZED ({book0_unions}),
+        {",".join(iters)},
+        codes AS MATERIALIZED ({final_unions}),
+        -- ADC: approximate IP = sum over subspaces of ip(query sub, code
+        -- centroid); queries use their own EXACT quantized subvectors
+        adc AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   SUM(CASE cd.m {" ".join(
+                       f"WHEN {m} THEN list_inner_product(q.s{m}, b.cv)"
+                       for m in range(_PQ_M))} END) AS score
+            FROM e q, codes cd
+            JOIN e x ON cd.vec_id = x.vec_id
+            JOIN book{_PQ_ITERS} b ON b.m = cd.m AND b.code = cd.code
+            WHERE q.vec_id < {_N_QUERIES} AND x.vec_id <> q.vec_id
+            GROUP BY q.vec_id, x.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS rn
+                  FROM adc)
+            WHERE rn <= {_PQ_SHORTLIST}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_inner_product(q.v, n.v) /
+                       (sqrt(list_inner_product(q.v, q.v)) *
+                        sqrt(list_inner_product(n.v, n.v))) AS sim
+            FROM shortlist s
+            JOIN e q ON s.query_id = q.vec_id
+            JOIN e n ON s.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM exact)
+        WHERE rnk <= {_TOP_K}
+    """
+
+
+@register(
+    "s5_pq_adc_topk",
+    survey="ext-similarity",
+    doc=f"PQ ANN top-{_TOP_K}: vectors compress to {_PQ_M} codes "
+        f"({_PQ_K}-entry codebook per {_PQ_SUBDIM}-dim subspace, trained "
+        f"by seeded per-subspace Lloyd's, {_PQ_ITERS} rounds, exact "
+        "integer arithmetic) and queries rank neighbors by ASYMMETRIC "
+        "distance — a per-query lookup table of subspace dot products, "
+        "never touching stored vectors — then the top "
+        f"{_PQ_SHORTLIST} ADC candidates re-rank by exact cosine (the "
+        "two-stage retrieve-then-rerank pattern). The memory-side scale "
+        "complement of s3's IVF cell pruning: the encoded corpus is "
+        f"{_EMB_DIM * 4 // (_PQ_M)}x smaller than float32 vectors, so "
+        "stage 1 runs entirely against codes; only |Q| x "
+        f"{_PQ_SHORTLIST} rows ever read the float tier.",
+    oracle=None,  # attached below
+)
+def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = (
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    books = _trained_codebooks(sf_dir, emb)
+    encode = _pq_encode_udf(books)
+    encoded = emb.select("vec_id", encode(F.col("v")).alias("codes"))
+    # per-query ADC lookup tables, computed driver-side from the trained
+    # codebooks and the query vectors: _N_QUERIES x _PQ_M x _PQ_K integer-
+    # valued doubles (~1.3k numbers), shipped as literals — the "table
+    # scan never touches vectors" property that makes ADC the hot path
+    qrows = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    luts = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        vq = np.floor(np.array(r["v"]) * _IVF_QUANT + 0.5)
+        lut = []
+        for m in range(_PQ_M):
+            s = vq[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            C = np.array([cv for _, cv in books[m]], dtype=np.float64)
+            row = [0.0] * _PQ_K
+            for (code, _), val in zip(books[m], s @ C.T):
+                row[code] = float(val)
+            lut.append(row)
+        luts.append((int(r["vec_id"]), lut))
+    qlut = spark.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    scored = (
+        F.broadcast(qlut)
+        .crossJoin(encoded)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    "lut", "codes", lambda l, c: F.element_at(l, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    # stage 1: ADC shortlist — cheap lookup-table scores over the encoded
+    # corpus pick _PQ_SHORTLIST candidates per query
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact re-rank — only the shortlist (|Q| x _PQ_SHORTLIST
+    # rows) ever touches the float vectors
+    qv = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
+_QR["s5_pq_adc_topk"] = _dc.replace(_QR["s5_pq_adc_topk"], oracle=_pq_oracle())
