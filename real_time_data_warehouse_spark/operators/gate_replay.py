@@ -55,11 +55,14 @@ def _replay_batches(
     rows: DataFrame,
     id_col: str,
     apply_batch: Callable[[SparkSession, DataFrame, int, str, str], None],
+    finalize: Callable[[SparkSession, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Split ``rows`` into ``_N_BATCHES`` ascending ``id_col`` ranges,
     feed them sequentially through ``apply_batch`` (the streaming gate's
     foreachBatch body) against a throwaway store, and return the
-    concatenated decisions detached from the scratch dirs."""
+    concatenated decisions detached from the scratch dirs. ``finalize``
+    overrides the default read of out_dir (e.g. upsert-log compaction
+    for the SCD2 stream)."""
     span = int(rows.agg(F.max(id_col)).first()[0]) + 1
     tmp = tempfile.mkdtemp(prefix="rtdw_gate_replay_")
     store_dir = os.path.join(tmp, "store")
@@ -72,10 +75,15 @@ def _replay_batches(
                 (F.col(id_col) >= lo) & (F.col(id_col) < hi)
             )
             apply_batch(spark, batch, b, store_dir, out_dir)
-        out = spark.read.option("basePath", out_dir).parquet(out_dir)
+        if finalize is not None:
+            out = finalize(spark, out_dir)
+        else:
+            out = spark.read.option("basePath", out_dir).parquet(
+                out_dir
+            ).drop("batch_id")
         # materialize before the scratch dir is removed — the returned
         # frame must not depend on the replay's files
-        return out.drop("batch_id").localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -120,6 +128,40 @@ def d9s_semantic_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "st8s_scd2_replay",
+    survey="ST1,S8,ext-scale",
+    doc=f"Streaming SCD2 replay: the events table is split into "
+        f"{_N_BATCHES} ascending event-time batches and pushed through "
+        "streaming/scd2.apply_scd2_batch — live version maintenance "
+        "against a per-entity open-interval snapshot store, every "
+        "touched version (re-)emitted per batch as a CDC-style upsert "
+        "log — then the log compacts last-wins per (user_id, version). "
+        "Checked against the ONE-PASS st8 oracle: a green row is the "
+        "driver verifying incremental history maintenance ≡ the batch "
+        "interval builder.",
+    oracle=None,  # attached below: the st8 batch-form oracle, verbatim
+)
+def st8s_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _stateful,
+    )
+    from real_time_data_warehouse_spark.streaming import scd2
+
+    t = Tables(spark, sf_dir)
+    # event_id order == event-time order in the fixture (asserted by
+    # tests/test_streaming.py), so ascending-id ranges satisfy the
+    # gates' time-ordering contract
+    rows = t.events.select("user_id", "event_type", "ts", "event_id")
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        scd2.apply_scd2_batch,
+        finalize=scd2.compact_scd2_log,
+    )
+
+
 import dataclasses as _dc
 
 _QR = QUERY_REGISTRY
@@ -128,4 +170,9 @@ _QR["d7s_dedup_gate_replay"] = _dc.replace(
 )
 _QR["d9s_semantic_gate_replay"] = _dc.replace(
     _QR["d9s_semantic_gate_replay"], oracle=_QR["d9_semantic_gate"].oracle
+)
+from real_time_data_warehouse_spark.operators import stateful as _stateful  # noqa: E402,F401
+
+_QR["st8s_scd2_replay"] = _dc.replace(
+    _QR["st8s_scd2_replay"], oracle=_QR["st8_scd2_intervals"].oracle
 )

@@ -1,0 +1,195 @@
+"""Incremental SCD type-2 maintenance — the streaming form of the
+``st8_scd2_intervals`` registry query.
+
+The reference's dim layer applies CDC upserts so HBase always holds the
+LATEST row per key (``HBaseSinkFunction.java:36-61``); this module is
+the history-preserving alternative: the same ordered change stream
+maintains versioned [valid_from, valid_to) intervals live, so point-in-
+time queries (j10's as-of semantics) can run against the dim at any
+moment without a backfill.
+
+What persists between batches is ONE row per entity — its currently
+open interval ``(user_id, event_type, valid_from, version)`` — written
+as a full snapshot per batch (``state/batch_id=N``), each batch reading
+the latest snapshot with id < its own: a crash-retried batch re-reads
+exactly the pre-batch state and overwrites its own output + snapshot
+partitions (idempotent under replay, the packing.py contract).
+
+Per micro-batch (``foreachBatch``, ascending event-time ranges — the
+ordering contract every gate here shares):
+- only entities PRESENT in the batch are touched; everyone else's open
+  interval passes through the snapshot unchanged;
+- each touched entity's carried-in open interval is prepended to its
+  batch events as a pseudo-row, one window pass collapses equal-state
+  runs (lag ≠ current → version start), versions continue from the
+  carried version number;
+- every version started OR closed this batch is (re-)emitted with its
+  end-of-batch [valid_from, valid_to) — a version that closes in a
+  LATER batch is simply re-emitted then with valid_to filled, so the
+  out_dir is a CDC-style upsert log: compact by (user_id, version)
+  keeping the latest batch's row (exactly the ST1 last-wins dedup) to
+  materialize the interval table the one-pass st8 query produces.
+
+Batch ≡ stream equivalence is driver-checked by the
+``st8s_scd2_replay`` registry query against the st8 oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_STATE_SCHEMA = (
+    "user_id long, event_type string, valid_from timestamp, version int"
+)
+
+
+def _read_state(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame:
+    """Latest snapshot with id < batch_id (replay bound), else empty."""
+    best = -1
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            m = re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1)))
+    if best >= 0:
+        return spark.read.parquet(os.path.join(state_dir, f"batch_id={best}"))
+    return spark.createDataFrame([], _STATE_SCHEMA)
+
+
+def apply_scd2_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One SCD2 micro-batch over (user_id, event_type, ts, event_id):
+    collapse runs, continue version numbering from carried state, emit
+    every version touched this batch, snapshot the new open intervals."""
+    events = batch.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).localCheckpoint(eager=True)
+    state = _read_state(spark, state_dir, batch_id)
+    touched_users = events.select("user_id").distinct()
+    carried = state.join(F.broadcast(touched_users), "user_id", "leftsemi")
+    untouched = state.join(F.broadcast(touched_users), "user_id", "leftanti")
+
+    # carried open interval as a pseudo-row ahead of the batch's events
+    # (its valid_from predates every batch ts by the ordering contract;
+    # kind breaks any residual tie in favor of the carried row)
+    pseudo = carried.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+        "version",
+    )
+    rows = pseudo.unionByName(
+        events.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("version"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    wall = Window.partitionBy("user_id")
+    marked = rows.select(
+        "*",
+        F.lag("event_type").over(w).alias("prev_type"),
+        # the carried version number, visible to every row of the user
+        F.max("version").over(wall).alias("base_version"),
+    ).withColumn(
+        "is_start",
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type")),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    starts = (
+        marked.withColumn(
+            "cum_starts",
+            F.sum(F.col("is_start").cast("int")).over(wcum),
+        )
+        .where(F.col("is_start"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            (
+                F.coalesce("base_version", F.lit(1))
+                + F.col("cum_starts")
+                - 1
+            )
+            .cast("int")
+            .alias("version"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    intervals = starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "version",
+    ).localCheckpoint(eager=True)
+    intervals.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    new_open = intervals.where(F.col("valid_to").isNull()).select(
+        "user_id", "event_type", "valid_from", "version"
+    )
+    untouched.unionByName(new_open).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def compact_scd2_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Materialize the interval table from the per-batch upsert log:
+    last-wins per (user_id, version) by emitting batch — the ST1 dedup
+    applied to the SCD2 stream — then derive is_current."""
+    log = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy("user_id", "version").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            F.col("version").cast("int").alias("version"),
+            F.when(F.col("valid_to").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+    )
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    event_source: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire SCD2 maintenance as a foreachBatch query over a streaming
+    (user_id, event_type, ts, event_id) source (ordered-batch contract
+    as the gates)."""
+    return (
+        event_source.writeStream.foreachBatch(
+            lambda b, bid: apply_scd2_batch(
+                b.sparkSession, b, bid, state_dir, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
