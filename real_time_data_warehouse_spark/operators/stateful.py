@@ -276,3 +276,58 @@ def st8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_current"),
     )
+
+
+@register(
+    "st9_retract_changelog",
+    survey="ST1,J2,F9",
+    doc="Retract-changelog PRODUCER: the keyed event stream, read as "
+        "upserts of (user_id -> value), emitted as Flink-style changelog "
+        "rows — '+I' for a key's first value, then a '-U'/'+U' pair per "
+        "update (Test02_SQL_JOIN.java:64-71 documents the reference's "
+        "retract mechanics; DwsTradeSkuOrderWindow.java:190-223 consumes "
+        "them). The repo's standing design maps retract CONSUMPTION to "
+        "net-equivalent last-wins dedup (ST1, SURVEY §7.4.1); this "
+        "operator is the other direction — producing the changelog a "
+        "downstream Flink-compatible consumer would expect, as one "
+        "window pass plus a map-side explode (no second shuffle).",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, ts, event_id, value,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT user_id, ts, event_id, '+I' AS op,
+               CAST(value AS DOUBLE) AS value
+        FROM x WHERE prev IS NULL
+        UNION ALL
+        SELECT user_id, ts, event_id, '-U',
+               CAST(prev AS DOUBLE) FROM x WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, event_id, '+U',
+               CAST(value AS DOUBLE) FROM x WHERE prev IS NOT NULL
+    """,
+)
+def st9_retract_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = t.events.withColumn("prev", F.lag("value").over(w))
+    changes = F.when(
+        F.col("prev").isNull(),
+        F.array(F.struct(F.lit("+I").alias("op"), F.col("value").alias("v"))),
+    ).otherwise(
+        F.array(
+            F.struct(F.lit("-U").alias("op"), F.col("prev").alias("v")),
+            F.struct(F.lit("+U").alias("op"), F.col("value").alias("v")),
+        )
+    )
+    return rows.select(
+        "user_id", "ts", "event_id", F.explode(changes).alias("c")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("c.op").alias("op"),
+        F.col("c.v").cast("double").alias("value"),
+    )

@@ -107,6 +107,7 @@ def test_interval_join_no_cartesian(spark):
         ("j10_asof_join", 1),
         ("st8_scd2_intervals", 1),  # both windows share one user_id sort
         ("c7_quota_sample", 1),     # the per-stratum rank window only
+        ("st9_retract_changelog", 1),  # lag window; explode is map-side
     ],
 )
 def test_shuffle_budget(spark, name, budget):
