@@ -139,3 +139,39 @@ def test_scd2_stream_wire(spark, tmp_path):
     q = run_scd2_stream(spark, stream, state, out, ckpt)
     q.awaitTermination(240)
     assert _got(spark, out) == _expected(spark)
+
+
+def test_scd2_late_close_across_absent_batch(spark, tmp_path):
+    """A version must close correctly even when its entity skips whole
+    batches: the open interval passes through snapshots untouched, and
+    the close re-emits the version in the later batch (compaction takes
+    the newest emission)."""
+    import datetime as dt
+
+    def T(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = spark.createDataFrame(
+        [
+            (7, "x", T(1), 1),   # batch 0: user 7 opens version 1 (x)
+            (8, "a", T(2), 2),   # batch 1: only user 8 — user 7 absent
+            (7, "y", T(10), 3),  # batch 2: user 7 switches x -> y
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    for b in range(3):
+        apply_scd2_batch(
+            spark, rows.where(F.col("event_id") == b + 1), b, state, out
+        )
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in compact_scd2_log(spark, out).collect()
+    }
+    assert got == {
+        (7, 1): ("x", T(1), T(10), 0),   # closed two batches later
+        (7, 2): ("y", T(10), None, 1),
+        (8, 1): ("a", T(2), None, 1),
+    }

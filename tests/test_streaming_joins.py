@@ -230,3 +230,40 @@ def test_lookup_join_stream_static(spark, tmp_path, events_dir):  # noqa: F811
         & (F.col("segment") != F.concat(F.lit("segment_"), (F.col("user_id") % 5).cast("string")))
     ).count()
     assert wrong == 0
+
+
+def test_asof_same_instant_order_is_visible(spark):
+    """j10's 'at or before' boundary: an order dated exactly at the
+    event timestamp must match (the kind-ordered union sort puts order
+    rows ahead of event rows at equal timestamps), and equal-date orders
+    break ties to the max orderkey."""
+    import datetime as dt
+
+    from real_time_data_warehouse_spark.operators.joins import j10_asof_join
+
+    T = dt.datetime(2024, 3, 1, 12, 0, 0)
+    orders = spark.createDataFrame(
+        [(100, 5, "O", 10.0, T, "1-URGENT"),
+         (101, 5, "O", 20.0, T, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    events = spark.createDataFrame(
+        [(1, T, 5, "click", 1.0, "{}"),
+         (2, T - dt.timedelta(seconds=1), 5, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_id"]: r["asof_orderkey"]
+            for r in j10_asof_join(spark, d).collect()
+        }
+    # event at T sees the same-instant orders and takes the max key;
+    # the earlier event sees nothing
+    assert got == {1: 101, 2: None}
