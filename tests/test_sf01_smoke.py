@@ -26,6 +26,9 @@ SMOKE = (
     "s2_lsh_ann_topk",          # bucket occupancy grows 4×
     "t2_quality_score",         # hit a ROUND boundary only at this scale
     "t4_fingerprint",
+    "d5_embedding_neardup",     # banded candidate volume grows ~10×
+    "j10_asof_join",            # orders-per-customer history deepens
+    "s5_pq_adc_topk",           # codebooks train on 10× vectors
 )
 
 
