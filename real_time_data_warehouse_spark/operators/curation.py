@@ -452,3 +452,51 @@ def c7_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+_TRAIN_PCT = 90
+
+
+@register(
+    "c8_leakage_safe_split",
+    survey="ext-curation,ext-dedup",
+    doc=f"Leakage-safe train/val split: the {_TRAIN_PCT}/"
+        f"{100 - _TRAIN_PCT} assignment hashes the near-dup CLUSTER id "
+        "(d6's connected components over MinHash candidate pairs), not "
+        "the document id — so a near-duplicate of a training document "
+        "can never land in validation (the eval-leakage failure mode "
+        "doc-level random splits have). Deterministic content hash, no "
+        "rand(): the split is reproducible across runs, engines and "
+        "partitionings. Composes d6; the split itself adds only a "
+        "narrow projection.",
+    oracle=None,  # attached below from the d6 oracle
+)
+def c8_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, sf_dir)
+    bucket = md5_hash(F.col("cluster_id").cast("string")) % 100
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < _TRAIN_PCT, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
+def _c8_oracle() -> str:
+    d6 = QUERY_REGISTRY["d6_dedup_clusters"].oracle
+    h = md5_hash_sql("CAST(cluster_id AS VARCHAR)")
+    return f"""
+        WITH d6 AS ({d6})
+        SELECT doc_id, cluster_id,
+               CASE WHEN {h} % 100 < {_TRAIN_PCT}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM d6
+    """
+
+
+import dataclasses as _dc8
+
+QUERY_REGISTRY["c8_leakage_safe_split"] = _dc8.replace(
+    QUERY_REGISTRY["c8_leakage_safe_split"], oracle=_c8_oracle()
+)

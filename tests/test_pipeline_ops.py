@@ -101,3 +101,23 @@ def test_c5_suppression_and_pseudonym_stability(spark):
         assert len(pseudos) == 1  # stable within a pepper rotation
     all_pseudos = [next(iter(p)) for p in per_user.values()]
     assert len(set(all_pseudos)) == len(all_pseudos)  # distinct across users
+
+
+def test_leakage_safe_split_cluster_purity(spark):
+    """c8's whole point: no near-dup cluster may straddle the train/val
+    boundary, and both splits must be non-empty on the fixture."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    df = QUERY_REGISTRY["c8_leakage_safe_split"].fn(spark, SF_DIR)
+    mixed = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    sizes = {r["split"]: r["count"] for r in df.groupBy("split").count().collect()}
+    assert set(sizes) == {"train", "val"} and min(sizes.values()) > 0
