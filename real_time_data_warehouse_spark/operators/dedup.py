@@ -827,3 +827,74 @@ def d8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 4).cast("double").alias("contamination"),
         )
     )
+
+
+_CONTAIN_MIN = 0.8
+
+
+@register(
+    "d12_shingle_containment",
+    survey="ext-dedup",
+    doc=f"ASYMMETRIC containment pairs (the quote-inclusion dedup rung): "
+        "C(A,B) = |A∩B| / min(|A|,|B|) ≥ "
+        f"{_CONTAIN_MIN} flags a short document whose shingles are mostly "
+        "inside a longer one — boilerplate wrappers, quoted excerpts, "
+        "doc-in-doc concatenations. Jaccard (d2/d2b) structurally MISSES "
+        "these: a 10x length skew caps J at ~0.1 and d2's size-ratio "
+        "prune discards the pair before scoring; containment has no size "
+        f"prune by design. Same capped inverted index as d2b (> "
+        f"{_FREQ_CAP}-doc shingles dropped) so per-shingle fan-out stays "
+        "bounded at 100 TB.",
+    oracle=f"""
+        WITH sh AS ({_shingles_sql(hashed=False)}),
+        kept AS (
+            SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_FREQ_CAP}
+        ),
+        fsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept k ON s.sh = k.sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(ROUND(CAST(p.inter AS DOUBLE) /
+                    LEAST(sa.n, sb.n), 4) AS DOUBLE) AS containment
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_MIN}
+    """,
+)
+def d12_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # identical capped-bucket shape to d2b; only the score differs —
+    # deliberately NO size-ratio prune (the asymmetric pairs it would
+    # drop are exactly the ones this operator exists to find)
+    sh = _doc_shingles(t, hashed=False)
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= _FREQ_CAP)
+    )
+    kept_docs = buckets.select(F.explode("ds").alias("doc_id"))
+    sizes = kept_docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = buckets.where(F.size("ds") >= 2).select(
+        F.posexplode("ds").alias("i", "doc_a"), "ds"
+    ).select(
+        "doc_a",
+        F.explode(F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))).alias("doc_b"),
+    )
+    pairs = cand.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("inter").cast("double") / F.least("na", "nb")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(cont >= _CONTAIN_MIN)
+        .select(
+            "doc_a", "doc_b",
+            F.round(cont, 4).cast("double").alias("containment"),
+        )
+    )

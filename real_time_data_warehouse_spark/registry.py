@@ -120,6 +120,7 @@ MANIFEST: tuple[str, ...] = (
     "st8s_scd2_replay",
     "st9_retract_changelog",
     "c8_leakage_safe_split",
+    "d12_shingle_containment",
     # --- slot 50 boundary region: everything below was driver-green in
     # round 3 (CORRECTNESS_r03.json) and is unchanged since ---
     "f_scalar_suite",

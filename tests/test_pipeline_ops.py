@@ -121,3 +121,29 @@ def test_leakage_safe_split_cluster_purity(spark):
     assert mixed == 0
     sizes = {r["split"]: r["count"] for r in df.groupBy("split").count().collect()}
     assert set(sizes) == {"train", "val"} and min(sizes.values()) > 0
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark, tmp_path):
+    """A short document fully contained in a long one: containment = 1.0
+    but Jaccard ~ |short|/|long| stays far below d2's 0.6 threshold (and
+    d2's size-ratio prune drops the pair before scoring)."""
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    long_words = " ".join(f"w{i}" for i in range(100))
+    short_words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, long_words, "en", "srcA", len(long_words)),
+         (2, short_words, "en", "srcB", len(short_words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "mini")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = QUERY_REGISTRY["d12_shingle_containment"].fn(spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    assert QUERY_REGISTRY["d2_ngram_jaccard_pairs"].fn(spark, d).count() == 0
