@@ -147,3 +147,63 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark, tmp_path):
         (1, 2, 1.0)
     ]
     assert QUERY_REGISTRY["d2_ngram_jaccard_pairs"].fn(spark, d).count() == 0
+
+
+def test_quota_sample_kept_counts_exact(spark):
+    """c7: every stratum keeps exactly min(quota, |stratum|) docs."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_warehouse_spark.operators.curation import (
+        _QUOTA_PER_STRATUM,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    df = QUERY_REGISTRY["c7_quota_sample"].fn(spark, SF_DIR)
+    per = df.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("kept").alias("k")
+    )
+    bad = per.where(
+        F.col("k") != F.least(F.lit(_QUOTA_PER_STRATUM), F.col("n"))
+    ).count()
+    assert bad == 0
+
+
+def test_changelog_replays_to_last_value(spark):
+    """st9 semantic closure: folding the changelog (apply +I/+U, retract
+    -U) per key reproduces the plain last-value materialization — the
+    net-equivalence contract between the producer and ST1-style
+    consumers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    log = QUERY_REGISTRY["st9_retract_changelog"].fn(spark, SF_DIR)
+    # additive fold: sum of (+ rows) - sum of (- rows) per key == last
+    # value, because every superseded value appears exactly once with
+    # each sign
+    folded = log.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("op").isin("+I", "+U"), F.col("value")).otherwise(
+                -F.col("value")
+            )
+        ).alias("net")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        Tables(spark, SF_DIR)
+        .events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+    diffs = (
+        folded.join(last, "user_id")
+        .where(F.abs(F.col("net") - F.col("last_value")) > 1e-9)
+        .count()
+    )
+    assert diffs == 0
