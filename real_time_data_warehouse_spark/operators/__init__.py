@@ -17,6 +17,7 @@ _MODULES = (
     "multimodal",
     "sql_apps",
     "curation",  # composes d7/t1/t2/t3 — must load after them
+    "retrieval",
     "projections",
     "joins",
     "aggregations",

@@ -447,3 +447,68 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_user").cast("bigint").alias("min_user"),
         F.col("max_user").cast("bigint").alias("max_user"),
     )
+
+
+_W10_DELAY_MS = 30_000  # watermark delay the audit scores against
+
+
+@register(
+    "w10_late_event_audit",
+    survey="W4,W5,ext-scale",
+    doc="Watermark / late-data audit (the batch mirror of W4-W5's "
+        "allowed-lateness semantics): per user, events are replayed in "
+        "arrival order (event_id) and each event's lateness is measured "
+        "against the running max event-time seen so far — an event more "
+        "than 30 s behind that high-water mark would have been dropped "
+        "by a 30 s watermark. Output is the per-event_type audit: how "
+        "many events, how many late, and the worst lateness. The window "
+        "partitions by user_id (never a global sort — an unpartitioned "
+        "running max serializes the corpus through one reducer at "
+        "100 TB), then ONE partial-agg shuffle on event_type. Integer "
+        "millisecond math only — no float risk.",
+    oracle=f"""
+        WITH marked AS (
+            SELECT event_type,
+                   greatest(0, COALESCE(
+                       MAX(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) - epoch_ms(ts)) AS lateness_ms
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN lateness_ms > {_W10_DELAY_MS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(MAX(lateness_ms) AS BIGINT) AS max_lateness_ms
+        FROM marked
+        GROUP BY event_type
+    """,
+)
+def w10_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    highwater = F.coalesce(
+        F.max(F.unix_millis("ts")).over(w), F.lit(0)
+    )
+    marked = t.events.select(
+        "event_type",
+        F.greatest(F.lit(0), highwater - F.unix_millis("ts")).alias(
+            "lateness_ms"
+        ),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("lateness_ms") > _W10_DELAY_MS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("lateness_ms").cast("bigint").alias("max_lateness_ms"),
+    )

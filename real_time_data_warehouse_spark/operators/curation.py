@@ -500,3 +500,122 @@ import dataclasses as _dc8
 QUERY_REGISTRY["c8_leakage_safe_split"] = _dc8.replace(
     QUERY_REGISTRY["c8_leakage_safe_split"], oracle=_c8_oracle()
 )
+
+
+_CHUNK_SIZE = 64  # tokens per chunk (c9)
+_CHUNK_STRIDE = 48  # chunk start spacing → 16-token overlap
+
+
+@register(
+    "c9_doc_chunks",
+    survey="ext-curation,ext-text",
+    doc=f"Overlapping document chunking: every doc is split into "
+        f"{_CHUNK_SIZE}-token windows every {_CHUNK_STRIDE} tokens "
+        f"({_CHUNK_SIZE - _CHUNK_STRIDE}-token overlap) — the unit "
+        "retrieval indexes and long-context training actually consume; "
+        "the overlap keeps boundary-straddling spans findable. Chunk "
+        "count, offsets and the per-chunk content hash are all integer/"
+        "md5 arithmetic; the explode is map-side (sequence + slice "
+        "inside codegen, zero shuffle) so chunking is embarrassingly "
+        "parallel at any scale. Short docs yield exactly one chunk.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, toks,
+                   CAST(1 + floor((greatest(len(toks) - {_CHUNK_SIZE}, 0)
+                        + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}.0)
+                        AS BIGINT) AS n_chunks
+            FROM (SELECT doc_id, {{t}} AS toks FROM documents) b
+        ),
+        e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, n_chunks)) AS chunk_id
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))
+                    AS BIGINT) AS chunk_len,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                       chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+                   AS chunk_hash
+        FROM e
+    """,
+)
+def c9_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", tokenize("text").alias("toks"))
+    n = F.size("toks")
+    n_chunks = (
+        1
+        + F.floor(
+            (F.greatest(n - _CHUNK_SIZE, F.lit(0)) + (_CHUNK_STRIDE - 1))
+            / F.lit(float(_CHUNK_STRIDE))
+        )
+    ).cast("bigint")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    chunk = F.slice("toks", start + 1, F.lit(_CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+import dataclasses as _dc9  # noqa: E402
+
+from real_time_data_warehouse_spark.functions.text import tokenize_sql as _tok_sql  # noqa: E402
+
+QUERY_REGISTRY["c9_doc_chunks"] = _dc9.replace(
+    QUERY_REGISTRY["c9_doc_chunks"],
+    oracle=QUERY_REGISTRY["c9_doc_chunks"].oracle.format(
+        t=_tok_sql("text")
+    ),
+)
+
+
+@register(
+    "c3s_packing_replay",
+    survey="ext-curation",
+    doc="Streaming sequence-packing replay: the documents table is split "
+        "into 4 ascending-doc_id batches and pushed through "
+        "streaming/packing.apply_pack_batch — the exact foreachBatch "
+        "body, continuing each batch from the persisted 32-row per-shard "
+        "running-total snapshot — then the per-batch assignments are "
+        "concatenated. Checked against the ONE-PASS c3 oracle: a green "
+        "row is the driver verifying incremental packing ≡ the batch "
+        "cumsum (previously pinned only by tests/test_pack_stream.py). "
+        "Completes the replay family (d7s lexical, d9s semantic, st8s "
+        "SCD2, c3s packing).",
+    oracle=None,  # attached below: the composed c3 oracle, verbatim
+)
+def c3s_packing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators.gate_replay import (
+        _replay_batches,
+    )
+    from real_time_data_warehouse_spark.streaming import packing
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    return _replay_batches(spark, docs, "doc_id", packing.apply_pack_batch)
+
+
+QUERY_REGISTRY["c3s_packing_replay"] = _dc9.replace(
+    QUERY_REGISTRY["c3s_packing_replay"],
+    oracle=QUERY_REGISTRY["c3_sequence_packing"].oracle,
+)

@@ -465,3 +465,72 @@ def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_orderdate",
         "asof_totalprice",
     )
+
+
+# j11 price bands — deliberately NON-uniform [lo, hi) intervals so the
+# bin-cover trick is doing real work (uniform bands would reduce to a
+# trivial floor(price/width) equi-join with no residual).
+_J11_BANDS = (
+    ("low", 0, 50_000),
+    ("mid", 50_000, 150_000),
+    ("high", 150_000, 300_000),
+    ("premium", 300_000, 500_000),
+)
+_J11_BIN_W = 50_000
+
+
+def _j11_bands_sql() -> str:
+    return ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _J11_BANDS)
+
+
+@register(
+    "j11_range_join",
+    survey="J4,ext-scale",
+    doc="Bin-cover RANGE join: orders are banded by non-uniform "
+        "[lo, hi) price intervals. A naive theta-join (lo <= price AND "
+        "price < hi) plans as broadcast-nested-loop — every row tests "
+        "every band, O(|facts| x |bands|) compares and no pruning at "
+        "100 TB band counts. Instead each band is expanded to the fixed-"
+        "width bins it overlaps (driver-side, |bands| x bins/band rows), "
+        "the fact computes bin = floor(price / width) map-side, and the "
+        "join runs as a broadcast HASH join on the bin key with the "
+        "range check as residual — each fact row meets only the bands "
+        "covering its bin. The standard interval-index trick for range/"
+        "interval joins, declared so Catalyst still sees an equi-join. "
+        "Money through DECIMAL(18,2) (exact for 2-decimal inputs).",
+    oracle=f"""
+        SELECT d.band,
+               CAST(d.lo AS BIGINT) AS lo,
+               CAST(d.hi AS BIGINT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_amount
+        FROM orders o
+        JOIN (VALUES {_j11_bands_sql()}) AS d(band, lo, hi)
+          ON o.o_totalprice >= d.lo AND o.o_totalprice < d.hi
+        GROUP BY d.band, d.lo, d.hi
+    """,
+)
+def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # band → covered bins, expanded driver-side (tiny: |bands| x bins/band)
+    expanded = [
+        (band, lo, hi, b)
+        for band, lo, hi in _J11_BANDS
+        for b in range(lo // _J11_BIN_W, (hi - 1) // _J11_BIN_W + 1)
+    ]
+    bins = spark.createDataFrame(
+        expanded, "band string, lo bigint, hi bigint, bin bigint"
+    )
+    facts = t.orders.select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _J11_BIN_W).cast("bigint").alias("bin"),
+    )
+    joined = facts.join(F.broadcast(bins), "bin").where(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return joined.groupBy("band", "lo", "hi").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_amount"),
+    )

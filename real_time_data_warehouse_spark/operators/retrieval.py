@@ -1,0 +1,221 @@
+"""Ranked retrieval + corpus n-gram statistics over `documents`
+(north-star extension: the search/index side of a training-data
+pipeline — find what's IN the corpus before deciding what to train on).
+
+s6 is BM25 keyword search in inverted-index shape: tokens are filtered
+to the query terms BEFORE the explode (map-side, the corpus never
+shuffles at full token width), per-(doc, term) tf and per-term df each
+take one partial-agg shuffle over rows already reduced to query-term
+hits, the 3-row df table and the 1-row corpus stats broadcast back.
+That is exactly the posting-list scan a search engine does, expressed
+declaratively — at 100 TB the only wide data in flight is
+|docs matching any query term| x |query terms|.
+
+Cross-engine value discipline (the registry's contract): the only
+transcendental (idf's ln) is quantized to 1e-3 before use, every other
+step is IEEE-exact (divisions/multiplications of the same expression
+shape evaluate bit-identically in Spark and DuckDB), and per-term
+contributions are floored to integer micros so the final per-doc SUM is
+associative — engine aggregation order cannot change the result.
+
+t7 is corpus-level bigram statistics (the n-gram profile behind
+contamination screens and domain mixing): explode bigrams, one
+partial-agg shuffle, top-k with a deterministic (count desc, bigram asc)
+tie-break — integers only, no float risk.
+
+Reference parity: the reference's keyword pipeline tokenizes and counts
+keywords per window (KeywordUDTF.java:14-21 via DwsTrafficSourceKeyword
+PageViewWindow.java); s6/t7 are the corpus-retrieval generalization of
+that same tokenize→explode→aggregate shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.text import tokenize, tokenize_sql
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+# Fixed query — literals shared by the Spark plan and the oracle.
+_QUERY_TERMS = ("merge", "spark", "vector")
+_K1 = 1.2
+_K1P1 = 2.2  # k1 + 1 as ONE literal: both engines parse the same double
+_B = 0.75
+_TOPK = 20
+
+
+def _terms_sql() -> str:
+    return "(" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
+
+
+@register(
+    "s6_bm25_topk",
+    survey="ext-text,ext-similarity,U1,A6",
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query-term "
+        "set, inverted-index shape: filter tokens to query terms BEFORE "
+        "exploding (map-side shrink), one shuffle each for per-(doc,term) "
+        "tf and per-term df, df + corpus stats broadcast back, top-k via "
+        "TakeOrderedAndProject. idf is ln-quantized to 1e-3 and per-term "
+        "contributions floor to integer micros, so the per-doc sum is "
+        "associative and engine-independent.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len({{t}}) AS BIGINT) AS dl,
+                   list_filter({{t}}, x -> x IN {_terms_sql()}) AS qtoks
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM d) x
+            GROUP BY doc_id, dl, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(
+                       (floor(ln(1 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                                     / (df.df + 0.5)) * 1000 + 0.5) / 1000)
+                       * (tf.tf * {_K1P1})
+                       / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl
+                              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                       * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               CAST(CAST(SUM(contrib_micro) AS DOUBLE) / 1000000
+                    AS DOUBLE) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {_TOPK}
+    """.format(t=tokenize_sql("text")),
+)
+def s6_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        # map-side shrink: only query-term hits survive to the explode
+        F.filter(toks, lambda x: x.isin(*_QUERY_TERMS)).alias("qtoks"),
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # materialize tf ONCE: df is derived from it, and without the
+    # checkpoint Catalyst re-computes the whole corpus-scan subtree for
+    # each consumer (the d3 discipline — one pass over the big table)
+    tf = (
+        d.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # idf quantized to 1e-3: the single ln is the only non-IEEE-exact op
+    idf_q = (
+        F.floor(
+            F.log(
+                1
+                + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * 1000
+            + F.lit(0.5)
+        )
+        / 1000
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = (
+        idf_q
+        * (F.col("tf") * F.lit(_K1P1))
+        / (F.col("tf") + F.lit(_K1) * (1 - F.lit(_B) + F.lit(_B) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(contrib * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("contrib_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (F.sum("contrib_micro").cast("double") / 1000000)
+            .cast("double")
+            .alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_TOPK)
+    )
+
+
+_NGRAM_TOPK = 50
+
+
+@register(
+    "t7_ngram_stats",
+    survey="ext-text",
+    doc="Corpus-level bigram statistics: explode word-2-grams, ONE "
+        "partial-agg shuffle computing occurrence count + document "
+        "frequency per bigram, top-50 with deterministic "
+        "(count desc, bigram asc) tie-break — the n-gram profile that "
+        "feeds contamination screens and domain-mix decisions. Integers "
+        "only; count_distinct(doc_id) rides the same shuffle as the "
+        "count (Spark plans a two-phase distinct agg, no extra pass "
+        "over the corpus).",
+    oracle=f"""
+        SELECT bigram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS bigram
+            FROM (SELECT doc_id, {{t}} AS toks FROM documents) b
+        ) g
+        GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram
+        LIMIT {_NGRAM_TOPK}
+    """.format(t=tokenize_sql("text")),
+)
+def t7_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        g.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(_NGRAM_TOPK)
+    )

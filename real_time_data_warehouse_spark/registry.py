@@ -59,23 +59,40 @@ def register(
 # Driver visit order — EXPLICIT manifest, not import side-effect order.
 # The external correctness driver truncates at 50 queries per round
 # (observed rounds 1-3; documented in BASELINE.md), so the first 50
-# slots are the only hard-signal slots. Round-4 priority tiers:
-#   1-3   changed this round: the banded-LSH rebase moved d5/d9 (and the
-#         d9s streaming replay) from the single 64-bucket table to the
-#         (band, bucket) OR-construction — their fresh oracles must meet
-#         the driver first;
-#   4-39  last driver-verified in round 2 (round 3 ran the then-first 50,
-#         which excluded these);
-#   40-50 new round-4 queries (registered below as they land);
-#   51+   driver-green in round 3 and unchanged since.
+# slots are the only hard-signal slots. Round-5 priority tiers (round 4
+# produced NO CORRECTNESS_r04.json — the driver's correctness pass did
+# not record that round — so every round-4 addition is still
+# never-driver-verified):
+#   1-11  never driver-verified: the round-4 banded-LSH rebase of d5/d9
+#         (+ the d9s replay) and the eight round-4 queries;
+#   12-17 new round-5 queries;
+#   18-50 last driver-verified in round 2 (33 of the 36 — the three
+#         sql* apps fall below the cap; their underlying operators
+#         j1/a6/a7/a8 are all round-3 green);
+#   51+   driver-green in round 3 (or round 2 for sql*) and unchanged.
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
 # on any mismatch, and tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # tier 1: changed by the round-4 banded-LSH rebase
+    # tier 1: never driver-verified (round 4 recorded no correctness run)
     "d5_embedding_neardup",
     "d9_semantic_gate",
     "d9s_semantic_gate_replay",
-    # tier 2: last driver-verified in round 2 (skipped by round 3's cut)
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
+    "s5_pq_adc_topk",
+    "st8s_scd2_replay",
+    "st9_retract_changelog",
+    "c8_leakage_safe_split",
+    "d12_shingle_containment",
+    # tier 2: new round-5 queries
+    "s6_bm25_topk",
+    "t7_ngram_stats",
+    "c9_doc_chunks",
+    "c3s_packing_replay",
+    "j11_range_join",
+    "w10_late_event_audit",
+    # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
     "t1b_trigram_langid",
@@ -87,9 +104,6 @@ MANIFEST: tuple[str, ...] = (
     "m1_media_features",
     "m2_frame_sampling",
     "m3_corrupt_quarantine",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
     "c1_corpus_curation",
     "c2_stratified_sample",
     "c3_sequence_packing",
@@ -112,17 +126,12 @@ MANIFEST: tuple[str, ...] = (
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
-    # tier 3: new round-4 queries land here (slots up to the 50 boundary)
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
-    "d12_shingle_containment",
-    # --- slot 50 boundary region: everything below was driver-green in
-    # round 3 (CORRECTNESS_r03.json) and is unchanged since ---
+    # --- slot 50 boundary: everything below was driver-green in round 3
+    # (CORRECTNESS_r03.json) — or round 2 for the three sql* apps, whose
+    # underlying operators are round-3 green — and is unchanged since ---
+    "sql1_order_detail_app",
+    "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
     "f_scalar_suite",
     "a2b_approx_distinct",
     "j9_salted_skew_join",
