@@ -619,3 +619,47 @@ QUERY_REGISTRY["c3s_packing_replay"] = _dc9.replace(
     QUERY_REGISTRY["c3s_packing_replay"],
     oracle=QUERY_REGISTRY["c3_sequence_packing"].oracle,
 )
+
+
+@register(
+    "c1s_curation_replay",
+    survey="ext-curation,ext-dedup,ext-text",
+    doc="Streaming curation replay: the documents table is split into 4 "
+        "ascending-doc_id batches and pushed through "
+        "streaming/curation.curate_batch — the exact foreachBatch body: "
+        "signature-store classification, language + quality signals, "
+        "keep/drop decision with reason — then the per-batch decision "
+        "logs are concatenated. Checked against the ONE-PASS c1 oracle: "
+        "a green row is the driver verifying the LIVE admission pipeline "
+        "≡ the batch curation query (previously pinned only by "
+        "tests/test_curation_stream.py). With c3s/d7s/d9s/st8s this "
+        "driver-verifies every streaming gate in the repo.",
+    oracle=None,  # attached below: the composed c1 oracle, verbatim
+)
+def c1s_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from real_time_data_warehouse_spark.operators.gate_replay import (
+        _replay_batches,
+    )
+    from real_time_data_warehouse_spark.streaming import curation
+    from real_time_data_warehouse_spark.tables import Tables
+
+    def read_decisions(spark_, base_dir):
+        d = os.path.join(base_dir, "decisions")
+        return (
+            spark_.read.option("basePath", d).parquet(d).drop("batch_id")
+        )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    return _replay_batches(
+        spark, docs, "doc_id", curation.curate_batch,
+        finalize=read_decisions,
+    )
+
+
+QUERY_REGISTRY["c1s_curation_replay"] = _dc9.replace(
+    QUERY_REGISTRY["c1s_curation_replay"],
+    oracle=QUERY_REGISTRY["c1_corpus_curation"].oracle,
+)

@@ -219,3 +219,207 @@ def t7_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "bigram")
         .limit(_NGRAM_TOPK)
     )
+
+
+_RERANK_K = 10
+_QUERY_VEC_ID = 0  # fixed query-intent vector for the s7 rerank stage
+
+
+@register(
+    "s7_hybrid_rerank",
+    survey="ext-similarity,ext-text",
+    doc=f"Hybrid two-stage retrieval: the s6 BM25 top-{_TOPK} shortlist "
+        "is re-ranked by EXACT cosine against a fixed query-intent "
+        f"vector (embeddings.vec_id = {_QUERY_VEC_ID}), top-{_RERANK_K} "
+        "kept — lexical recall, semantic precision, the standard "
+        "retrieve-then-rerank architecture. The expensive exact cosine "
+        "touches only the |shortlist| rows (never the corpus — the whole "
+        "point of the two-stage shape at 100 TB); the query vector is a "
+        "1-row broadcast and the rerank window runs on the "
+        f"{_TOPK}-row shortlist, so the single-partition window is "
+        "trivially bounded. Ranking orders by the unrounded sim with a "
+        "doc_id tie-break (the s1 discipline); sim surfaces rounded to "
+        "6 places.",
+    oracle=None,  # attached below: composes the s6 oracle as a CTE
+)
+def s7_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.operators.similarity import cosine
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    shortlist = QUERY_REGISTRY["s6_bm25_topk"].fn(spark, sf_dir).select(
+        "doc_id", "bm25"
+    )
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        shortlist.join(emb, shortlist.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("sim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _RERANK_K)
+        .select(
+            "doc_id",
+            "bm25",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 30
+
+
+@register(
+    "t8_pmi_bigrams",
+    survey="ext-text",
+    doc=f"Collocation mining: PMI-scored bigrams (count ≥ "
+        f"{_PMI_MIN_COUNT}, top-{_PMI_TOPK}) — which word pairs co-occur "
+        "far above chance; the phrase-detection signal tokenizer and "
+        "domain-vocabulary analyses start from. Unigram and bigram "
+        "counts each take one partial-agg shuffle; the bigram table then "
+        "joins the unigram table on each side's word (shuffle joins — "
+        "the vocabulary is NOT assumed broadcast-small at corpus scale). "
+        "PMI's ln is quantized to 1e-6 (the s6 discipline) and the "
+        "probability ratio is computed divisions-first so every "
+        "intermediate stays in IEEE-exact range (a naive count product "
+        "overflows 2^53 at large T).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {{t}} AS toks FROM documents
+        ),
+        uni AS (
+            SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(toks) AS tok FROM toks) u
+            GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS t_uni FROM uni
+        ),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i])) AS w1,
+                       unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i + 1])) AS w2
+                FROM toks
+                WHERE len(toks) >= 2
+            ) p
+            GROUP BY w1, w2
+        ),
+        btot AS (
+            SELECT CAST(SUM(n_xy) AS BIGINT) AS t_big FROM big
+        )
+        SELECT b.w1, b.w2, b.n_xy,
+               CAST(floor(ln(
+                   (CAST(b.n_xy AS DOUBLE) / t.t_big)
+                   / ((u1.c / CAST(s.t_uni AS DOUBLE))
+                      * (u2.c / CAST(s.t_uni AS DOUBLE)))
+               ) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN tot s CROSS JOIN btot t
+        WHERE b.n_xy >= {_PMI_MIN_COUNT}
+        ORDER BY pmi DESC, b.w1, b.w2
+        LIMIT {_PMI_TOPK}
+    """.format(t=tokenize_sql("text")),
+)
+def t8_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks_col = tokenize("text")
+    base = t.documents.select("doc_id", toks_col.alias("toks"))
+    # materialize the token arrays once: unigrams and bigrams both
+    # derive from them (the s6/d3 one-pass-over-the-corpus discipline)
+    base = base.localCheckpoint(eager=True)
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # consumed twice (w1 and w2 joins)
+    )
+    tot = uni.agg(F.sum("c").alias("t_uni"))
+    pairs = base.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p")
+    )
+    big = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .localCheckpoint(eager=True)  # feeds btot AND the scored join
+    )
+    btot = big.agg(F.sum("n_xy").alias("t_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (F.col("n_xy").cast("double") / F.col("t_big")) / (
+        (F.col("c1") / F.col("t_uni").cast("double"))
+        * (F.col("c2") / F.col("t_uni").cast("double"))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .where(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (F.floor(F.log(ratio) * 1000000 + F.lit(0.5)) / 1000000)
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+import dataclasses as _dcr  # noqa: E402
+
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY as _QRR  # noqa: E402
+
+_QRR["s7_hybrid_rerank"] = _dcr.replace(
+    _QRR["s7_hybrid_rerank"],
+    oracle=f"""
+        WITH s6 AS ({_QRR["s6_bm25_topk"].oracle}),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+        scored AS (
+            SELECT s6.doc_id, s6.bm25,
+                   list_inner_product(q.qv, e.v) /
+                       (sqrt(list_inner_product(q.qv, q.qv)) *
+                        sqrt(list_inner_product(e.v, e.v))) AS sim
+            FROM s6 JOIN e ON e.vec_id = s6.doc_id CROSS JOIN q
+        )
+        SELECT doc_id, bm25, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_RERANK_K}
+    """,
+)

@@ -65,10 +65,11 @@ def register(
 # never-driver-verified):
 #   1-11  never driver-verified: the round-4 banded-LSH rebase of d5/d9
 #         (+ the d9s replay) and the eight round-4 queries;
-#   12-17 new round-5 queries;
-#   18-50 last driver-verified in round 2 (33 of the 36 — the three
-#         sql* apps fall below the cap; their underlying operators
-#         j1/a6/a7/a8 are all round-3 green);
+#   12-20 new round-5 queries;
+#   21-50 last driver-verified in round 2 (30 of the 36 — the three
+#         sql* apps and three single-predicate p-filters fall below the
+#         cap; their underlying operators are round-3 green or share
+#         in-cap machinery);
 #   51+   driver-green in round 3 (or round 2 for sql*) and unchanged.
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
 # on any mismatch, and tests/test_registry_manifest.py pins the tiers.
@@ -87,9 +88,12 @@ MANIFEST: tuple[str, ...] = (
     "d12_shingle_containment",
     # tier 2: new round-5 queries
     "s6_bm25_topk",
+    "s7_hybrid_rerank",
     "t7_ngram_stats",
+    "t8_pmi_bigrams",
     "c9_doc_chunks",
     "c3s_packing_replay",
+    "c1s_curation_replay",
     "j11_range_join",
     "w10_late_event_audit",
     # tier 3: last driver-verified in round 2
@@ -117,9 +121,6 @@ MANIFEST: tuple[str, ...] = (
     "p5_cdc_state_transition",
     "p6_cart_delta",
     "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
     "j2_left_outer_join",
@@ -127,8 +128,12 @@ MANIFEST: tuple[str, ...] = (
     "j4_interval_join",
     "j5_lookup_dim_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
-    # (CORRECTNESS_r03.json) — or round 2 for the three sql* apps, whose
-    # underlying operators are round-3 green — and is unchanged since ---
+    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps and the three
+    # single-predicate p-filters (whose shared projection machinery is
+    # covered by the in-cap p-rows) — and is unchanged since ---
+    "p8_page_filter",
+    "p9_login_filter",
+    "p10_search_filter",
     "sql1_order_detail_app",
     "sql2_keyword_window_app",
     "sql3_serving_gmv_app",

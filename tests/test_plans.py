@@ -167,3 +167,48 @@ def test_column_pruning_fact_scan(spark):
     schemas = read_schema(df)
     li = [s for s in schemas if "l_orderkey" in s]
     assert li and all("l_tax" not in s and "l_shipdate" not in s for s in li)
+
+
+def test_j11_is_hash_join_not_nested_loop(spark):
+    """j11: the bin-cover rewrite must plan a broadcast HASH join on the
+    bin key (range check as residual) — a BroadcastNestedLoopJoin means
+    the rewrite regressed to the naive theta-join."""
+    df = q("j11_range_join", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) == 1
+
+
+def test_s6_broadcasts_df_and_stats(spark):
+    """s6: the df table and the 1-row corpus stats broadcast back onto
+    the tf rows; the corpus itself must never be on the build side."""
+    df = q("s6_bm25_topk", spark)
+    plan = formatted_plan(df)
+    # df join is a broadcast hash join; stats is a 1-row broadcast cross
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+    assert has_take_ordered(df)
+
+
+def test_t7_topk_is_take_ordered(spark):
+    """t7: corpus bigram top-k must be TakeOrderedAndProject (per-
+    partition heaps), never a global Sort over all bigrams."""
+    df = q("t7_ngram_stats", spark)
+    assert has_take_ordered(df)
+
+
+def test_c9_chunking_zero_shuffle(spark):
+    """c9: chunk explosion is sequence+slice inside codegen — any
+    exchange means the map-side claim in SCALE.md is no longer true."""
+    df = q("c9_doc_chunks", spark)
+    assert shuffle_count(df) == 0
+
+
+def test_w10_window_partitions_by_user(spark):
+    """w10: the running high-water mark must partition by user_id (one
+    exchange) plus the final event_type agg — a global running max
+    would show as a SinglePartition exchange."""
+    df = q("w10_late_event_audit", spark)
+    assert shuffle_count(df) <= 2
+    assert "SinglePartition" not in formatted_plan(df)

@@ -45,15 +45,19 @@ TIER1 = (
     "d12_shingle_containment",
     # new in round 5
     "s6_bm25_topk",
+    "s7_hybrid_rerank",
     "t7_ngram_stats",
+    "t8_pmi_bigrams",
     "c9_doc_chunks",
     "c3s_packing_replay",
+    "c1s_curation_replay",
     "j11_range_join",
     "w10_late_event_audit",
 )
-# Last driver-verified in round 2; the three sql* composition apps fall
-# below the 50-cap this round (their underlying operators j1/a6/a7/a8
-# are round-3 green), the other 33 stay inside it.
+# Last driver-verified in round 2; the three sql* composition apps and
+# the three single-predicate p-filters (p8/p9/p10) fall below the 50-cap
+# this round — their underlying operators are round-3 green or share
+# in-cap projection machinery — the other 30 stay inside it.
 TIER2 = (
     "s2_lsh_ann_topk",
     "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
@@ -63,8 +67,7 @@ TIER2 = (
     "c4_corpus_shuffle", "c5_pseudonymize", "c6_mixture_weights",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p5_cdc_state_transition", "p6_cart_delta",
-    "p7_dynamic_column_pruning", "p8_page_filter", "p9_login_filter",
-    "p10_search_filter", "p11_null_tombstone_filter",
+    "p7_dynamic_column_pruning", "p11_null_tombstone_filter",
     "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
     "j4_interval_join", "j5_lookup_dim_join",
 )
