@@ -20,6 +20,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
 from real_time_data_warehouse_spark.session import get_spark
 
+# Extended set: the heavier post-round-1 operators. NOT in the headline
+# total (that set is frozen for cross-round comparability — BASELINE.md);
+# measured median-of-3 the same way and reported under "extended" so
+# per-query truth exists at sf0.1 for the newer scale-sensitive ops too.
+EXTENDED = (
+    "s2b_lsh_multiband_topk",
+    "s3_ivf_ann_topk",
+    "s5_pq_adc_topk",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
+    "t7_ngram_stats",
+    "t8_pmi_bigrams",
+    "c9_doc_chunks",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "d12_shingle_containment",
+    "j10_asof_join",
+    "j11_range_join",
+    "st8_scd2_intervals",
+    "w10_late_event_audit",
+    "c7_quota_sample",
+    "c8_leakage_safe_split",
+)
+
 # Headline set: the flagship + one representative per operator family.
 HEADLINE = (
     "q0_flagship_trade_summary",
@@ -84,6 +108,16 @@ def main() -> None:
         cold[name] = round(samples[0], 3)
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
+    ext: dict[str, float] = {}
+    for name in (n for n in EXTENDED if n in QUERY_REGISTRY):
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        ext[name] = round(sorted(samples)[len(samples) // 2], 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -93,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold": cold,
+                "extended": ext,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -199,17 +199,31 @@ _NGRAM_TOPK = 50
 )
 def t7_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    toks = tokenize("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = t.documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+    # Pair adjacent tokens by zipping two slices of the SAME array — the
+    # element_at-inside-transform form re-evaluates the tokenize
+    # expression per element access (the nested-HOF pitfall documented
+    # at operators/dedup.py; measured 10× slower here). The repartition
+    # parallelizes past the single-row-group input split AND acts as the
+    # barrier that materializes the token arrays once (t1b discipline).
+    sc = t.documents.sparkSession.sparkContext
+    base = (
+        t.documents.select("doc_id", "text")
+        .repartition(sc.defaultParallelism)
+        .select("doc_id", tokenize("text").alias("toks"))
+    )
+    pairs = base.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    )
+    g = pairs.select(
+        "doc_id",
+        F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2")).alias("bigram"),
+    )
     return (
         g.groupBy("bigram")
         .agg(

@@ -212,3 +212,26 @@ def test_w10_window_partitions_by_user(spark):
     df = q("w10_late_event_audit", spark)
     assert shuffle_count(df) <= 2
     assert "SinglePartition" not in formatted_plan(df)
+
+
+def test_s7_rerank_is_shortlist_bounded(spark):
+    """s7: the exact-cosine stage must join the SHORTLIST to embeddings
+    (hash join on doc_id) plus the 1-row query-vector broadcast — a
+    corpus-wide crossJoin would show as a non-broadcast nested loop."""
+    df = q("s7_hybrid_rerank", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the only nested-loop joins are the two 1-row broadcasts (s6's
+    # corpus stats + the query vector), never a corpus-sized side
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_t8_vocab_joins_not_broadcast_corpus(spark):
+    """t8: the bigram/unigram tables join with no corpus-sized build
+    side; the only broadcasts are the two 1-row totals."""
+    df = q("t8_pmi_bigrams", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_take_ordered(df)
