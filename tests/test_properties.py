@@ -335,3 +335,92 @@ def test_label_propagation_handles_long_chain_within_default_bound(spark):
     labels = min_label_propagation(_chain_pairs(spark, 50))
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(50)}
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """c9 invariants on the fixture: chunk 0 starts at 0; consecutive
+    chunk starts differ by exactly the stride; the last chunk reaches
+    the final token (full coverage — no token falls outside every
+    chunk); all non-final chunks are full-size."""
+    from real_time_data_warehouse_spark.operators.curation import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    from pyspark.sql.window import Window
+
+    chunks = QUERY_REGISTRY["c9_doc_chunks"].fn(spark, SF_DIR)
+    toks = QUERY_REGISTRY["t3_token_count"].fn(spark, SF_DIR).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    wd = Window.partitionBy("doc_id")
+    flagged = chunks.withColumn(
+        "is_final", F.col("chunk_id") == F.max("chunk_id").over(wd)
+    )
+    per_doc = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.min("start_tok").alias("first_start"),
+            F.max(F.col("start_tok") + F.col("chunk_len")).alias("reach"),
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.sum(
+                (
+                    (F.col("chunk_len") < _CHUNK_SIZE) & ~F.col("is_final")
+                ).cast("int")
+            ).alias("short_non_final"),
+        )
+        .join(toks, "doc_id")
+    )
+    bad = per_doc.where(
+        (F.col("first_start") != 0)
+        | (F.col("reach") != F.col("n_tokens"))
+        | (F.col("n_chunks") != F.col("max_id") + 1)
+        | (F.col("short_non_final") > 0)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # consecutive starts differ by exactly the stride
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    gaps = (
+        chunks.select(
+            "doc_id",
+            (F.col("start_tok") - F.lag("start_tok").over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull() & (F.col("gap") != _CHUNK_STRIDE))
+    )
+    assert gaps.count() == 0
+
+
+def test_range_join_partitions_orders_exactly_once(spark):
+    """j11 invariant: the band intervals partition the price domain —
+    every order lands in EXACTLY one band (sum of per-band counts equals
+    the order count; no order matches two bands by construction of the
+    bin-cover join + residual)."""
+    t = Tables(spark, SF_DIR)
+    bands = QUERY_REGISTRY["j11_range_join"].fn(spark, SF_DIR)
+    total = bands.agg(F.sum("n_orders")).first()[0]
+    assert total == t.orders.count()
+
+
+def test_bm25_shortlist_is_subset_of_term_hitters(spark):
+    """s6 sanity: every returned doc actually contains at least one
+    query term, and n_terms never exceeds the query length."""
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        _QUERY_TERMS,
+    )
+    from real_time_data_warehouse_spark.functions.text import tokenize
+
+    top = QUERY_REGISTRY["s6_bm25_topk"].fn(spark, SF_DIR)
+    t = Tables(spark, SF_DIR)
+    hitters = t.documents.select(
+        "doc_id",
+        F.size(
+            F.filter(tokenize("text"), lambda x: x.isin(*_QUERY_TERMS))
+        ).alias("hits"),
+    )
+    joined = top.join(hitters, "doc_id")
+    bad = joined.where(
+        (F.col("hits") <= 0) | (F.col("n_terms") > len(_QUERY_TERMS))
+    )
+    assert bad.count() == 0
+    assert top.count() > 0
