@@ -663,3 +663,84 @@ QUERY_REGISTRY["c1s_curation_replay"] = _dc9.replace(
     QUERY_REGISTRY["c1s_curation_replay"],
     oracle=QUERY_REGISTRY["c1_corpus_curation"].oracle,
 )
+
+
+@register(
+    "c10_corpus_profile",
+    survey="ext-curation,ext-text,A10",
+    doc="Corpus datasheet: per-(source, predicted language) rollup of "
+        "document count, token volume and mean quality — the profile "
+        "table a data card or mixture-design pass reads, at every "
+        "hierarchy level (source × lang, source, corpus) in ONE pass "
+        "(Catalyst expands the rollup into grouping sets over a single "
+        "shuffle; the reference computes such rollup levels as separate "
+        "apps). Mean quality sums exactly through DECIMAL(18,4) (the "
+        "quality scores are 4-decimal-rounded by construction, so the "
+        "cast is exact) and surfaces with the engine-independent "
+        "floor-rounding.",
+    oracle=None,  # composed below from the t1/t2/t3 oracles
+)
+def c10_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec4
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    lang = QUERY_REGISTRY["t1_lang_id"].fn(spark, sf_dir).select(
+        "doc_id", "predicted_lang"
+    )
+    qual = QUERY_REGISTRY["t2_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    toks = QUERY_REGISTRY["t3_token_count"].fn(spark, sf_dir).select(
+        "doc_id", "ws_tokens"
+    )
+    j = (
+        t.documents.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(toks, "doc_id")
+    )
+    return j.rollup("source", "predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+        (
+            F.floor(
+                F.sum(dec4("quality_score")).cast("double")
+                / F.count("*")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .cast("double")
+        .alias("mean_quality"),
+    )
+
+
+def _c10_oracle() -> str:
+    t1 = QUERY_REGISTRY["t1_lang_id"].oracle
+    t2 = QUERY_REGISTRY["t2_quality_score"].oracle
+    t3 = QUERY_REGISTRY["t3_token_count"].oracle
+    return f"""
+        WITH lang AS ({t1}), qual AS ({t2}), toks AS ({t3}),
+        j AS (
+            SELECT d.source, l.predicted_lang, t.ws_tokens, q.quality_score
+            FROM documents d
+            JOIN lang l ON d.doc_id = l.doc_id
+            JOIN qual q ON d.doc_id = q.doc_id
+            JOIN toks t ON d.doc_id = t.doc_id
+        )
+        SELECT source, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+               CAST(floor(CAST(SUM(CAST(quality_score AS DECIMAL(18,4)))
+                        AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS mean_quality
+        FROM j
+        GROUP BY ROLLUP (source, predicted_lang)
+    """
+
+
+QUERY_REGISTRY["c10_corpus_profile"] = _dc9.replace(
+    QUERY_REGISTRY["c10_corpus_profile"], oracle=_c10_oracle()
+)

@@ -898,3 +898,42 @@ def d12_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 4).cast("double").alias("containment"),
         )
     )
+
+
+@register(
+    "d6b_cluster_histogram",
+    survey="ext-dedup",
+    doc="Dedup audit: cluster-size histogram over d6's connected "
+        "components — how much of the corpus is singletons vs n-way "
+        "duplicate groups, the one-line summary a dedup run is judged "
+        "by (and the input to 'keep one per cluster' savings estimates). "
+        "Two tiny aggregations on top of the d6 result; integers only.",
+    oracle=None,  # composed below from the d6 oracle
+)
+def d6b_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = _QR2["d6_dedup_clusters"].fn(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+import dataclasses as _dc6b  # noqa: E402
+
+_QR2["d6b_cluster_histogram"] = _dc6b.replace(
+    _QR2["d6b_cluster_histogram"],
+    oracle=f"""
+        WITH d6 AS ({_QR2["d6_dedup_clusters"].oracle}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM d6 GROUP BY cluster_id
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY sz
+    """,
+)

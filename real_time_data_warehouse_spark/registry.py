@@ -65,11 +65,11 @@ def register(
 # never-driver-verified):
 #   1-11  never driver-verified: the round-4 banded-LSH rebase of d5/d9
 #         (+ the d9s replay) and the eight round-4 queries;
-#   12-20 new round-5 queries;
-#   21-50 last driver-verified in round 2 (30 of the 36 — the three
-#         sql* apps and three single-predicate p-filters fall below the
-#         cap; their underlying operators are round-3 green or share
-#         in-cap machinery);
+#   12-22 new round-5 queries;
+#   23-50 last driver-verified in round 2 (28 of the 36 — the three
+#         sql* apps and five narrow p-filters/projections fall below
+#         the cap; their underlying operators are round-3 green or
+#         share in-cap machinery);
 #   51+   driver-green in round 3 (or round 2 for sql*) and unchanged.
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
 # on any mismatch, and tests/test_registry_manifest.py pins the tiers.
@@ -94,6 +94,8 @@ MANIFEST: tuple[str, ...] = (
     "c9_doc_chunks",
     "c3s_packing_replay",
     "c1s_curation_replay",
+    "c10_corpus_profile",
+    "d6b_cluster_histogram",
     "j11_range_join",
     "w10_late_event_audit",
     # tier 3: last driver-verified in round 2
@@ -119,8 +121,6 @@ MANIFEST: tuple[str, ...] = (
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
     "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
     "j2_left_outer_join",
@@ -128,9 +128,11 @@ MANIFEST: tuple[str, ...] = (
     "j4_interval_join",
     "j5_lookup_dim_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
-    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps and the three
-    # single-predicate p-filters (whose shared projection machinery is
+    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps and the five
+    # narrow p-filters/projections (whose shared projection machinery is
     # covered by the in-cap p-rows) — and is unchanged since ---
+    "p6_cart_delta",
+    "p7_dynamic_column_pruning",
     "p8_page_filter",
     "p9_login_filter",
     "p10_search_filter",
