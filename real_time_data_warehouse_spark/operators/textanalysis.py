@@ -418,3 +418,79 @@ _QRT["t6_repetition"] = _dct.replace(
     _QRT["t6_repetition"],
     oracle=_QRT["t6_repetition"].oracle.format(tokens=tokenize_sql("text")),
 )
+
+
+@register(
+    "t9_unigram_surprisal",
+    survey="ext-text",
+    doc="Unigram-LM surprisal score (the perplexity-proxy quality "
+        "signal, KenLM's 1-gram degenerate case): train unigram "
+        "probabilities on the corpus itself, score each doc by its mean "
+        "token surprisal -ln p(w) — low = boilerplate/repetitive, "
+        "high = rare-token soup; both tails get reviewed before "
+        "training. Exactness: per-VOCAB-WORD surprisal is ln-quantized "
+        "to integer micros once (the s6 idf discipline), docs sum "
+        "tf-weighted integer micros (associative), one final division. "
+        "Per-(doc,word) tf collapses map-side before the vocab join, "
+        "and the vocab join is a plain shuffle join — vocabulary is "
+        "not broadcast-small at corpus scale (t8's argument).",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({t}) AS w FROM documents) x
+            GROUP BY doc_id, w
+        ),
+        uni AS (
+            SELECT w, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY w
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_uni FROM uni),
+        surp AS (
+            SELECT u.w,
+                   CAST(floor(ln(CAST(t.t_uni AS DOUBLE) / u.c)
+                        * 1000000 + 0.5) AS BIGINT) AS s_micro
+            FROM uni u CROSS JOIN tot t
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(tf.tf * s.s_micro) AS DOUBLE)
+                    / SUM(tf.tf) / 1000000 AS DOUBLE) AS mean_surprisal
+        FROM tf JOIN surp s ON tf.w = s.w
+        GROUP BY tf.doc_id
+    """.format(t=tokenize_sql("text")),
+)
+def t9_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # per-(doc, word) tf — collapses the corpus map-side before anything
+    # joins; materialized once because uni derives from it (one corpus
+    # pass, the s6/d3 discipline)
+    tf = (
+        t.documents.select("doc_id", F.explode(tokenize("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    uni = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    tot = uni.agg(F.sum("c").alias("t_uni"))
+    surp = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.floor(
+            F.log(F.col("t_uni").cast("double") / F.col("c")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return (
+        tf.join(surp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("s_micro")).cast("double")
+                / F.sum("tf")
+                / 1000000
+            )
+            .cast("double")
+            .alias("mean_surprisal"),
+        )
+    )

@@ -65,9 +65,9 @@ def register(
 # never-driver-verified):
 #   1-11  never driver-verified: the round-4 banded-LSH rebase of d5/d9
 #         (+ the d9s replay) and the eight round-4 queries;
-#   12-22 new round-5 queries;
-#   23-50 last driver-verified in round 2 (28 of the 36 — the three
-#         sql* apps and five narrow p-filters/projections fall below
+#   12-23 new round-5 queries;
+#   24-50 last driver-verified in round 2 (27 of the 36 — the three
+#         sql* apps and six narrow p-filters/projections fall below
 #         the cap; their underlying operators are round-3 green or
 #         share in-cap machinery);
 #   51+   driver-green in round 3 (or round 2 for sql*) and unchanged.
@@ -96,6 +96,7 @@ MANIFEST: tuple[str, ...] = (
     "c1s_curation_replay",
     "c10_corpus_profile",
     "d6b_cluster_histogram",
+    "t9_unigram_surprisal",
     "j11_range_join",
     "w10_late_event_audit",
     # tier 3: last driver-verified in round 2
@@ -120,7 +121,6 @@ MANIFEST: tuple[str, ...] = (
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
-    "p5_cdc_state_transition",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
     "j2_left_outer_join",
@@ -131,6 +131,7 @@ MANIFEST: tuple[str, ...] = (
     # (CORRECTNESS_r03.json) — or round 2 for the sql* apps and the five
     # narrow p-filters/projections (whose shared projection machinery is
     # covered by the in-cap p-rows) — and is unchanged since ---
+    "p5_cdc_state_transition",
     "p6_cart_delta",
     "p7_dynamic_column_pruning",
     "p8_page_filter",

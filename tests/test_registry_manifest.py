@@ -53,13 +53,15 @@ TIER1 = (
     "c1s_curation_replay",
     "c10_corpus_profile",
     "d6b_cluster_histogram",
+    "t9_unigram_surprisal",
     "j11_range_join",
     "w10_late_event_audit",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
-# five narrow p-filters/projections (p6-p10) fall below the 50-cap this
+# six narrow p-filters/projections (p5-p10) fall below the 50-cap this
 # round — their underlying operators are round-3 green or share in-cap
-# projection machinery — the other 28 stay inside it.
+# projection machinery (P5 itself stays covered by in-cap j3) — the
+# other 27 stay inside it.
 TIER2 = (
     "s2_lsh_ann_topk",
     "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
@@ -68,8 +70,7 @@ TIER2 = (
     "c1_corpus_curation", "c2_stratified_sample", "c3_sequence_packing",
     "c4_corpus_shuffle", "c5_pseudonymize", "c6_mixture_weights",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
-    "p4_map_access_projection", "p5_cdc_state_transition",
-    "p11_null_tombstone_filter",
+    "p4_map_access_projection", "p11_null_tombstone_filter",
     "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
     "j4_interval_join", "j5_lookup_dim_join",
 )
