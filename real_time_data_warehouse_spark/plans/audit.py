@@ -69,4 +69,10 @@ def read_schema(df: DataFrame) -> list[str]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Distinct whole-stage-codegen spans. The formatted explain annotates
+    nodes with ``[codegen id : N]`` (the tree form ``WholeStageCodegen (N)``
+    only appears in simple-mode explains — matched too for robustness)."""
+    plan = _effective_plan(formatted_plan(df))
+    ids = set(re.findall(r"codegen id : (\d+)", plan))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -235,3 +235,28 @@ def test_t8_vocab_joins_not_broadcast_corpus(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert has_take_ordered(df)
+
+
+@pytest.mark.parametrize(
+    ("name", "max_stages"),
+    [
+        # regex/string expressions: fully codegen'd, scan→project fused
+        ("t2_quality_score", 1),
+        ("t5_normalize", 1),
+        # array-HOF lambdas (transform/filter) are interpreted in Spark —
+        # one interpreted Project legitimately splits the span in two;
+        # a THIRD stage means something else fell out of codegen (the
+        # 5× d4 regression class documented in operators/dedup.py)
+        ("t6_repetition", 2),
+        ("c9_doc_chunks", 2),
+    ],
+)
+def test_mapside_queries_codegen_span(spark, name, max_stages):
+    """Map-side operators must stay inside the expected WholeStageCodegen
+    span count — extra stages mean expressions fell out of codegen."""
+    from real_time_data_warehouse_spark.plans.audit import (
+        codegen_stage_count,
+    )
+
+    df = q(name, spark)
+    assert codegen_stage_count(df) <= max_stages, formatted_plan(df)
