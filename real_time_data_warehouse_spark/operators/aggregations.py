@@ -449,32 +449,53 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_W10_DELAY_MS = 30_000  # watermark delay the audit scores against
+_W10_DELAY_MS = 3_600_000  # 1 h allowed lateness the audit scores against
+# The fixture's arrival order (event_id) equals event-time order, so the
+# raw stream has zero disorder and the audit's late branch would never
+# execute. Deterministic disorder is planted first (the t5 planted-dirt
+# discipline): every 13th event's timestamp shifts 6 h earlier. A user's
+# consecutive events are ~7 h apart (median), so roughly half the
+# shifted events land behind their user's high-water mark — hundreds of
+# deterministic late events, some above and some below the 1 h delay.
+_W10_DISORDER_MOD = 13
+_W10_DISORDER_MS = 21_600_000
 
 
 @register(
     "w10_late_event_audit",
     survey="W4,W5,ext-scale",
     doc="Watermark / late-data audit (the batch mirror of W4-W5's "
-        "allowed-lateness semantics): per user, events are replayed in "
-        "arrival order (event_id) and each event's lateness is measured "
-        "against the running max event-time seen so far — an event more "
-        "than 30 s behind that high-water mark would have been dropped "
-        "by a 30 s watermark. Output is the per-event_type audit: how "
-        "many events, how many late, and the worst lateness. The window "
-        "partitions by user_id (never a global sort — an unpartitioned "
-        "running max serializes the corpus through one reducer at "
-        "100 TB), then ONE partial-agg shuffle on event_type. Integer "
-        "millisecond math only — no float risk.",
+        "allowed-lateness semantics): per user, events replay in arrival "
+        "order (event_id) and each event's lateness is measured against "
+        "the running max event-time seen so far — an event more than "
+        "1 h behind that high-water mark would have been dropped by a "
+        "1 h-delay watermark. The fixture is perfectly ordered, so "
+        f"disorder is planted deterministically (event_id % "
+        f"{_W10_DISORDER_MOD} → ts − {_W10_DISORDER_MS // 3600000} h, "
+        "the t5 planted-dirt pattern) and the audit must count exactly "
+        "the planted events that cross their user's high-water mark. "
+        "Output is the per-event_type audit: events, late events, worst "
+        "lateness. The window partitions by user_id (never a global "
+        "running max — that serializes the corpus through one reducer "
+        "at 100 TB), then ONE partial-agg shuffle on event_type. "
+        "Integer millisecond math only — no float risk. This is the "
+        "observability query run BEFORE choosing a watermark delay.",
     oracle=f"""
-        WITH marked AS (
+        WITH arrived AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) - CASE WHEN event_id % {_W10_DISORDER_MOD} = 0
+                                       THEN {_W10_DISORDER_MS} ELSE 0 END
+                       AS ev_ms
+            FROM events
+        ),
+        marked AS (
             SELECT event_type,
                    greatest(0, COALESCE(
-                       MAX(epoch_ms(ts)) OVER (
+                       MAX(ev_ms) OVER (
                            PARTITION BY user_id ORDER BY event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) - epoch_ms(ts)) AS lateness_ms
-            FROM events
+                       0) - ev_ms) AS lateness_ms
+            FROM arrived
         )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -489,17 +510,21 @@ def w10_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
+    ev_ms = F.unix_millis("ts") - F.when(
+        F.col("event_id") % _W10_DISORDER_MOD == 0, _W10_DISORDER_MS
+    ).otherwise(0)
+    arrived = t.events.select(
+        "event_id", "user_id", "event_type", ev_ms.alias("ev_ms")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    highwater = F.coalesce(
-        F.max(F.unix_millis("ts")).over(w), F.lit(0)
-    )
-    marked = t.events.select(
+    highwater = F.coalesce(F.max("ev_ms").over(w), F.lit(0))
+    marked = arrived.select(
         "event_type",
-        F.greatest(F.lit(0), highwater - F.unix_millis("ts")).alias(
+        F.greatest(F.lit(0), highwater - F.col("ev_ms")).alias(
             "lateness_ms"
         ),
     )
