@@ -25,6 +25,7 @@ _MODULES = (
     "fanout",
     "scalar",
     "serving",
+    "layout",
 )
 
 _loaded = False

@@ -537,3 +537,104 @@ def w10_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late"),
         F.max("lateness_ms").cast("bigint").alias("max_lateness_ms"),
     )
+
+
+# --- a13: sketch-pruned heavy hitters -----------------------------------
+
+# φ = 1/K: a token is a heavy hitter iff count·K > total. The fixture's
+# unigram distribution is near-uniform by construction, so K=30 puts the
+# threshold at the count median — both branches fire and the result stays
+# non-empty across fixture regenerations. The pruning *guarantee* is
+# distribution-free (see docstring); tests/test_heavy_hitters.py proves
+# the candidate bound on a genuinely zipfian fixture.
+_HH_K = 30
+
+
+def heavy_hitter_candidates(
+    stream: DataFrame, key: str, k: int, cap_factor: int = 4
+) -> DataFrame:
+    """Phase 1 of the two-phase heavy-hitter plan: one zero-shuffle pass
+    emitting per-partition candidate keys via BOUNDED-MEMORY batched
+    Misra-Gries (capacity m = cap_factor·k counters per partition, NOT
+    the partition's full vocabulary).
+
+    Each Arrow batch is counted vectorized (``value_counts``) and merged
+    into the summary; when the summary exceeds m keys, the classic MG
+    decrement runs in one vectorized step: subtract the (m+1)-th largest
+    counter from every counter and drop the non-positive ones (≤ m keys
+    survive, since only counters strictly above the cut remain). Every
+    decrement round removes ≥ cut·(m+1) total mass while costing any
+    single key ≤ cut, and total removable mass is ≤ n_p, so the summary
+    undercounts any key by at most n_p/(m+1).
+
+    NO FALSE NEGATIVES, distribution-free: a key with global count
+    > N/k holds local count > n_p/k in some partition (pigeonhole), and
+    there its counter stays ≥ n_p/k − n_p/(m+1) > 0 for m ≥ k, so it
+    survives to the emitted summary. The shuffle that follows therefore
+    moves O(m·P) rows instead of the full vocabulary — at 100 TB a
+    trillion-token corpus has billions of distinct n-grams, but the
+    candidate set stays cluster-tiny and executor memory stays O(m).
+    """
+    import pandas as pd
+
+    cap = cap_factor * k
+
+    def per_partition(batches):
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf[key].value_counts()
+            summary = (
+                counts if summary.empty
+                else summary.add(counts, fill_value=0).astype("int64")
+            )
+            if len(summary) > cap:
+                cut = summary.nlargest(cap + 1).iloc[-1]
+                summary = summary - cut
+                summary = summary[summary > 0]
+        yield pd.DataFrame({key: summary.index.astype(str)})
+
+    return stream.mapInPandas(per_partition, f"{key} string")
+
+
+@register(
+    "a13_heavy_hitters",
+    survey="A2,ext-scale,ext-text",
+    doc="Vocabulary heavy hitters (tokens with count > N/30) via the "
+        "two-phase sketch-prune plan: a zero-shuffle per-partition "
+        "local-threshold pass (Misra-Gries family — no false negatives "
+        "by pigeonhole) emits <K candidates per partition; only "
+        "candidate keys then take the exact groupBy shuffle, so the "
+        "shuffle volume is O(K·partitions) instead of O(|vocab|·"
+        "partitions). The exact verify makes the output IDENTICAL to "
+        "the plain GROUP BY … HAVING oracle — the sketch only prunes, "
+        "never decides. Total-count comparison is exact integer "
+        "cross-multiplication (cnt·30 > N).",
+    oracle="""
+        WITH toks AS (SELECT unnest({t}) AS w FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+        cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY w)
+        SELECT c.w, c.cnt, t.n_total
+        FROM cnt c CROSS JOIN tot t
+        WHERE c.cnt * {k} > t.n_total
+    """.format(t="list_filter(regexp_split_to_array(lower(text), "
+               "'[^a-z0-9]+'), x -> length(x) > 0)", k=_HH_K),
+)
+def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+
+    t = Tables(spark, sf_dir)
+    stream = t.documents.select(F.explode(tokenize("text")).alias("w"))
+    # one materialization of the token stream feeds both phases and the
+    # total count — a single corpus scan (the t9/s6 discipline)
+    stream = stream.localCheckpoint(eager=True)
+    cand = heavy_hitter_candidates(stream, "w", _HH_K).distinct()
+    tot = stream.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        stream.join(F.broadcast(cand), "w")  # prune BEFORE the agg shuffle
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("w", "cnt", "n_total")
+    )

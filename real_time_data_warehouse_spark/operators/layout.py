@@ -1,0 +1,137 @@
+"""Data-layout operators (north-star extension, ext-scale): z-order
+(Morton) clustering keys and the file-skipping statistics they buy.
+
+At 100 TB the scan is the dominant cost, and the only scan a query
+doesn't pay for is the file it never opens. A lakehouse `OPTIMIZE
+ZORDER BY (a, b)` rewrite sorts data by the bit-interleaved rank of
+both columns so every output file covers a small RECTANGLE of the
+(a, b) domain — per-file min/max stats then prune scans filtered on
+EITHER column (a 1-D sort gets tight spans on the sort column only;
+its per-file spans of the other column cover the whole domain).
+z1 computes that layout declaratively: quantize each dimension to 8
+bits monotonically via its global range (the same range-bounds pass a
+real OPTIMIZE collects), interleave to a 16-bit Morton key, assign
+rows to 256 z-files (key >> 8), and emit the per-file min/max stats a
+scan planner would prune with. Everything is exact integer arithmetic
+inside whole-stage codegen; the only shuffle is the final per-file
+stats aggregation, and the range-bounds pass reduces to ONE 4-value
+row broadcast back (the c6/a13 scalar-broadcast pattern).
+
+tests/test_layout.py proves the claim that makes z-order worth a
+rewrite: every z-file's span is ≤ 1/16 of the domain in BOTH
+dimensions simultaneously — impossible for any 1-D sort layout with
+the same file count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+_ZBITS = 8  # per-dimension quantization bits
+_ZFILES_SHIFT = 8  # file id = top 8 of the 16 interleaved bits
+
+
+def morton16(x8: F.Column, y8: F.Column) -> F.Column:
+    """Bit-interleave two 8-bit cells to the 16-bit Morton key — a pure
+    Catalyst integer expression (x takes the odd bit positions)."""
+    z = F.lit(0).cast("bigint")
+    for j in range(_ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x8, j).bitwiseAND(1), 2 * j + 1)
+            + F.shiftleft(F.shiftright(y8, j).bitwiseAND(1), 2 * j)
+        )
+    return z
+
+
+def _morton16_sql(x8: str, y8: str) -> str:
+    """DuckDB twin of :func:`morton16`."""
+    terms = " + ".join(
+        f"((({x8} >> {j}) & 1) << {2 * j + 1}) + ((({y8} >> {j}) & 1) << {2 * j})"
+        for j in range(_ZBITS)
+    )
+    return f"({terms})"
+
+
+@register(
+    "z1_zorder_layout",
+    survey="ext-scale",
+    doc="Z-order (Morton) clustering of orders by (o_custkey, "
+        "o_orderdate): monotone 8-bit quantization of each dimension "
+        "against its global range, bit-interleave, 256 z-files from the "
+        "high byte, then the per-file min/max pruning stats. Each file's "
+        "span is ≤ 1/16 of the domain in BOTH dimensions at once — the "
+        "property that lets min/max stats prune scans filtered on either "
+        "column, and that no single-column sort layout can provide "
+        "(tests/test_layout.py proves both halves). Exact integer "
+        "arithmetic end to end; range bounds are one 4-value broadcast.",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(MIN(o_custkey) AS BIGINT) AS minc,
+                   CAST(MAX(o_custkey) AS BIGINT) AS maxc,
+                   MIN(o_orderdate) AS mind,
+                   CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        AS BIGINT) AS spand
+            FROM orders
+        ),
+        q AS (
+            SELECT o.o_custkey,
+                   CAST(date_diff('day', b.mind, o.o_orderdate) AS BIGINT) AS day,
+                   ((o.o_custkey - b.minc) * 256) // (b.maxc - b.minc + 1) AS x8,
+                   (CAST(date_diff('day', b.mind, o.o_orderdate) AS BIGINT) * 256)
+                       // (b.spand + 1) AS y8
+            FROM orders o CROSS JOIN bounds b
+        )
+        SELECT CAST({{z}} >> {_ZFILES_SHIFT} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+               CAST(MIN(day) AS BIGINT) AS min_day,
+               CAST(MAX(day) AS BIGINT) AS max_day
+        FROM q
+        GROUP BY file_id
+    """.format(z=_morton16_sql("x8", "y8")),
+)
+def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return zorder_file_stats(t.orders, "o_custkey", "o_orderdate")
+
+
+def zorder_file_stats(
+    orders: DataFrame, key_col: str, date_col: str
+) -> DataFrame:
+    bounds = orders.agg(
+        F.min(key_col).cast("bigint").alias("minc"),
+        F.max(key_col).cast("bigint").alias("maxc"),
+        F.min(date_col).alias("mind"),
+        F.datediff(F.max(date_col), F.min(date_col))
+        .cast("bigint")
+        .alias("spand"),
+    )
+    # DIV: exact integer division in both engines (no double rounding)
+    q = orders.crossJoin(F.broadcast(bounds)).select(
+        F.col(key_col),
+        F.datediff(F.col(date_col), F.col("mind")).cast("bigint").alias("day"),
+        F.expr(
+            f"CAST((({key_col} - minc) * 256) DIV (maxc - minc + 1) AS BIGINT)"
+        ).alias("x8"),
+        F.expr(
+            f"CAST((datediff({date_col}, mind) * 256) DIV (spand + 1) AS BIGINT)"
+        ).alias("y8"),
+    )
+    z = morton16(F.col("x8"), F.col("y8"))
+    return (
+        q.select(key_col, "day", F.shiftright(z, _ZFILES_SHIFT).alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min(key_col).cast("bigint").alias("min_custkey"),
+            F.max(key_col).cast("bigint").alias("max_custkey"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+    )

@@ -280,3 +280,123 @@ def m3_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         n_bytes.cast("int").alias("payload_bytes"),
     )
+
+
+# --- m4: perceptual-hash media near-dup ---------------------------------
+
+PHASH_BYTES = 30  # 60-bit hash = 2 bit-planes × 30 content bytes
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 15
+_PHASH_HAMMING_MAX = 6
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Decode-stage signature worker: payload binary → 60-bit perceptual
+    hash, one ``mapInPandas`` pass (the m1 plumbing). A real pHash would
+    DCT the decoded pixels; with decode stubbed (no codecs in this
+    container) the deterministic stand-in hashes the decoded CONTENT
+    bytes — two bit-planes (bit 0, bit 1) of the first 30 bytes — so
+    near-identical content differs in O(edit) hash bits, which is the
+    property the downstream banded Hamming join needs. The stand-in is
+    arithmetically recomputable by the oracle; swap this function for a
+    DCT pHash when codecs exist and nothing downstream changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                content = bytes(p)[16 : 16 + PHASH_BYTES]
+                h = 0
+                for i, b in enumerate(content):
+                    h |= (b & 1) << i
+                    h |= ((b >> 1) & 1) << (PHASH_BYTES + i)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return media.mapInPandas(run, "doc_id long, phash long")
+
+
+@register(
+    "m4_media_phash_dedup",
+    survey="ext-multimodal,ext-dedup",
+    doc="Media near-dup detection: decode-stage perceptual hash "
+        "(media_phash, mapInPandas over the binary column) → banded "
+        "Hamming join (4 bands × 15 bits; collision in ANY band makes a "
+        "candidate — the d3/s2b OR-construction applied to Hamming "
+        "space) → exact bit_count(xor) ≤ 6 verify on candidates only. "
+        "Never all-pairs: candidate generation is an equi-join on "
+        "(band, bucket), so a 100 TB media corpus shuffles hash rows "
+        "(tiny) and compares only bucket-mates. Pairs at Hamming 0 are "
+        "the planted same-prefix assets; the verify bound keeps "
+        "near-misses.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, substr(text, 1, 32) AS ctext FROM documents
+        ),
+        h AS (
+            SELECT doc_id, CAST(list_sum(list_transform(range(0, {PHASH_BYTES}), i ->
+                (CASE WHEN length(ctext) > i
+                      THEN ascii(substr(ctext, CAST(i + 1 AS INT), 1)) ELSE 0 END % 2)
+                    * (CAST(1 AS BIGINT) << i)
+                + ((CASE WHEN length(ctext) > i
+                        THEN ascii(substr(ctext, CAST(i + 1 AS INT), 1)) ELSE 0 END // 2) % 2)
+                    * (CAST(1 AS BIGINT) << ({PHASH_BYTES} + i))
+            )) AS BIGINT) AS phash
+            FROM c
+        ),
+        b AS (
+            SELECT doc_id, phash, t.band,
+                   (phash >> (CAST({_PHASH_BAND_BITS} AS BIGINT) * t.band))
+                       & {(1 << _PHASH_BAND_BITS) - 1} AS bucket
+            FROM h, LATERAL (SELECT unnest(range(0, {_PHASH_BANDS})) AS band) t
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   a.phash AS ha, b2.phash AS hb
+            FROM b a JOIN b b2
+              ON a.band = b2.band AND a.bucket = b2.bucket
+             AND a.doc_id < b2.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAMMING_MAX}
+    """,
+)
+def m4_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hashes = media_phash(synthesize_media(t))
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), _PHASH_BAND_BITS * j)
+                    .bitwiseAND(mask)
+                    for j in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.where(hamming <= _PHASH_HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

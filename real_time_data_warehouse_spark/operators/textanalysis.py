@@ -494,3 +494,102 @@ def t9_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_surprisal"),
         )
     )
+
+
+@register(
+    "t10_gopher_rules",
+    survey="ext-text",
+    doc="Gopher-style quality-rule audit (Rae et al. 2021 §A1.1, public):"
+        " per-document booleans for word-count bounds, mean-word-length "
+        "bounds, alpha-word ratio, symbol-to-word ratio, and minimum "
+        "stopword evidence, plus the conjunctive keep flag. Thresholds "
+        "are corpus-calibrated so both branches of every discriminating "
+        "rule fire on the fixture. All rule comparisons are EXACT "
+        "integer cross-multiplications (38·n ≤ 10·Σlen, not "
+        "Σlen/n ≥ 3.8) so the booleans cannot diverge between engines "
+        "at a float boundary; the reported mean_word_len double uses "
+        "the t2 floor(x·10⁴+0.5)/10⁴ discipline. Pure map-side "
+        "Catalyst — zero shuffles at any scale.",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, text, {t} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS BIGINT) AS sum_len,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS BIGINT) AS n_alpha_words,
+                   CAST(len(list_filter(toks, x -> x IN {sw}))
+                        AS BIGINT) AS n_stop,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        AS BIGINT) AS n_symbol
+            FROM m
+        )
+        SELECT doc_id, n_words,
+               CAST(CASE WHEN n_words > 0 THEN
+                    floor(CAST(sum_len AS DOUBLE) / n_words * 10000 + 0.5)
+                    / 10000 END AS DOUBLE) AS mean_word_len,
+               (n_words BETWEEN 20 AND 80) AS rule_word_count,
+               (38 * n_words <= 10 * sum_len
+                AND 10 * sum_len <= 48 * n_words) AS rule_mean_word_len,
+               (10 * n_alpha_words >= 8 * n_words) AS rule_alpha_words,
+               (10 * n_symbol <= n_words) AS rule_symbol_ratio,
+               (n_stop >= 2) AS rule_stopwords,
+               ((n_words BETWEEN 20 AND 80)
+                AND 38 * n_words <= 10 * sum_len
+                AND 10 * sum_len <= 48 * n_words
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND 10 * n_symbol <= n_words
+                AND n_stop >= 2) AS keep
+        FROM s
+    """.format(t=tokenize_sql("text"), sw=str(_STOPWORDS)),
+)
+def t10_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    s = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+            + (F.length("text")
+               - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        )
+        .cast("bigint")
+        .alias("n_symbol"),
+    )
+    n, sl = F.col("n_words"), F.col("sum_len")
+    r_wc = (n >= 20) & (n <= 80)
+    r_mwl = (38 * n <= 10 * sl) & (10 * sl <= 48 * n)
+    r_alpha = 10 * F.col("n_alpha_words") >= 8 * n
+    r_sym = 10 * F.col("n_symbol") <= n
+    r_stop = F.col("n_stop") >= 2
+    return s.select(
+        "doc_id",
+        "n_words",
+        F.when(
+            n > 0, F.floor(sl.cast("double") / n * 10000 + F.lit(0.5)) / 10000
+        )
+        .cast("double")
+        .alias("mean_word_len"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_sym & r_stop).alias("keep"),
+    )

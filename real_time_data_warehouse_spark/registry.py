@@ -99,6 +99,11 @@ MANIFEST: tuple[str, ...] = (
     "t9_unigram_surprisal",
     "j11_range_join",
     "w10_late_event_audit",
+    # tier 2c: new this session (round 6 of the build) — no signal yet
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -106,15 +111,11 @@ MANIFEST: tuple[str, ...] = (
     "t2_quality_score",
     "t3_token_count",
     "t4_fingerprint",
-    "t5_normalize",
-    "t6_repetition",
     "m1_media_features",
-    "m2_frame_sampling",
     "m3_corrupt_quarantine",
     "c1_corpus_curation",
     "c2_stratified_sample",
     "c3_sequence_packing",
-    "c4_corpus_shuffle",
     "c5_pseudonymize",
     "c6_mixture_weights",
     "p1_cdc_etl_filter",
@@ -128,9 +129,15 @@ MANIFEST: tuple[str, ...] = (
     "j4_interval_join",
     "j5_lookup_dim_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
-    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps and the five
+    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps, the five
     # narrow p-filters/projections (whose shared projection machinery is
-    # covered by the in-cap p-rows) — and is unchanged since ---
+    # covered by the in-cap p-rows), and the two map-side text ops
+    # t5/t6 displaced by this session's additions (their tokenize/array
+    # machinery is exercised by in-cap t1-t4/t10) — and unchanged since ---
+    "t5_normalize",
+    "t6_repetition",
+    "c4_corpus_shuffle",
+    "m2_frame_sampling",
     "p5_cdc_state_transition",
     "p6_cart_delta",
     "p7_dynamic_column_pruning",

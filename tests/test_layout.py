@@ -1,0 +1,66 @@
+"""z1 z-order layout: the two claims that make the rewrite worth it.
+
+1. Rectangle bound — every z-file spans ≤ 1/16 of the domain (+ one
+   quantization cell of slack) in BOTH dimensions simultaneously.
+2. No 1-D sort can do that — the contrast layout (same file count,
+   sorted by custkey alone) leaves most files spanning nearly the whole
+   date domain, which is exactly the scan min/max stats can't prune.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.operators.layout import zorder_file_stats
+from real_time_data_warehouse_spark.tables import Tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return Tables(spark, SF_DIR).orders.localCheckpoint(eager=True)
+
+
+def _domain(orders):
+    r = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")),
+    ).collect()[0]
+    return r[1] - r[0], r[2]  # custkey span, day span
+
+
+def test_zorder_files_bounded_in_both_dims(spark, orders):
+    ck_span, day_span = _domain(orders)
+    stats = zorder_file_stats(orders, "o_custkey", "o_orderdate").collect()
+    assert len(stats) > 64  # 256 z-files minus empties
+    # top-4 bits of each 8-bit cell are fixed per file → ≤ 16 cells per
+    # dim → span ≤ domain/16 + one cell (domain/256) of slack
+    ck_bound = ck_span / 16 + ck_span / 256 + 1
+    day_bound = day_span / 16 + day_span / 256 + 1
+    for r in stats:
+        assert r["max_custkey"] - r["min_custkey"] <= ck_bound, r
+        assert r["max_day"] - r["min_day"] <= day_bound, r
+
+
+def test_one_dim_sort_cannot_bound_the_other_dim(spark, orders):
+    ck_span, day_span = _domain(orders)
+    n_files = 256
+    by_ck = orders.select(
+        F.ntile(n_files)
+        .over(__import__("pyspark").sql.Window.orderBy("o_custkey"))
+        .alias("file_id"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("day"),
+    )
+    spans = (
+        by_ck.groupBy("file_id")
+        .agg((F.max("day") - F.min("day")).alias("dspan"))
+        .agg(F.avg("dspan"))
+        .collect()[0][0]
+    )
+    # custkey-sorted files see nearly the whole date domain on average —
+    # worse than half of it; z-order files are bounded at ~1/16 + slack
+    assert spans > day_span * 0.5

@@ -56,6 +56,11 @@ TIER1 = (
     "t9_unigram_surprisal",
     "j11_range_join",
     "w10_late_event_audit",
+    # new in round 6
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -63,12 +68,14 @@ TIER1 = (
 # projection machinery (P5 itself stays covered by in-cap j3) — the
 # other 27 stay inside it.
 TIER2 = (
+    # t5_normalize/t6_repetition displaced below the cap by the round-6
+    # additions — their tokenize/array machinery rides on in-cap t1-t4/t10
     "s2_lsh_ann_topk",
     "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
-    "t3_token_count", "t4_fingerprint", "t5_normalize", "t6_repetition",
-    "m1_media_features", "m2_frame_sampling", "m3_corrupt_quarantine",
+    "t3_token_count", "t4_fingerprint",
+    "m1_media_features", "m3_corrupt_quarantine",
     "c1_corpus_curation", "c2_stratified_sample", "c3_sequence_packing",
-    "c4_corpus_shuffle", "c5_pseudonymize", "c6_mixture_weights",
+    "c5_pseudonymize", "c6_mixture_weights",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
     "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
