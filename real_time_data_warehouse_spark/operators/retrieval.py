@@ -437,3 +437,186 @@ _QRR["s7_hybrid_rerank"] = _dcr.replace(
         ) WHERE rnk <= {_RERANK_K}
     """,
 )
+
+
+# --- s8: MMR diversified re-rank -----------------------------------------
+
+_MMR_NQ = 10  # query vectors: vec_id < 10 (the s1 convention)
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+# λ = 0.7 ⇒ score·10 = 7·relevance − 3·max-sim-to-selected: the whole
+# greedy runs in INTEGER arithmetic, so argmax ties and ordering cannot
+# diverge between engines.
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+
+def _ivec_sql(col: str) -> str:
+    # ×1024 is a power of two: exact in IEEE doubles, so floor() lands
+    # identically in both engines (the s3/s5 integer-quantization rule)
+    return (
+        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) "
+        "AS BIGINT))"
+    )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {a}[CAST(i AS INT)] * "
+        f"{b}[CAST(i AS INT)]))"
+    )
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+        WITH e AS (SELECT vec_id, {_ivec_sql('embedding')} AS v
+                   FROM embeddings),
+        cand AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.v AS nv,
+                   CAST({_idot_sql('q.v', 'n.v')} AS BIGINT) AS rel
+            FROM e q JOIN e n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {_MMR_NQ}
+        ),
+        short AS (
+            SELECT query_id, neighbor_id, nv, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, neighbor_id) rn
+                FROM cand
+            ) WHERE rn <= {_MMR_SHORTLIST}
+        ),
+        pairsim AS (
+            SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+                   CAST({_idot_sql('a.nv', 'b.nv')} AS BIGINT) AS sim
+            FROM short a JOIN short b
+              ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        ),
+        pick1 AS (
+            SELECT query_id, neighbor_id, 1 AS rnk,
+                   CAST({_MMR_REL_W} * rel AS BIGINT) AS score10
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY {_MMR_REL_W} * rel DESC, neighbor_id) rn
+                FROM short
+            ) WHERE rn = 1
+        ),
+        chosen1 AS (SELECT * FROM pick1)"""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+        scored{k} AS (
+            SELECT s.query_id, s.neighbor_id,
+                   CAST({_MMR_REL_W} * s.rel
+                        - {_MMR_DIV_W} * MAX(ps.sim) AS BIGINT) AS score10
+            FROM short s
+            JOIN pairsim ps
+              ON ps.query_id = s.query_id AND ps.a_id = s.neighbor_id
+            JOIN chosen{k - 1} c
+              ON c.query_id = ps.query_id AND c.neighbor_id = ps.b_id
+            WHERE s.neighbor_id NOT IN (
+                SELECT cc.neighbor_id FROM chosen{k - 1} cc
+                WHERE cc.query_id = s.query_id)
+            GROUP BY s.query_id, s.neighbor_id, s.rel
+        ),
+        pick{k} AS (
+            SELECT query_id, neighbor_id, {k} AS rnk, score10 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score10 DESC, neighbor_id) rn
+                FROM scored{k}
+            ) WHERE rn = 1
+        ),
+        chosen{k} AS (
+            SELECT * FROM chosen{k - 1}
+            UNION ALL SELECT * FROM pick{k}
+        )""")
+    tail = f"""
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, score10
+        FROM chosen{_MMR_K}"""
+    return head + "," + ",".join(steps) + tail
+
+
+@register(
+    "s8_mmr_rerank",
+    survey="ext-similarity",
+    doc=f"Maximal-marginal-relevance diversified re-rank: brute top-"
+        f"{_MMR_SHORTLIST} shortlist per query by inner product, then "
+        f"greedy MMR selection of {_MMR_K} (λ=0.7) trading relevance "
+        "against max similarity to the already-selected set — the "
+        "standard retrieval-diversification step after any ANN stage "
+        "(composes with s2b/s3/s5 shortlists unchanged). Embeddings are "
+        "integer-quantized (×1024, exact in IEEE) so relevance, pairwise "
+        "similarity, and the greedy argmax are ALL integer arithmetic — "
+        "engine-independent to the last tie. Spark side: shortlists stay "
+        "distributed, the sequential greedy runs per-query-group in one "
+        "applyInPandas over ≤20-row groups (state never leaves the "
+        "executor); the oracle unrolls the same greedy as 5 chained "
+        "CTEs.",
+    oracle=_mmr_oracle(),
+)
+def s8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1024).cast("bigint"),
+        ).alias("v"),
+    )
+    q = e.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rel = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "nv", rel.alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_SHORTLIST)
+        .drop("rn")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        vecs = np.stack(pdf["nv"].to_numpy()).astype(np.int64)
+        rels = pdf["rel"].to_numpy(dtype=np.int64)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        sims = vecs @ vecs.T  # exact int64 pairwise dots
+        chosen: list[int] = []
+        out = []
+        for rnk in range(1, _MMR_K + 1):
+            if chosen:
+                maxsim = sims[:, chosen].max(axis=1)
+            else:
+                maxsim = np.zeros(len(ids), dtype=np.int64)
+            score = _MMR_REL_W * rels - _MMR_DIV_W * maxsim
+            avail = np.ones(len(ids), dtype=bool)
+            avail[chosen] = False
+            # argmax by (score desc, neighbor_id asc) among available
+            order = np.lexsort((ids, -score))
+            pick = next(i for i in order if avail[i])
+            chosen.append(pick)
+            out.append(
+                (int(pdf["query_id"].iloc[0]), int(ids[pick]), rnk,
+                 int(score[pick]))
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "rnk", "score10"]
+        )
+
+    return short.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, neighbor_id long, rnk int, score10 long"
+    )

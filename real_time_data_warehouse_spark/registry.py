@@ -104,6 +104,7 @@ MANIFEST: tuple[str, ...] = (
     "a13_heavy_hitters",
     "m4_media_phash_dedup",
     "z1_zorder_layout",
+    "s8_mmr_rerank",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -114,7 +115,6 @@ MANIFEST: tuple[str, ...] = (
     "m1_media_features",
     "m3_corrupt_quarantine",
     "c1_corpus_curation",
-    "c2_stratified_sample",
     "c3_sequence_packing",
     "c5_pseudonymize",
     "c6_mixture_weights",
@@ -138,6 +138,7 @@ MANIFEST: tuple[str, ...] = (
     "t6_repetition",
     "c4_corpus_shuffle",
     "m2_frame_sampling",
+    "c2_stratified_sample",
     "p5_cdc_state_transition",
     "p6_cart_delta",
     "p7_dynamic_column_pruning",
