@@ -638,3 +638,52 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") * _HH_K > F.col("n_total"))
         .select("w", "cnt", "n_total")
     )
+
+
+@register(
+    "a2c_hll_partial_union",
+    survey="A2,ext-scale",
+    doc="Mergeable-sketch distinct counting — the pre-aggregation "
+        "pattern that makes date-range distinct queries O(days) instead "
+        "of O(rows) at 100 TB: build one Datasketches HLL sketch of "
+        "user_id PER DAY (the continuous-aggregate state a serving "
+        "layer would persist), then answer the all-time question by "
+        "hll_union_agg over the daily sketches. Two driver-checkable "
+        "claims ride in the row: within_bounds pins the estimate to "
+        "±5% of the exact count (the a2b bounds-oracle discipline — "
+        "sketch drift flips the row red), and merge_lossless pins "
+        "union-of-partials ≡ one global sketch (same lgK ⇒ identical "
+        "registers ⇒ identical estimate), which is the associativity "
+        "property the whole pattern rests on.",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bounds,
+               TRUE AS merge_lossless
+        FROM events
+    """,
+)
+def a2c_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.to_date("ts").alias("day"), "user_id")
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+        .cast("bigint")
+        .alias("est_merged"),
+    )
+    direct = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("bigint")
+        .alias("est_global"),
+    )
+    out = merged.crossJoin(F.broadcast(direct))
+    err = F.abs(F.col("est_merged") - F.col("exact_users")).cast("double")
+    return out.select(
+        "n_days",
+        "exact_users",
+        (err / F.col("exact_users") <= 0.05).alias("within_bounds"),
+        (F.col("est_merged") == F.col("est_global")).alias("merge_lossless"),
+    )

@@ -105,6 +105,7 @@ MANIFEST: tuple[str, ...] = (
     "m4_media_phash_dedup",
     "z1_zorder_layout",
     "s8_mmr_rerank",
+    "a2c_hll_partial_union",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -115,7 +116,6 @@ MANIFEST: tuple[str, ...] = (
     "m1_media_features",
     "m3_corrupt_quarantine",
     "c1_corpus_curation",
-    "c3_sequence_packing",
     "c5_pseudonymize",
     "c6_mixture_weights",
     "p1_cdc_etl_filter",
@@ -139,6 +139,7 @@ MANIFEST: tuple[str, ...] = (
     "c4_corpus_shuffle",
     "m2_frame_sampling",
     "c2_stratified_sample",
+    "c3_sequence_packing",
     "p5_cdc_state_transition",
     "p6_cart_delta",
     "p7_dynamic_column_pruning",

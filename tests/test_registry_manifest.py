@@ -62,6 +62,7 @@ TIER1 = (
     "m4_media_phash_dedup",
     "z1_zorder_layout",
     "s8_mmr_rerank",
+    "a2c_hll_partial_union",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -75,7 +76,7 @@ TIER2 = (
     "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
     "t3_token_count", "t4_fingerprint",
     "m1_media_features", "m3_corrupt_quarantine",
-    "c1_corpus_curation", "c3_sequence_packing",
+    "c1_corpus_curation",
     "c5_pseudonymize", "c6_mixture_weights",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
