@@ -744,3 +744,118 @@ def _c10_oracle() -> str:
 QUERY_REGISTRY["c10_corpus_profile"] = _dc9.replace(
     QUERY_REGISTRY["c10_corpus_profile"], oracle=_c10_oracle()
 )
+
+
+# --- c11: token-budget epoch planning ------------------------------------
+
+# Epoch cap: repeating pretraining data beyond ~4 epochs stops helping
+# (public data-constrained-scaling result), so the planner clamps there
+# and reports the shortfall rather than over-allocating repeats.
+_BUDGET_EPOCH_CAP = 4
+# Integer weights (same mixture as c6: curated sources upweighted 3×) so
+# every allocation step below is exact integer arithmetic.
+_BUDGET_CURATED_W = 3
+_BUDGET_TAIL_W = 1
+
+
+@register(
+    "c11_token_budget_plan",
+    survey="ext-curation",
+    doc="Token-budget epoch planner — the step between mixture weights "
+        "(c6) and a training run: with budget B = 4× observed corpus "
+        "tokens, each source's target is B·w_s/Σw, its epoch count is "
+        "target/available clamped at 4 (the public data-constrained "
+        "scaling heuristic), and alloc_tokens is what the run can "
+        "actually draw. Curated sources (3× weight) overshoot the cap "
+        "and get clamped; tail sources stay under it — both branches "
+        "fire on any roughly-uniform fixture. All allocations are exact "
+        "integer arithmetic (targets via integer DIV); the epochs "
+        "double uses the t2 floor-rounding discipline. Plan shape: two "
+        "tiny aggregations and a broadcast join — nothing corpus-wide "
+        "shuffles.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({{t}})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(CASE WHEN source IN {{cur}} THEN {_BUDGET_CURATED_W}
+                        ELSE {_BUDGET_TAIL_W} END AS BIGINT) AS w_s,
+                   SUM(CAST(CASE WHEN source IN {{cur}} THEN {_BUDGET_CURATED_W}
+                       ELSE {_BUDGET_TAIL_W} END AS BIGINT)) OVER () AS w_total,
+                   SUM(n_tokens) OVER () AS t_total
+            FROM tok
+        ),
+        plan AS (
+            SELECT source, n_docs, n_tokens,
+                   ({_BUDGET_EPOCH_CAP} * t_total * w_s) // w_total
+                       AS target_tokens
+            FROM w
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(target_tokens AS BIGINT) AS target_tokens,
+               CAST(LEAST(target_tokens, {_BUDGET_EPOCH_CAP} * n_tokens)
+                    AS BIGINT) AS alloc_tokens,
+               CAST(floor(CAST(target_tokens AS DOUBLE) / n_tokens * 10000
+                          + 0.5) / 10000 AS DOUBLE) AS epochs_raw,
+               (target_tokens > {_BUDGET_EPOCH_CAP} * n_tokens) AS capped
+        FROM plan
+    """.format(t=_tok_sql("text"), cur=_MIX_CURATED),
+)
+def c11_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.select("source", F.size(tokenize("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_s = (
+        F.when(F.col("source").isin(*_MIX_CURATED), _BUDGET_CURATED_W)
+        .otherwise(_BUDGET_TAIL_W)
+        .cast("bigint")
+    )
+    weighted = tok.select("*", w_s.alias("w_s"))
+    totals = weighted.agg(
+        F.sum("w_s").alias("w_total"), F.sum("n_tokens").alias("t_total")
+    )
+    plan = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST(({_BUDGET_EPOCH_CAP} * t_total * w_s) DIV w_total AS BIGINT)"
+        ).alias("target_tokens"),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        F.least(
+            F.col("target_tokens"), _BUDGET_EPOCH_CAP * F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        (
+            F.floor(
+                F.col("target_tokens").cast("double")
+                / F.col("n_tokens")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .cast("double")
+        .alias("epochs_raw"),
+        (F.col("target_tokens") > _BUDGET_EPOCH_CAP * F.col("n_tokens")).alias(
+            "capped"
+        ),
+    )

@@ -222,10 +222,19 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # norms precomputed ONCE per row on each side — the pair loop then
+    # evaluates a single dot product instead of three (same doubles, the
+    # sqrt(dot(x,x)) expression just moves above the join)
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
     )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(n)
@@ -233,7 +242,8 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -106,6 +106,7 @@ MANIFEST: tuple[str, ...] = (
     "z1_zorder_layout",
     "s8_mmr_rerank",
     "a2c_hll_partial_union",
+    "c11_token_budget_plan",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -116,7 +117,6 @@ MANIFEST: tuple[str, ...] = (
     "m1_media_features",
     "m3_corrupt_quarantine",
     "c1_corpus_curation",
-    "c5_pseudonymize",
     "c6_mixture_weights",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
@@ -137,6 +137,7 @@ MANIFEST: tuple[str, ...] = (
     "t5_normalize",
     "t6_repetition",
     "c4_corpus_shuffle",
+    "c5_pseudonymize",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",
