@@ -260,3 +260,42 @@ def test_mapside_queries_codegen_span(spark, name, max_stages):
 
     df = q(name, spark)
     assert codegen_stage_count(df) <= max_stages, formatted_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering — the semi-join reduction that matters
+    at 100 TB: with a selective predicate on the dimension side of a
+    shuffle join, Catalyst injects a bloom filter built from the dim keys
+    and applies might_contain on the FACT side before its shuffle, so
+    non-joining fact rows never cross the wire. Pin that the injection
+    actually fires on this build (thresholds lowered to fixture scale;
+    broadcast disabled to force the shuffle join the feature targets)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in physical.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
