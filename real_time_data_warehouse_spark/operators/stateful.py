@@ -331,3 +331,46 @@ def st9_retract_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.op").alias("op"),
         F.col("c.v").cast("double").alias("value"),
     )
+
+
+@register(
+    "st10_changelog_fold",
+    survey="ST1,A1,ext-scale",
+    doc="Retract-changelog CONSUMER — incremental materialized-view "
+        "maintenance: fold st9's '+I'/'-U'/'+U' stream into per-user "
+        "state by signed DECIMAL sum (retracts subtract exactly, so "
+        "every superseded value telescopes away) and the folded state "
+        "must equal the plain last-wins read of the same events. That "
+        "equality IS the retract algebra the reference's DWS windows "
+        "rely on (DwsTradeSkuOrderWindow.java:190-223): a downstream "
+        "view can apply the changelog row-by-row, in any order within a "
+        "key, without ever re-reading the base table. DECIMAL(18,2) "
+        "makes the cancellation exact — a double fold would leave "
+        "1e-13 residue and break the equality. One shuffle (the keyed "
+        "fold); changelog expansion stays map-side.",
+    oracle="""
+        WITH last AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS folded_value,
+               CAST(2 * n_events - 1 AS BIGINT) AS n_changelog_ops
+        FROM last WHERE rn = 1
+    """,
+)
+def st10_changelog_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    changelog = st9_retract_changelog(spark, sf_dir)
+    signed = F.when(F.col("op") == "-U", -dec("value")).otherwise(dec("value"))
+    return (
+        changelog.groupBy("user_id")
+        .agg(
+            F.sum(signed).cast("double").alias("folded_value"),
+            F.count("*").cast("bigint").alias("n_changelog_ops"),
+        )
+    )

@@ -107,6 +107,7 @@ MANIFEST: tuple[str, ...] = (
     "s8_mmr_rerank",
     "a2c_hll_partial_union",
     "c11_token_budget_plan",
+    "st10_changelog_fold",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -117,7 +118,6 @@ MANIFEST: tuple[str, ...] = (
     "m1_media_features",
     "m3_corrupt_quarantine",
     "c1_corpus_curation",
-    "c6_mixture_weights",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
@@ -138,6 +138,7 @@ MANIFEST: tuple[str, ...] = (
     "t6_repetition",
     "c4_corpus_shuffle",
     "c5_pseudonymize",
+    "c6_mixture_weights",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",
