@@ -42,6 +42,15 @@ EXTENDED = (
     "w10_late_event_audit",
     "c7_quota_sample",
     "c8_leakage_safe_split",
+    # round-6 additions
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
+    "s8_mmr_rerank",
+    "a2c_hll_partial_union",
+    "c11_token_budget_plan",
+    "st10_changelog_fold",
 )
 
 # Headline set: the flagship + one representative per operator family.

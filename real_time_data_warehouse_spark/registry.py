@@ -59,18 +59,15 @@ def register(
 # Driver visit order — EXPLICIT manifest, not import side-effect order.
 # The external correctness driver truncates at 50 queries per round
 # (observed rounds 1-3; documented in BASELINE.md), so the first 50
-# slots are the only hard-signal slots. Round-5 priority tiers (round 4
-# produced NO CORRECTNESS_r04.json — the driver's correctness pass did
-# not record that round — so every round-4 addition is still
-# never-driver-verified):
-#   1-11  never driver-verified: the round-4 banded-LSH rebase of d5/d9
-#         (+ the d9s replay) and the eight round-4 queries;
-#   12-23 new round-5 queries;
-#   24-50 last driver-verified in round 2 (27 of the 36 — the three
-#         sql* apps and six narrow p-filters/projections fall below
-#         the cap; their underlying operators are round-3 green or
-#         share in-cap machinery);
-#   51+   driver-green in round 3 (or round 2 for sql*) and unchanged.
+# slots are the only hard-signal slots. Current tiers (the driver last
+# recorded CORRECTNESS_r03.json; rounds called "4"/"5" in older comments
+# were builder sessions between driver recordings):
+#   tier 1   never driver-verified: the banded-LSH rebase of d5/d9(+d9s)
+#            and the session-4/5 additions (j10...w10);
+#   tier 2c  new in session 6 (t10, a13, m4, z1, s8, a2c, c11, st10);
+#   tier 3   last driver-verified in round 2 — fills the cap;
+#   51+      driver-green in round 3 (or round 2 for sql*), unchanged, or
+#            displaced map-side ops whose machinery rides on in-cap kin.
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
 # on any mismatch, and tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (

@@ -249,6 +249,8 @@ def test_t8_vocab_joins_not_broadcast_corpus(spark):
         # 5× d4 regression class documented in operators/dedup.py)
         ("t6_repetition", 2),
         ("c9_doc_chunks", 2),
+        # t10: one array-HOF project over the scan, zero shuffles
+        ("t10_gopher_rules", 2),
     ],
 )
 def test_mapside_queries_codegen_span(spark, name, max_stages):
@@ -299,3 +301,46 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_a13_shuffles_candidates_not_vocabulary(spark):
+    """a13: the exact phase must broadcast the candidate set and total
+    (two broadcasts), and the only shuffles are the tiny candidate
+    distinct + the pruned final aggregate — the vocabulary-wide shuffle
+    a plain GROUP BY HAVING would take must not appear as extra
+    exchanges."""
+    df = q("a13_heavy_hitters", spark)
+    plan = formatted_plan(df)
+    # candidate prune = BroadcastHashJoin; 1-row total = broadcast NLJ
+    assert broadcast_join_count(df) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_z1_single_wide_shuffle_and_broadcast_bounds(spark):
+    """z1: range bounds come back as ONE broadcast row; the only wide
+    shuffle is the final per-file stats aggregate."""
+    df = q("z1_zorder_layout", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds broadcast
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_m4_band_join_is_equi_not_nested_loop(spark):
+    """m4: the banded Hamming candidate join must plan as an equi-join on
+    (band, bucket) — a nested-loop/cartesian here is the all-pairs
+    compare the OR-construction exists to avoid."""
+    plan = formatted_plan(q("m4_media_phash_dedup", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s8_greedy_is_grouped_pandas_over_broadcast_shortlist(spark):
+    """s8: the query side broadcasts into the shortlist scoring, and the
+    sequential MMR greedy appears as exactly one grouped-pandas node —
+    shortlist state never leaves its executor group."""
+    df = q("s8_mmr_rerank", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+    assert "FlatMapGroupsInPandas (" in plan, plan
+    assert shuffle_count(df) <= 2, plan
