@@ -176,3 +176,64 @@ from real_time_data_warehouse_spark.operators import stateful as _stateful  # no
 _QR["st8s_scd2_replay"] = _dc.replace(
     _QR["st8s_scd2_replay"], oracle=_QR["st8_scd2_intervals"].oracle
 )
+
+
+@register(
+    "a13s_heavy_hitters_replay",
+    survey="A2,ext-scale,ext-text",
+    doc="Streaming heavy-hitter tracker replay: the fixture's token "
+        "stream split into 4 ascending-doc_id batches and folded "
+        "sequentially through the bounded Misra-Gries snapshot state "
+        "(streaming/heavy_hitters.py — batch N reads snapshot N-1, "
+        "overwrites snapshot N; retry-idempotent like the other gates). "
+        "The final snapshot's keys are a guaranteed superset of the "
+        "true heavy hitters regardless of where the batch boundaries "
+        "fall (the MG undercount bound is chunking-independent), so "
+        "after the exact verify pass the streaming path returns the "
+        "IDENTICAL rows to the one-pass a13 query — the oracle is "
+        "literally a13's, making the green row a driver-checked "
+        "batch ≡ stream equivalence.",
+    oracle=None,  # replaced below with a13's oracle (shared contract)
+)
+def a13s_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+    from real_time_data_warehouse_spark.operators.aggregations import _HH_K
+    from real_time_data_warehouse_spark.streaming import heavy_hitters as hh
+
+    t = Tables(spark, sf_dir)
+    tokens = t.documents.select(
+        "doc_id", F.explode(tokenize("text")).alias("w")
+    ).localCheckpoint(eager=True)
+    span = int(tokens.agg(F.max("doc_id")).first()[0]) + 1
+    tmp = tempfile.mkdtemp(prefix="rtdw_hh_replay_")
+    try:
+        for b in range(_N_BATCHES):
+            lo, hi = span * b // _N_BATCHES, span * (b + 1) // _N_BATCHES
+            batch = tokens.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select("w")
+            hh.apply_hh_batch(spark, batch, b, tmp, cap=4 * _HH_K)
+        cand = hh.final_candidates(spark, tmp, _N_BATCHES).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    tot = tokens.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        tokens.join(F.broadcast(cand), "w")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("w", "cnt", "n_total")
+    )
+
+
+# shared contract: the replay answers to the one-pass a13 oracle
+from real_time_data_warehouse_spark.operators import aggregations as _aggs  # noqa: E402,F401
+import dataclasses as _dc13  # noqa: E402
+
+QUERY_REGISTRY["a13s_heavy_hitters_replay"] = _dc13.replace(
+    QUERY_REGISTRY["a13s_heavy_hitters_replay"],
+    oracle=QUERY_REGISTRY["a13_heavy_hitters"].oracle,
+)

@@ -105,6 +105,7 @@ MANIFEST: tuple[str, ...] = (
     "a2c_hll_partial_union",
     "c11_token_budget_plan",
     "st10_changelog_fold",
+    "a13s_heavy_hitters_replay",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -114,7 +115,6 @@ MANIFEST: tuple[str, ...] = (
     "t4_fingerprint",
     "m1_media_features",
     "m3_corrupt_quarantine",
-    "c1_corpus_curation",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
@@ -136,6 +136,7 @@ MANIFEST: tuple[str, ...] = (
     "c4_corpus_shuffle",
     "c5_pseudonymize",
     "c6_mixture_weights",
+    "c1_corpus_curation",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

@@ -99,3 +99,50 @@ def test_matches_plain_groupby_on_zipf(zipf_stream, tmp_path):
         .collect()
     }
     assert two_phase == plain
+
+
+class TestStreamingFold:
+    """streaming/heavy_hitters.py — the snapshot-folded MG state."""
+
+    def test_chunked_fold_matches_batch_guarantees(self, spark, zipf_stream, tmp_path):
+        # fold the zipf stream in 4 ordered chunks; final snapshot keys
+        # must still contain every true heavy hitter (chunking-
+        # independent MG bound), and the exact verify must equal the
+        # one-pass answer
+        from real_time_data_warehouse_spark.streaming import heavy_hitters as hh
+
+        rows = zipf_stream.withColumn("rid", F.monotonically_increasing_id())
+        ids = sorted(r["rid"] for r in rows.select("rid").collect())
+        bounds = [ids[len(ids) * i // 4] for i in range(4)] + [ids[-1] + 1]
+        store = str(tmp_path / "hh_store")
+        for b in range(4):
+            batch = rows.where(
+                (F.col("rid") >= bounds[b]) & (F.col("rid") < bounds[b + 1])
+            ).select("w")
+            hh.apply_hh_batch(spark, batch, b, store, cap=4 * K)
+        cand = {
+            r["w"] for r in hh.final_candidates(spark, store, 4).collect()
+        }
+        assert len(cand) <= 4 * K
+        assert exact_heavy(zipf_stream, K) <= cand
+
+    def test_retry_is_idempotent(self, spark, zipf_stream, tmp_path):
+        # re-applying a batch must rewrite an identical snapshot (the
+        # gates' retry contract): snapshot N depends only on snapshot
+        # N-1 and the batch content
+        from real_time_data_warehouse_spark.streaming import heavy_hitters as hh
+
+        store = str(tmp_path / "hh_store")
+        half = zipf_stream.limit(2000).select("w")
+        hh.apply_hh_batch(spark, half, 0, store, cap=4 * K)
+        hh.apply_hh_batch(spark, zipf_stream.select("w"), 1, store, cap=4 * K)
+        snap1 = sorted(
+            (r["w"], r["cnt"])
+            for r in hh._read_snapshot(spark, store, 1).collect()
+        )
+        hh.apply_hh_batch(spark, zipf_stream.select("w"), 1, store, cap=4 * K)
+        snap1_retry = sorted(
+            (r["w"], r["cnt"])
+            for r in hh._read_snapshot(spark, store, 1).collect()
+        )
+        assert snap1 == snap1_retry
