@@ -652,9 +652,15 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "claims ride in the row: within_bounds pins the estimate to "
         "±5% of the exact count (the a2b bounds-oracle discipline — "
         "sketch drift flips the row red), and merge_lossless pins "
-        "union-of-partials ≡ one global sketch (same lgK ⇒ identical "
-        "registers ⇒ identical estimate), which is the associativity "
-        "property the whole pattern rests on.",
+        "PARTITION-INDEPENDENCE of the merge: daily partials and finer "
+        "(day, event_type) partials union to the IDENTICAL estimate "
+        "(same lgK ⇒ register-max is associative ⇒ same registers), "
+        "which is the property that lets any executor pre-aggregate "
+        "any slice. Deliberately NOT pinned: union ≡ one direct "
+        "un-unioned sketch — a direct Datasketches sketch keeps the "
+        "HIP estimator, which any union discards, so their estimates "
+        "legitimately differ once sketches leave coupon mode (observed "
+        "at sf0.1; equality at sf0.01 was coupon-mode luck).",
     oracle="""
         SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -665,7 +671,9 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2c_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    ev = t.events.select(F.to_date("ts").alias("day"), "user_id")
+    ev = t.events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
     daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
     merged = daily.agg(
         F.count("*").cast("bigint").alias("n_days"),
@@ -673,17 +681,24 @@ def a2c_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_merged"),
     )
-    direct = ev.agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
-        .cast("bigint")
-        .alias("est_global"),
+    # finer partials: same rows, different partitioning of the merge
+    fine = (
+        ev.groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+            .cast("bigint")
+            .alias("est_fine")
+        )
     )
-    out = merged.crossJoin(F.broadcast(direct))
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    out = merged.crossJoin(F.broadcast(fine)).crossJoin(F.broadcast(exact))
     err = F.abs(F.col("est_merged") - F.col("exact_users")).cast("double")
     return out.select(
         "n_days",
         "exact_users",
         (err / F.col("exact_users") <= 0.05).alias("within_bounds"),
-        (F.col("est_merged") == F.col("est_global")).alias("merge_lossless"),
+        (F.col("est_merged") == F.col("est_fine")).alias("merge_lossless"),
     )

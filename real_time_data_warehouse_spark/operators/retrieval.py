@@ -597,7 +597,7 @@ def s8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = vecs @ vecs.T  # exact int64 pairwise dots
         chosen: list[int] = []
         out = []
-        for rnk in range(1, _MMR_K + 1):
+        for rnk in range(1, min(_MMR_K, len(ids)) + 1):
             if chosen:
                 maxsim = sims[:, chosen].max(axis=1)
             else:
