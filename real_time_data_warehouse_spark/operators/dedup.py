@@ -937,3 +937,104 @@ _QR2["d6b_cluster_histogram"] = _dc6b.replace(
         FROM sizes GROUP BY sz
     """,
 )
+
+
+# --- d13: source-overlap matrix ------------------------------------------
+
+
+@register(
+    "d13_source_overlap",
+    survey="ext-dedup,ext-curation",
+    doc="Source×source shingle-overlap matrix — the corpus-analysis "
+        "rollup behind cross-crawl dedup planning: for every source "
+        "pair that shares at least one word-3-gram, the exact "
+        "intersection size, both set sizes, and the set Jaccard. "
+        "Shape: distinct (source, shingle) pairs reduce map-side, ONE "
+        "shuffle groups by shingle, pairs generate map-side from each "
+        "≤|sources| bucket (the d2 double-explode idiom), and the "
+        "20-row size table broadcasts twice onto the 190-row matrix — "
+        "nothing pairwise ever shuffles. Shingles are the portable "
+        "32-bit md5 hashes (d3's discipline) so both engines count "
+        "identical sets; Jaccard uses the floor(x·10⁴+0.5) rounding "
+        "rule.",
+    oracle=f"""
+        WITH ss AS (
+            SELECT DISTINCT d.source, s.sh
+            FROM ({_SHINGLES_SQL}) s JOIN documents d USING (doc_id)
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ss GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, i.n_shared,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(floor(CAST(i.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - i.n_shared) * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.src_a
+        JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def d13_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "source", tokenize("text").alias("toks")
+    ).where(F.size("toks") >= _SHINGLE_N)
+    shs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - _SHINGLE_N),
+            lambda i: md5_hash(
+                F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " ")
+            ),
+        )
+    )
+    src_sh = (
+        toks.select("source", F.explode_outer(shs).alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    buckets = src_sh.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = (
+        buckets.select(
+            F.explode("srcs").alias("src_a"), F.col("srcs").alias("srcs")
+        )
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (F.floor(jac * 10000 + F.lit(0.5)) / 10000)
+        .cast("double")
+        .alias("jaccard"),
+    )

@@ -106,6 +106,7 @@ MANIFEST: tuple[str, ...] = (
     "c11_token_budget_plan",
     "st10_changelog_fold",
     "a13s_heavy_hitters_replay",
+    "d13_source_overlap",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
@@ -114,7 +115,6 @@ MANIFEST: tuple[str, ...] = (
     "t3_token_count",
     "t4_fingerprint",
     "m1_media_features",
-    "m3_corrupt_quarantine",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
@@ -137,6 +137,7 @@ MANIFEST: tuple[str, ...] = (
     "c5_pseudonymize",
     "c6_mixture_weights",
     "c1_corpus_curation",
+    "m3_corrupt_quarantine",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

@@ -66,6 +66,7 @@ TIER1 = (
     "c11_token_budget_plan",
     "st10_changelog_fold",
     "a13s_heavy_hitters_replay",
+    "d13_source_overlap",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -78,7 +79,7 @@ TIER2 = (
     "s2_lsh_ann_topk",
     "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
     "t3_token_count", "t4_fingerprint",
-    "m1_media_features", "m3_corrupt_quarantine",
+    "m1_media_features",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
     "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
