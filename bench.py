@@ -51,6 +51,8 @@ EXTENDED = (
     "a2c_hll_partial_union",
     "c11_token_budget_plan",
     "st10_changelog_fold",
+    "d13_source_overlap",
+    "d2c_prefix_jaccard",
 )
 
 # Headline set: the flagship + one representative per operator family.

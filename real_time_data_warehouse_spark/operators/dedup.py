@@ -1038,3 +1038,112 @@ def d13_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("jaccard"),
     )
+
+
+# --- d2c: prefix-filtered exact Jaccard (PPJoin family) ------------------
+
+
+@register(
+    "d2c_prefix_jaccard",
+    survey="ext-dedup",
+    doc="EXACT Jaccard ≥ 0.6 pairs via prefix filtering (Chaudhuri et "
+        "al. 2006 / PPJoin family) — the lossless scale-exact answer to "
+        "d2's uncapped bucket join: order every shingle set by GLOBAL "
+        "shingle frequency (rarest first) and index only each doc's "
+        "first |S| − ⌈0.6·|S|⌉ + 1 shingles. Losslessness: J ≥ 0.6 ⟹ "
+        "|A∩B| ≥ 0.6·|A∪B| ≥ ⌈0.6·max(|A|,|B|)⌉ = α, and two sets "
+        "sharing ≥ α elements under one total order must collide within "
+        "their (|X| − α + 1)-prefixes (pigeonhole), which our longer "
+        "(|X| − ⌈0.6|X|⌉ + 1)-prefixes contain. So every qualifying "
+        "pair is still generated — but the corpus's HOTTEST shingles "
+        "(the f(f−1)/2 quadratic heads that make d2 'deliberately "
+        "exact, deliberately unbounded') sort to the END of every set "
+        "and fall out of the index entirely. Candidates then verify "
+        "exactly against the full sets (array_intersect), so the output "
+        "rows are IDENTICAL to d2's and it answers d2's oracle. Extra "
+        "cost vs d2: one frequency aggregation, one per-doc rank, and "
+        "the verify join — all linear; what it buys is a candidate "
+        "space bounded by RARE-shingle collisions instead of hot-"
+        "shingle f².",
+    oracle=None,  # replaced below: shares d2's oracle verbatim
+)
+def d2c_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return prefix_jaccard_pairs(t.documents)
+
+
+def prefix_candidates(sets: DataFrame) -> DataFrame:
+    """(doc_id, shs) → ratio-pruned candidate pairs from the frequency-
+    ordered prefix index (the d2c candidate generator, exposed so tests
+    can count the candidate space against the full-index form)."""
+    from pyspark.sql.window import Window
+
+    exploded = _explode_shingles(sets, F.size("shs").alias("n"))
+    freq = exploded.groupBy("sh").agg(F.count("*").alias("cnt"))
+    # prefix length p = n - ceil(0.6 n) + 1, integer-exact
+    p = F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
+    w = Window.partitionBy("doc_id").orderBy("cnt", "sh")
+    prefix = (
+        exploded.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= p)
+        .select("sh", "doc_id", "n")
+    )
+    buckets = (
+        prefix.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    return (
+        buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("na"),
+            F.explode(
+                F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("b"),
+        )
+        .select(
+            "doc_a", "na",
+            F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb"),
+        )
+        .where(F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def prefix_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    sets = shingle_sets_for(docs, hashed=False).localCheckpoint(eager=True)
+    cand = prefix_candidates(sets)
+    # exact verify against the full sets — candidates only
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return verified.where(jac >= 0.6).select(
+        "doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard")
+    )
+
+
+import dataclasses as _dc2c  # noqa: E402
+
+_QR2["d2c_prefix_jaccard"] = _dc2c.replace(
+    _QR2["d2c_prefix_jaccard"],
+    oracle=_QR2["d2_ngram_jaccard_pairs"].oracle,
+)

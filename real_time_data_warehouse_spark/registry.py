@@ -107,10 +107,10 @@ MANIFEST: tuple[str, ...] = (
     "st10_changelog_fold",
     "a13s_heavy_hitters_replay",
     "d13_source_overlap",
+    "d2c_prefix_jaccard",
     # tier 3: last driver-verified in round 2
     "s2_lsh_ann_topk",
     "t1_lang_id",
-    "t1b_trigram_langid",
     "t2_quality_score",
     "t3_token_count",
     "t4_fingerprint",
@@ -138,6 +138,7 @@ MANIFEST: tuple[str, ...] = (
     "c6_mixture_weights",
     "c1_corpus_curation",
     "m3_corrupt_quarantine",
+    "t1b_trigram_langid",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

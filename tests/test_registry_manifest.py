@@ -67,6 +67,7 @@ TIER1 = (
     "st10_changelog_fold",
     "a13s_heavy_hitters_replay",
     "d13_source_overlap",
+    "d2c_prefix_jaccard",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -77,7 +78,7 @@ TIER2 = (
     # t5_normalize/t6_repetition displaced below the cap by the round-6
     # additions — their tokenize/array machinery rides on in-cap t1-t4/t10
     "s2_lsh_ann_topk",
-    "t1_lang_id", "t1b_trigram_langid", "t2_quality_score",
+    "t1_lang_id", "t2_quality_score",
     "t3_token_count", "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
