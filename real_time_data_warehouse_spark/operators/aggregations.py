@@ -702,3 +702,45 @@ def a2c_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err / F.col("exact_users") <= 0.05).alias("within_bounds"),
         (F.col("est_merged") == F.col("est_fine")).alias("merge_lossless"),
     )
+
+
+@register(
+    "a15_retention_cohorts",
+    survey="A2,A3,ext-scale",
+    doc="Retention-cohort matrix — the classic warehouse triangle: each "
+        "user's cohort is their first active day, and cell (cohort_day, "
+        "day_offset) counts distinct cohort users active exactly that "
+        "many days later. Shape: distinct (user, day) reduces the event "
+        "stream map-side first; the cohort table is one user-keyed "
+        "aggregate joined back on user_id (at 100 TB that join shuffles "
+        "the distinct-day rows, already thousands of times smaller than "
+        "the events); the final cell count is a second partial→final "
+        "aggregate. Everything integer/date-exact.",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY c.cohort_day, a.day - c.cohort_day
+    """,
+)
+def a15_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    active = t.events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

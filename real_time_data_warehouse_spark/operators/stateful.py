@@ -374,3 +374,103 @@ def st10_changelog_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_changelog_ops"),
         )
     )
+
+
+@register(
+    "st11_funnel",
+    survey="ST4,ST6,ext-scale",
+    doc="Ordered conversion funnel (view → click → purchase, strictly "
+        "increasing event time, each stage within 12 h of the previous): "
+        "per user, t1 = first view, t2 = first click in (t1, t1+12h], "
+        "t3 = first purchase in (t2, t2+12h]; output is users "
+        "surviving each stage (the window makes real attrition: "
+        "150 → 37 → 7 on the fixture). ONE shuffle: events sort into per-user "
+        "arrays (collect_list + array_sort) and the sequential stage "
+        "logic runs as a pure-Catalyst aggregate() fold over each "
+        "array — no per-stage self-joins re-shuffling the event stream "
+        "(the reference's KeyedProcessFunction sequencing, declarative). "
+        "The oracle computes the same chain via 3-stage conditional "
+        "minima, which is equivalent because the greedy-earliest chain "
+        "IS the stage-min chain; stage conditions are strict ts "
+        "comparisons, so counts are tie-safe.",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL
+              AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 12 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT 'view' AS step, CAST(COUNT(t1) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 'view>click', CAST(COUNT(t2) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'view>click>purchase', CAST(COUNT(t3) AS BIGINT) FROM s3
+        )
+    """,
+)
+def st11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    evs = t.events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        take1 = acc["t1"].isNull() & (e["event_type"] == "view")
+        take2 = (
+            acc["t1"].isNotNull()
+            & acc["t2"].isNull()
+            & (e["event_type"] == "click")
+            & (e["ts"] > acc["t1"])
+            & (e["ts"] <= acc["t1"] + F.expr("INTERVAL 12 HOURS"))
+        )
+        take3 = (
+            acc["t2"].isNotNull()
+            & acc["t3"].isNull()
+            & (e["event_type"] == "purchase")
+            & (e["ts"] > acc["t2"])
+            & (e["ts"] <= acc["t2"] + F.expr("INTERVAL 12 HOURS"))
+        )
+        return F.struct(
+            F.when(take1, e["ts"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(take2, e["ts"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(take3, e["ts"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    stages = evs.select(F.aggregate("seq", init, step).alias("s"))
+    counts = stages.agg(
+        F.count("s.t1").cast("bigint").alias("n1"),
+        F.count("s.t2").cast("bigint").alias("n2"),
+        F.count("s.t3").cast("bigint").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit("view").alias("step"), F.col("n1").alias("n_users")),
+        F.struct(F.lit("view>click").alias("step"), F.col("n2").alias("n_users")),
+        F.struct(
+            F.lit("view>click>purchase").alias("step"),
+            F.col("n3").alias("n_users"),
+        ),
+    )
+    return counts.select(F.explode(steps).alias("r")).select(
+        F.col("r.step").alias("step"), F.col("r.n_users").alias("n_users")
+    )

@@ -108,11 +108,11 @@ MANIFEST: tuple[str, ...] = (
     "a13s_heavy_hitters_replay",
     "d13_source_overlap",
     "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
     # tier 3: last driver-verified in round 2
-    "s2_lsh_ann_topk",
     "t1_lang_id",
     "t2_quality_score",
-    "t3_token_count",
     "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter",
@@ -139,6 +139,8 @@ MANIFEST: tuple[str, ...] = (
     "c1_corpus_curation",
     "m3_corrupt_quarantine",
     "t1b_trigram_langid",
+    "s2_lsh_ann_topk",
+    "t3_token_count",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

@@ -68,6 +68,8 @@ TIER1 = (
     "a13s_heavy_hitters_replay",
     "d13_source_overlap",
     "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -77,9 +79,7 @@ TIER1 = (
 TIER2 = (
     # t5_normalize/t6_repetition displaced below the cap by the round-6
     # additions — their tokenize/array machinery rides on in-cap t1-t4/t10
-    "s2_lsh_ann_topk",
-    "t1_lang_id", "t2_quality_score",
-    "t3_token_count", "t4_fingerprint",
+    "t1_lang_id", "t2_quality_score", "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
