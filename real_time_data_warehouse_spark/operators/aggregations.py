@@ -744,3 +744,88 @@ def a15_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "a16_gapfill_locf",
+    survey="A1,W1,ext-scale",
+    doc="Time-series gap-fill with last-observation-carried-forward — "
+        "the hypertable/continuous-aggregate staple (TimescaleDB's "
+        "locf/time_bucket_gapfill, declaratively): per user, the daily "
+        "closing value (last event of the day by (ts, event_id) — "
+        "picked via row_number in BOTH engines, so ties can't diverge) "
+        "on a dense day spine from the user's first day to the corpus "
+        "max day (bounds broadcast as one row), missing days filled by "
+        "F.last(ignorenulls) over the per-user ordered window with an "
+        "is_filled marker. Values are copied, never recomputed, so "
+        "parity is float-exact. Shape: one reduce to daily closes, a "
+        "map-side sequence/explode for the spine, one window per user "
+        "partition — no joins wider than the daily table.",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        daily AS (
+            SELECT user_id, day, value FROM ranked WHERE rn = 1
+        ),
+        bounds AS (SELECT MAX(day) AS max_day FROM daily),
+        spine AS (
+            SELECT u.user_id, CAST(s.d AS DATE) AS day
+            FROM (SELECT user_id, MIN(day) AS d0 FROM daily GROUP BY user_id) u
+            CROSS JOIN bounds b,
+            LATERAL (SELECT unnest(generate_series(u.d0, b.max_day,
+                                                   INTERVAL 1 DAY)) AS d) s
+        )
+        SELECT sp.user_id, strftime(sp.day, '%Y-%m-%d') AS day,
+               CAST((SELECT d2.value FROM daily d2
+                     WHERE d2.user_id = sp.user_id AND d2.day <= sp.day
+                     ORDER BY d2.day DESC LIMIT 1) AS DOUBLE) AS value,
+               (d.value IS NULL) AS is_filled
+        FROM spine sp
+        LEFT JOIN daily d ON d.user_id = sp.user_id AND d.day = sp.day
+    """,
+)
+def a16_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    wday = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        t.events.select(
+            "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+        )
+        .withColumn("rn", F.row_number().over(wday))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    bounds = daily.agg(F.max("day").alias("max_day"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "max_day", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("value", ignorenulls=True).over(wfill).cast("double")
+        .alias("value"),
+        F.col("value").isNull().alias("is_filled"),
+    )

@@ -110,9 +110,9 @@ MANIFEST: tuple[str, ...] = (
     "d2c_prefix_jaccard",
     "a15_retention_cohorts",
     "st11_funnel",
+    "a16_gapfill_locf",
     # tier 3: last driver-verified in round 2
     "t1_lang_id",
-    "t2_quality_score",
     "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter",
@@ -141,6 +141,7 @@ MANIFEST: tuple[str, ...] = (
     "t1b_trigram_langid",
     "s2_lsh_ann_topk",
     "t3_token_count",
+    "t2_quality_score",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

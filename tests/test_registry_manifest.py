@@ -70,6 +70,7 @@ TIER1 = (
     "d2c_prefix_jaccard",
     "a15_retention_cohorts",
     "st11_funnel",
+    "a16_gapfill_locf",
 )
 # Last driver-verified in round 2; the three sql* composition apps and
 # six narrow p-filters/projections (p5-p10) fall below the 50-cap this
@@ -79,7 +80,7 @@ TIER1 = (
 TIER2 = (
     # t5_normalize/t6_repetition displaced below the cap by the round-6
     # additions — their tokenize/array machinery rides on in-cap t1-t4/t10
-    "t1_lang_id", "t2_quality_score", "t4_fingerprint",
+    "t1_lang_id", "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
