@@ -64,7 +64,8 @@ def register(
 # were builder sessions between driver recordings):
 #   tier 1   never driver-verified: the banded-LSH rebase of d5/d9(+d9s)
 #            and the session-4/5 additions (j10...w10);
-#   tier 2c  new in session 6 (t10, a13, m4, z1, s8, a2c, c11, st10);
+#   tier 2c  new in session 6 (t10, a13/a13s, m4, z1, s8, a2c, c11,
+#            st10, d13, d2c, a15, st11, a16);
 #   tier 3   last driver-verified in round 2 — fills the cap;
 #   51+      driver-green in round 3 (or round 2 for sql*), unchanged, or
 #            displaced map-side ops whose machinery rides on in-cap kin.

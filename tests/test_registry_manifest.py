@@ -72,14 +72,15 @@ TIER1 = (
     "st11_funnel",
     "a16_gapfill_locf",
 )
-# Last driver-verified in round 2; the three sql* composition apps and
-# six narrow p-filters/projections (p5-p10) fall below the 50-cap this
-# round — their underlying operators are round-3 green or share in-cap
-# projection machinery (P5 itself stays covered by in-cap j3) — the
-# other 27 stay inside it.
+# Last driver-verified in round 2 and still inside the cap after the
+# round-6 additions: the joins (j1-j5), the narrow p-filters the in-cap
+# apps compose, and one representative per map-side family (t1 word
+# lang-ID, t4 fingerprint, m1 media pipeline). The other r2-green
+# map-side ops (t2/t3/t5/t6/t1b, m2/m3, c1-c6, s2) sit just below the
+# cap: each shares its tokenize/array/hash machinery with an in-cap
+# sibling, is green in the sf0.1 full-registry sweep, and rotates back
+# in next round once the no-signal tier drains.
 TIER2 = (
-    # t5_normalize/t6_repetition displaced below the cap by the round-6
-    # additions — their tokenize/array machinery rides on in-cap t1-t4/t10
     "t1_lang_id", "t4_fingerprint",
     "m1_media_features",
     "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
