@@ -26,6 +26,7 @@ _MODULES = (
     "scalar",
     "serving",
     "layout",
+    "audits",  # composes s1/s3/d2/d3 — must load last
 )
 
 _loaded = False

@@ -1,0 +1,114 @@
+"""Quality-gate audit queries — recall claims as DRIVER-CHECKED rows.
+
+COVERAGE.md reports ANN recall (s3 IVF = 0.84 vs exact s1) and MinHash
+recall (d3 vs exact-Jaccard d2 = 255/256) as measured numbers, but a
+doc is not a gate: a regression in the quantizer, the band scheme, or a
+fixture regeneration could silently erode them. These two queries turn
+each claim into a registry row with the a2b bounds-oracle discipline —
+the Spark side computes the recall against the exact operator and emits
+a boolean floor assertion; the oracle asserts the SAME boolean as a
+literal TRUE (plus the exactly-recomputable counts), so recall falling
+through the floor flips a driver row red instead of rotting in a doc.
+Floors sit well under the measured values (0.6 vs 0.84; 0.9 vs 0.996)
+to absorb fixture-regeneration noise while still catching real breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# composition: the audited operators register first (module load order)
+from real_time_data_warehouse_spark.operators import dedup as _dedup  # noqa: F401
+from real_time_data_warehouse_spark.operators import (  # noqa: F401
+    similarity as _similarity,
+)
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, register
+
+_ANN_FLOOR_X100 = 60
+_MINHASH_FLOOR_X100 = 90
+
+
+@register(
+    "s9_ann_recall_audit",
+    survey="ext-similarity",
+    doc="Driver-checked ANN quality gate: recall@5 of the trained-IVF "
+        "search (s3, 2 probes) against the exact brute-force top-5 "
+        "(s1), asserted ≥ 0.60 (measured 0.84 — the floor absorbs "
+        "fixture noise, not real regressions). Counts that both engines "
+        "can recompute exactly (n_queries, n_truth) ride along; the "
+        "recall value itself is Spark-side only, so the contract column "
+        "is the boolean.",
+    oracle=f"""
+        SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_queries,
+               CAST(LEAST(10, COUNT(*)) * 5 AS BIGINT) AS n_truth,
+               TRUE AS above_floor
+        FROM embeddings WHERE vec_id < 10
+    """,
+)
+def s9_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = QUERY_REGISTRY["s1_cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERY_REGISTRY["s3_ivf_ann_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    stats = truth.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_truth"),
+    ).crossJoin(
+        F.broadcast(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return stats.select(
+        "n_queries",
+        "n_truth",
+        (F.col("n_hit") * 100 >= F.col("n_truth") * _ANN_FLOOR_X100).alias(
+            "above_floor"
+        ),
+    )
+
+
+@register(
+    "d14_minhash_recall_audit",
+    survey="ext-dedup",
+    doc="Driver-checked MinHash quality gate: the fraction of exact "
+        "Jaccard ≥ 0.6 pairs (d2) that the MinHash-LSH pipeline (d3) "
+        "recovers, asserted ≥ 0.90 (measured 255/256 ≈ 0.996). n_truth "
+        "is recomputed exactly by the oracle from d2's own pair SQL, so "
+        "the audit also re-pins the exact pair count.",
+    oracle=None,  # built below from d2's oracle so n_truth stays in sync
+)
+def d14_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = QUERY_REGISTRY["d2_ngram_jaccard_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    approx = QUERY_REGISTRY["d3_minhash_lsh_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    hit = truth.join(approx, ["doc_a", "doc_b"], "left_semi")
+    stats = truth.agg(
+        F.count("*").cast("bigint").alias("n_truth")
+    ).crossJoin(
+        F.broadcast(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return stats.select(
+        "n_truth",
+        (
+            F.col("n_hit") * 100 >= F.col("n_truth") * _MINHASH_FLOOR_X100
+        ).alias("above_floor"),
+    )
+
+
+import dataclasses as _dca  # noqa: E402
+
+QUERY_REGISTRY["d14_minhash_recall_audit"] = _dca.replace(
+    QUERY_REGISTRY["d14_minhash_recall_audit"],
+    oracle=f"""
+        WITH d2_pairs AS (
+            {QUERY_REGISTRY["d2_ngram_jaccard_pairs"].oracle}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS above_floor
+        FROM d2_pairs
+    """,
+)

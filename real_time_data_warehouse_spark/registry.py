@@ -112,10 +112,10 @@ MANIFEST: tuple[str, ...] = (
     "a15_retention_cohorts",
     "st11_funnel",
     "a16_gapfill_locf",
+    "s9_ann_recall_audit",
+    "d14_minhash_recall_audit",
     # tier 3: last driver-verified in round 2
-    "t1_lang_id",
     "t4_fingerprint",
-    "m1_media_features",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
@@ -143,6 +143,8 @@ MANIFEST: tuple[str, ...] = (
     "s2_lsh_ann_topk",
     "t3_token_count",
     "t2_quality_score",
+    "t1_lang_id",
+    "m1_media_features",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",
