@@ -829,3 +829,80 @@ def a16_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
         F.col("value").isNull().alias("is_filled"),
     )
+
+
+@register(
+    "a17_spike_detection",
+    survey="A1,W8,ext-scale",
+    doc="Trailing-window anomaly flags — the monitoring staple on any "
+        "metric stream: a user-day is a spike when its value more than "
+        "doubles the trailing 7-day daily average. The comparison is "
+        "EXACT decimal cross-multiplication (day_value·n_trail > "
+        "2·sum_trail — never a float division), daily sums ride in "
+        "DECIMAL(18,2), and the trailing frame is RANGE -7..-1 on the "
+        "integer day number, so both engines see identical windows and "
+        "identical booleans. Days with no trailing baseline emit NULL "
+        "(unratable ≠ not-spiking, the t6 discipline). One reduce to "
+        "user-days, one per-user window — no self-joins.",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day_num,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        win AS (
+            SELECT user_id, day, v,
+                   SUM(v) OVER (PARTITION BY user_id ORDER BY day_num
+                                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                       AS sum_trail,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY day_num
+                                  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                       AS n_trail
+            FROM daily
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(v AS DOUBLE) AS daily_value,
+               CAST(n_trail AS BIGINT) AS n_trail,
+               CASE WHEN n_trail > 0
+                    THEN v * n_trail > 2 * sum_trail END AS is_spike
+        FROM win
+    """,
+)
+def a17_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("v"))
+        .withColumn(
+            "day_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
+    )
+    win = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.sum("v").over(w).alias("sum_trail"),
+        F.count("*").over(w).alias("n_trail"),
+    )
+    return win.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").cast("double").alias("daily_value"),
+        F.col("n_trail").cast("bigint").alias("n_trail"),
+        F.when(
+            F.col("n_trail") > 0,
+            F.col("v") * F.col("n_trail") > 2 * F.col("sum_trail"),
+        ).alias("is_spike"),
+    )

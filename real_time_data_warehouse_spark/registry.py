@@ -114,8 +114,8 @@ MANIFEST: tuple[str, ...] = (
     "a16_gapfill_locf",
     "s9_ann_recall_audit",
     "d14_minhash_recall_audit",
+    "a17_spike_detection",
     # tier 3: last driver-verified in round 2
-    "t4_fingerprint",
     "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
@@ -144,6 +144,7 @@ MANIFEST: tuple[str, ...] = (
     "t3_token_count",
     "t2_quality_score",
     "t1_lang_id",
+    "t4_fingerprint",
     "m1_media_features",
     "m2_frame_sampling",
     "c2_stratified_sample",
