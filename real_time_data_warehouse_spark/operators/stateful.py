@@ -474,3 +474,68 @@ def st11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(steps).alias("r")).select(
         F.col("r.step").alias("step"), F.col("r.n_users").alias("n_users")
     )
+
+
+@register(
+    "st12_transition_matrix",
+    survey="ST6,W9,ext-scale",
+    doc="Clickstream transition matrix — the page-flow / Markov-chain "
+        "rollup: per user, order events by (ts, event_id) and count "
+        "each (event_type → next event_type) transition, then the "
+        "row-normalized transition probability. ONE per-user window "
+        "(lead) and one partial→final aggregate; probabilities are "
+        "exact-integer ratios under the floor(x·10⁴+0.5) rounding "
+        "rule, counts are bigint. The per-user sequencing is the "
+        "reference's keyed-state ordering (ST6 session logic) read "
+        "declaratively.",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+        ),
+        tot AS (
+            SELECT src, SUM(n) AS n_src FROM trans GROUP BY src
+        )
+        SELECT t.src, t.dst, t.n,
+               CAST(floor(CAST(t.n AS DOUBLE) / tt.n_src * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS p
+        FROM trans t JOIN tot tt USING (src)
+    """,
+)
+def st12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        t.events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        trans.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("n_src") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            )
+            .cast("double")
+            .alias("p"),
+        )
+    )

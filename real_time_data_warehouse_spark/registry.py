@@ -115,8 +115,8 @@ MANIFEST: tuple[str, ...] = (
     "s9_ann_recall_audit",
     "d14_minhash_recall_audit",
     "a17_spike_detection",
+    "st12_transition_matrix",
     # tier 3: last driver-verified in round 2
-    "p1_cdc_etl_filter",
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
@@ -145,6 +145,7 @@ MANIFEST: tuple[str, ...] = (
     "t2_quality_score",
     "t1_lang_id",
     "t4_fingerprint",
+    "p1_cdc_etl_filter",
     "m1_media_features",
     "m2_frame_sampling",
     "c2_stratified_sample",

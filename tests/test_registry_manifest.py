@@ -74,6 +74,7 @@ TIER1 = (
     "s9_ann_recall_audit",
     "d14_minhash_recall_audit",
     "a17_spike_detection",
+    "st12_transition_matrix",
 )
 # Last driver-verified in round 2 and still inside the cap after the
 # round-6 additions: the joins (j1-j5), the narrow p-filters the in-cap
@@ -84,7 +85,7 @@ TIER1 = (
 # sibling, is green in the sf0.1 full-registry sweep, and rotates back
 # in next round once the no-signal tier drains.
 TIER2 = (
-    "p1_cdc_etl_filter", "p2_dirty_side_output", "p3_bootstrap_exclusion",
+    "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
     "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
     "j4_interval_join", "j5_lookup_dim_join",
