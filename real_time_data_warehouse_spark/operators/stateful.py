@@ -520,6 +520,9 @@ def st12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("n"))
+        # materialized once: the row-total branch must NOT re-run the
+        # window + aggregate lineage a second time (the t9 discipline)
+        .localCheckpoint(eager=True)
     )
     tot = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
     return (

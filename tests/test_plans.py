@@ -344,3 +344,36 @@ def test_s8_greedy_is_grouped_pandas_over_broadcast_shortlist(spark):
     assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
     assert "FlatMapGroupsInPandas (" in plan, plan
     assert shuffle_count(df) <= 2, plan
+
+
+def test_st11_funnel_single_shuffle(spark):
+    """st11: the sequential stage logic must run as an array fold after
+    ONE per-user shuffle — per-stage self-joins would re-shuffle the
+    event stream once per funnel stage."""
+    df = q("st11_funnel", spark)
+    assert shuffle_count(df) <= 2, formatted_plan(df)  # user agg + final 1-row agg
+
+
+def test_a16_gapfill_no_wide_joins(spark):
+    """a16: the spine join is daily-table sized and the bounds come back
+    as a 1-row broadcast — the event stream itself reduces before any
+    join."""
+    df = q("a16_gapfill_locf", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds
+    assert "CartesianProduct" not in plan
+
+
+def test_a17_trailing_window_one_reduce(spark):
+    """a17: one reduce to user-days, one window — no self-join for the
+    trailing frame."""
+    df = q("a17_spike_detection", spark)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_st12_transitions_lead_plus_agg(spark):
+    """st12: lead() window + aggregate + broadcast row-total join — the
+    transition matrix never self-joins the stream."""
+    df = q("st12_transition_matrix", spark)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+    assert shuffle_count(df) <= 3, formatted_plan(df)
