@@ -173,3 +173,89 @@ def visitor_fix(events: DataFrame, idle_ttl_ms: int | None = None) -> DataFrame:
             ),
         )
     )
+
+
+# --- st11 streaming twin: ordered conversion funnel ----------------------
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", StringType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", StringType()),  # ISO micros; None = not reached
+        StructField("t2", StringType()),
+        StructField("t3", StringType()),
+    ]
+)
+_FUNNEL_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _make_funnel_fn(window_hours: int):
+    def _funnel_fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """st11's greedy chain as keyed state: t1 = first view, t2 =
+        first click in (t1, t1+W], t3 = first purchase in (t2, t2+W].
+        Emits one row per stage TRANSITION (append mode); state carries
+        the chain timestamps as ISO strings so a restart resumes
+        exactly. Within a batch events process in (ts, event_id) order;
+        across batches the source must be time-ordered (the module's
+        standing assumption)."""
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "step"])
+            return
+        (user_id,) = key
+        t1s, t2s, t3s = state.get if state.exists else (None, None, None)
+        t1 = pd.Timestamp(t1s) if t1s else None
+        t2 = pd.Timestamp(t2s) if t2s else None
+        t3 = pd.Timestamp(t3s) if t3s else None
+        w = pd.Timedelta(hours=window_hours)
+        out: list[tuple[int, str]] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if t1 is None:
+                    if et == "view":
+                        t1 = ts
+                        out.append((user_id, "view"))
+                elif t2 is None:
+                    if et == "click" and t1 < ts <= t1 + w:
+                        t2 = ts
+                        out.append((user_id, "view>click"))
+                elif t3 is None:
+                    if et == "purchase" and t2 < ts <= t2 + w:
+                        t3 = ts
+                        out.append((user_id, "view>click>purchase"))
+        state.update(
+            tuple(
+                t.strftime(_FUNNEL_FMT) if t is not None else None
+                for t in (t1, t2, t3)
+            )
+        )
+        yield pd.DataFrame(out, columns=["user_id", "step"])
+
+    return _funnel_fn
+
+
+def funnel_stream(events: DataFrame, window_hours: int = 12) -> DataFrame:
+    """st11's streaming twin: per-user funnel chain as keyed state,
+    emitting a row at each stage transition. Batch ≡ stream: on a
+    time-ordered source the concatenated per-key order equals the batch
+    fold's sorted scan, so per-user transitions are identical —
+    tests/test_streaming.py replays the fixture and compares counts
+    against the registered st11 query."""
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _make_funnel_fn(window_hours),
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -523,3 +523,38 @@ def test_etl_filter_rejects(spark):
     good = maxwell_etl_filter(parse_maxwell(raw))
     ids = [r["data"]["id"] for r in good.collect()]
     assert ids == ["1"]
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path, events_dir):
+    """st11's streaming twin across two micro-batches: per-stage user
+    counts from the stateful stream must equal the registered batch
+    query (greedy chain state survives the batch boundary)."""
+    from real_time_data_warehouse_spark.streaming.stateful import funnel_stream
+
+    stream_df = funnel_stream(stream_events(spark, events_dir))
+    ckpt = str(tmp_path / "ckpt_funnel")
+    sink = str(tmp_path / "funnel")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["step"]: r["n"]
+        for r in spark.read.parquet(sink)
+        .groupBy("step")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    expected = {
+        r["step"]: r["n_users"]
+        for r in QUERY_REGISTRY["st11_funnel"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
