@@ -377,3 +377,22 @@ def test_st12_transitions_lead_plus_agg(spark):
     df = q("st12_transition_matrix", spark)
     assert broadcast_join_count(df) >= 1, formatted_plan(df)
     assert shuffle_count(df) <= 3, formatted_plan(df)
+
+
+def test_d13_one_shingle_shuffle_plus_broadcast_sizes(spark):
+    """d13: distinct (source, shingle) reduces map-side, ONE shuffle
+    groups by shingle, pairs generate map-side, and both size tables
+    broadcast — the |sources|² matrix never shuffles pairwise."""
+    df = q("d13_source_overlap", spark)
+    assert broadcast_join_count(df) == 2, formatted_plan(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_d2c_no_cartesian_and_bounded_shuffles(spark):
+    """d2c: prefix index + verify joins are all equi-joins; the extra
+    passes over d2 are linear (frequency agg, per-doc rank, verify),
+    never a pairwise product."""
+    df = q("d2c_prefix_jaccard", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
