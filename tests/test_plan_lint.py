@@ -1,0 +1,40 @@
+"""Registry-wide plan lint: no query may plan a true CartesianProduct.
+
+Broadcast nested-loop joins against 1-row bounds/totals frames are fine
+(and deliberate); a CartesianProduct node means two non-broadcast sides
+are being paired row-by-row — the all-pairs shape every operator in this
+repo is specifically designed to avoid. A blanket guard catches the
+regression class where a join condition is accidentally dropped or an
+equi-join degrades (e.g. a cast makes the keys incomparable).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_warehouse_spark.plans.audit import formatted_plan
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from tests.conftest import SF_DIR
+
+query_map()
+ALL = sorted(QUERY_REGISTRY)
+
+# Sequential replay queries execute real work (store folds) at call
+# time; their final frames are checkpoint reads with trivial plans, and
+# their internals are the SAME code paths the batch twins lint here.
+# Skipping them keeps the lint cheap without losing coverage.
+REPLAYS = {
+    "d7s_dedup_gate_replay",
+    "d9s_semantic_gate_replay",
+    "st8s_scd2_replay",
+    "c3s_packing_replay",
+    "c1s_curation_replay",
+    "a13s_heavy_hitters_replay",
+}
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in REPLAYS])
+def test_no_cartesian_product(spark, name):
+    df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
