@@ -38,3 +38,22 @@ def test_no_cartesian_product(spark, name):
     df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in REPLAYS])
+def test_output_columns_are_scalar(spark, name):
+    """Driver hash-comparability: every output column must be a scalar
+    type. Array/map/struct outputs hash engine-dependently (element
+    order, struct field rendering) under the driver's sorted-column
+    value comparator — flatten or aggregate before returning. Replays
+    excluded for suite economy (each executes its store fold when
+    called); their scalar schemas are pinned by the parity suite."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"
