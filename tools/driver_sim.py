@@ -6,7 +6,11 @@ Mirrors the driver: vanilla SparkSession, ``entry()`` smoke, every
 DuckDB (sorted-column, order-insensitive value comparison). Exit 0 iff
 everything matches.
 
-    python tools/driver_sim.py [sf_dir]
+    python tools/driver_sim.py [sf_dir] [query_substring ...]
+
+Optional query_substring args filter the sweep to matching query names
+(e.g. `python tools/driver_sim.py /root/testdata/sf0.01 a13 d2c`) for
+fast iteration on a single operator.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
 
     from pyspark.sql import SparkSession
 
@@ -40,6 +45,8 @@ def main() -> int:
     fails: list[str] = []
     t0 = time.time()
     for name, fn in sorted(qmap.items()):
+        if only and not any(sub in name for sub in only):
+            continue
         tq = time.time()
         df = fn(spark, sf_dir)
         if name not in omap:
@@ -53,9 +60,10 @@ def main() -> int:
         else:
             fails.append(name)
             print(f"  FAIL {name} [{dt:5.1f}s]: {msg[:300]}")
-    print(
-        f"TOTAL {len(qmap)} queries, {len(fails)} fails, {time.time() - t0:.1f}s"
+    n_run = len(qmap) if not only else sum(
+        1 for n in qmap if any(sub in n for sub in only)
     )
+    print(f"TOTAL {n_run} queries, {len(fails)} fails, {time.time() - t0:.1f}s")
     return 1 if fails else 0
 
 
