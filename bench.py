@@ -53,6 +53,11 @@ EXTENDED = (
     "st10_changelog_fold",
     "d13_source_overlap",
     "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
+    "a16_gapfill_locf",
+    "a17_spike_detection",
+    "st12_transition_matrix",
 )
 
 # Headline set: the flagship + one representative per operator family.
