@@ -1169,3 +1169,180 @@ _QR2["d2c_prefix_jaccard"] = _dc2c.replace(
     _QR2["d2c_prefix_jaccard"],
     oracle=_QR2["d2_ngram_jaccard_pairs"].oracle,
 )
+
+
+# --- d15: exact substring duplication spans -------------------------------
+
+# Positional word 6-grams: long enough that a shared gram is a verbatim
+# copied phrase, not a collocation (the 3-gram shingles of d2 measure
+# set overlap; these measure SPANS at exact token positions).
+_SPAN_K = 6
+
+
+@register(
+    "d15_substring_spans",
+    survey="ext-dedup,ext-text",
+    doc=f"Exact-substring duplication audit (the suffix-array dedup "
+        f"family of Lee et al. 2021, bucketed-gram form): every "
+        f"positional word {_SPAN_K}-gram that appears verbatim in 2+ "
+        "documents marks its token span as duplicated; per document the "
+        "overlapping spans MERGE into maximal intervals (islands via "
+        "running max-end) and roll up to duplicated-token coverage and "
+        "fraction — the per-doc signal 'strip or drop verbatim-copied "
+        "text' pipelines act on. Cross-doc only by design: within-doc "
+        "repetition is t6's job. Shape: positional grams reduce by gram "
+        "key (ONE count shuffle), only grams seen in 2+ docs join back "
+        "(shuffle join the optimizer can bloom-prune), and the interval "
+        "merge + rollup are windows on the doc_id partitioning — "
+        "nothing is ever pairwise, so cost is linear in corpus size "
+        "where the d2 family is quadratic in bucket width.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tokenize_sql('text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {_SPAN_K} + 2)) AS s,
+                   unnest(list_transform(
+                       range(1, len(t) - {_SPAN_K} + 2),
+                       i -> array_to_string(t[i:i+{_SPAN_K - 1}], ' ')
+                   )) AS g
+            FROM toks WHERE len(t) >= {_SPAN_K}
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        spans AS (
+            SELECT gr.doc_id, gr.s, gr.s + {_SPAN_K} - 1 AS e
+            FROM grams gr JOIN dup d ON gr.g = d.g
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM spans
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, island,
+                   MAX(e) - MIN(s) + 1 AS span_len,
+                   COUNT(*) AS n_grams
+            FROM islands GROUP BY doc_id, island
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(span_len) AS dup_tokens,
+                   SUM(n_grams) AS dup_grams
+            FROM merged GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(floor(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                    / len(t.t) * 10000 + 0.5) / 10000 AS DOUBLE)
+                   AS dup_fraction
+        FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def d15_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return substring_span_stats(t.documents)
+
+
+def substring_span_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → per-doc duplicated-span coverage (the d15
+    body, exposed so tests can run it on planted corpora)."""
+    from pyspark.sql.window import Window
+
+    # same parallelizing repartition as the shingle family: one compact
+    # parquet file must not serialize the per-gram work onto one task
+    docs = documents.select("doc_id", "text").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    n_tok = toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+    grams = (
+        toks.where(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - _SPAN_K),
+                    lambda i: F.array_join(
+                        F.slice("t", i + 1, _SPAN_K), " "
+                    ),
+                )
+            ).alias("i", "g"),
+        )
+        .select("doc_id", (F.col("i") + 1).alias("s"), "g")
+        .localCheckpoint(eager=True)  # grams feed both the dup-set
+        # aggregate and the join back — compute the transform once
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    spans = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = spans.withColumn(
+        "prev_max", F.max("e").over(w_prev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("span_len"),
+        F.count("*").alias("n_grams"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("span_len").alias("dup_tokens"),
+        F.sum("n_grams").alias("dup_grams"),
+    )
+    frac = (
+        F.floor(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return n_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+        F.coalesce("dup_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        frac.cast("double").alias("dup_fraction"),
+    )

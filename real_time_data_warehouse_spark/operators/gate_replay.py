@@ -237,3 +237,40 @@ QUERY_REGISTRY["a13s_heavy_hitters_replay"] = _dc13.replace(
     QUERY_REGISTRY["a13s_heavy_hitters_replay"],
     oracle=QUERY_REGISTRY["a13_heavy_hitters"].oracle,
 )
+
+
+@register(
+    "st13s_session_replay",
+    survey="ST6,W8,ext-scale",
+    doc=f"Streaming sessionization replay: the events table is split "
+        f"into {_N_BATCHES} ascending event-time batches and pushed "
+        "through streaming/sessionize.apply_session_batch — live "
+        "gap-session maintenance with ONE open-session row of state "
+        "per user, every session touched per batch (re-)emitted as a "
+        "CDC-style upsert keyed (user_id, session_seq) — then the log "
+        "compacts last-wins. Checked against the ONE-PASS st13 oracle: "
+        "a green row is the driver verifying that session numbering, "
+        "boundaries, and exact DECIMAL value sums are independent of "
+        "where the batch boundaries fall.",
+    oracle=None,  # attached below: the st13 batch-form oracle, verbatim
+)
+def st13s_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import sessionize
+
+    t = Tables(spark, sf_dir)
+    rows = t.events.select("user_id", "ts", "value", "event_id")
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        sessionize.apply_session_batch,
+        finalize=sessionize.compact_session_log,
+    )
+
+
+import dataclasses as _dc14  # noqa: E402
+
+QUERY_REGISTRY["st13s_session_replay"] = _dc14.replace(
+    QUERY_REGISTRY["st13s_session_replay"],
+    oracle=QUERY_REGISTRY["st13_sessionization"].oracle,
+)

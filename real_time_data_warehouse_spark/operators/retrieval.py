@@ -620,3 +620,126 @@ def s8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return short.groupBy("query_id").applyInPandas(
         greedy, "query_id long, neighbor_id long, rnk int, score10 long"
     )
+
+
+# --- s10: kNN label-noise audit -------------------------------------------
+
+_KNN_K = 5  # neighbors per audited vector
+_KNN_SAMPLE_MOD = 10  # audit every 10th vector (vec_id % 10 == 0)
+
+
+@register(
+    "s10_knn_label_noise",
+    survey="ext-similarity,ext-curation",
+    doc=f"kNN label-noise audit (confident-learning lite): for a "
+        f"deterministic 1/{_KNN_SAMPLE_MOD} sample of vectors "
+        f"(vec_id % {_KNN_SAMPLE_MOD} == 0), find the exact top-"
+        f"{_KNN_K} inner-product neighbors over the FULL collection "
+        "(self excluded), take the majority neighbor label (ties -> "
+        "smaller label), and flag disagreement with the stored label — "
+        "the standard screen for mislabeled examples before training "
+        "on a labeled corpus. Embeddings are integer-quantized (x1024, "
+        "exact in IEEE — the s8 rule) so similarities, ranking, and "
+        "the vote are ALL integer arithmetic. Shape: the sampled audit "
+        "side broadcasts (it is 10x smaller by construction), the "
+        "collection streams through a BroadcastNestedLoopJoin — exact "
+        "by design on the audit sample; at full-corpus scale the same "
+        "vote runs over an s3/s5 ANN shortlist instead of the exact "
+        "one (the audited semantics per neighbor set are unchanged).",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, {_ivec_sql('embedding')} AS v
+                   FROM embeddings),
+        cand AS (
+            SELECT q.vec_id, q.label, n.label AS nlabel,
+                   CAST({_idot_sql('q.v', 'n.v')} AS BIGINT) AS sim,
+                   n.vec_id AS nid
+            FROM e q JOIN e n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id % {_KNN_SAMPLE_MOD} = 0
+        ),
+        knn AS (
+            SELECT vec_id, label, nlabel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, nid) AS rn
+                FROM cand
+            ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT vec_id, label, nlabel, COUNT(*) AS cnt
+            FROM knn GROUP BY vec_id, label, nlabel
+        )
+        SELECT vec_id, CAST(label AS INT) AS label,
+               CAST(nlabel AS INT) AS knn_label,
+               CAST(CASE WHEN nlabel = label THEN 1 ELSE 0 END AS INT)
+                   AS agree
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cnt DESC, nlabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    """,
+)
+def s10_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return knn_label_vote(t.embeddings, sample_mod=_KNN_SAMPLE_MOD, k=_KNN_K)
+
+
+def knn_label_vote(
+    embeddings: DataFrame, *, sample_mod: int, k: int
+) -> DataFrame:
+    """(vec_id, embedding, label) frame → kNN majority-vote audit rows
+    (the s10 body, exposed so tests can run it on planted fixtures)."""
+    from pyspark.sql.window import Window
+
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1024).cast("bigint"),
+        ).alias("v"),
+    )
+    q = e.where(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "qlabel", "nlabel", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    knn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            F.col("nlabel").cast("int").alias("knn_label"),
+            F.when(F.col("nlabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from real_time_data_warehouse_spark.functions.money import oracle_dec_sum
 from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
@@ -541,4 +542,91 @@ def st12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("p"),
         )
+    )
+
+
+# --- st13: gap-based sessionization ---------------------------------------
+
+# 8 h of inactivity closes a session. The reference counts sessions
+# statelessly (ST6: last_page_id empty => new session,
+# DwsTrafficVcChArIsNewPageViewWindow.java:86-88); gap-based
+# sessionization is the warehouse-native generalization when the event
+# stream carries no explicit session marker.
+SESSION_GAP_S = 28800
+
+
+@register(
+    "st13_sessionization",
+    survey="ST6,W8,ext-scale",
+    doc=f"Gap-based sessionization: per user, events separated by more "
+        f"than {SESSION_GAP_S} s of inactivity start a new session "
+        "(lag -> break flag -> running sum = session number: the "
+        "island trick); sessions roll up to [start, end], event count "
+        "and an exact DECIMAL value sum. The reference's session notion "
+        "is a stateless marker (ST6); this is the stateful equivalent "
+        "every clickstream warehouse actually ships, and the batch "
+        "oracle for the streaming twin in streaming/sessionize.py. "
+        "Shape: lag, cumulative sum, and the rollup all share ONE hash "
+        "exchange on user_id (the groupBy keys extend the window "
+        "partition key, so Catalyst reuses the distribution); per-user "
+        "state is one open session row -- the same bound a keyed stream "
+        "processor carries.",
+    oracle=f"""
+        WITH brk AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w)
+                             > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM brk
+        )
+        SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {oracle_dec_sum('value', 'value_sum')}
+        FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def st13_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp -> double keeps fractional seconds (matches DuckDB epoch())
+    sec = F.col("ts").cast("double")
+    brk = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | (sec - F.lag(sec).over(w) > SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = brk.withColumn(
+        "session_seq", F.sum("is_new").over(wcum).cast("int")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
     )

@@ -116,22 +116,29 @@ MANIFEST: tuple[str, ...] = (
     "d14_minhash_recall_audit",
     "a17_spike_detection",
     "st12_transition_matrix",
+    # tier 2d: new this session (driver round 4) — no signal yet
+    "d15_substring_spans",
+    "st13_sessionization",
+    "st13s_session_replay",
+    "s10_knn_label_noise",
     # tier 3: last driver-verified in round 2
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_filtered_inner_join",
-    "j4_interval_join",
-    "j5_lookup_dim_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json) — or round 2 for the sql* apps, the five
     # narrow p-filters/projections (whose shared projection machinery is
     # covered by the in-cap p-rows), and the two map-side text ops
     # t5/t6 displaced by this session's additions (their tokenize/array
-    # machinery is exercised by in-cap t1-t4/t10) — and unchanged since ---
+    # machinery is exercised by in-cap t1-t4/t10) — and unchanged since.
+    # j2-j5 (driver-green r3, unchanged) displaced by the round-4 tier-2d
+    # additions; their join machinery rides on in-cap j1/j10/j11 kin ---
+    "j2_left_outer_join",
+    "j3_filtered_inner_join",
+    "j4_interval_join",
+    "j5_lookup_dim_join",
     "t5_normalize",
     "t6_repetition",
     "c4_corpus_shuffle",

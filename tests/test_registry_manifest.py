@@ -75,20 +75,26 @@ TIER1 = (
     "d14_minhash_recall_audit",
     "a17_spike_detection",
     "st12_transition_matrix",
+    # new in the round-4 driver session
+    "d15_substring_spans",
+    "st13_sessionization",
+    "st13s_session_replay",
+    "s10_knn_label_noise",
 )
-# Last driver-verified in round 2 and still inside the cap after the
-# round-6 additions: the joins (j1-j5), the narrow p-filters the in-cap
-# apps compose, and one representative per map-side family (t1 word
-# lang-ID, t4 fingerprint, m1 media pipeline). The other r2-green
-# map-side ops (t2/t3/t5/t6/t1b, m2/m3, c1-c6, s2) sit just below the
-# cap: each shares its tokenize/array/hash machinery with an in-cap
-# sibling, is green in the sf0.1 full-registry sweep, and rotates back
-# in next round once the no-signal tier drains.
+# Last driver-verified in round 2 and still inside the cap after this
+# session's additions: the narrow p-filters the in-cap apps compose and
+# j1 as the join-family representative. j2-j5 (driver-green in round 3,
+# unchanged) were displaced below the cap by the four tier-2d additions:
+# first-time signal outranks a re-check, and their join machinery rides
+# on the in-cap j1/j10/j11 kin. The other r2-green map-side ops
+# (t2/t3/t5/t6/t1b, m2/m3, c1-c6, s2) sit just below the cap: each
+# shares its tokenize/array/hash machinery with an in-cap sibling, is
+# green in the sf0.1 full-registry sweep, and rotates back in next
+# round once the no-signal tier drains.
 TIER2 = (
     "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
-    "j1_inner_equi_join", "j2_left_outer_join", "j3_filtered_inner_join",
-    "j4_interval_join", "j5_lookup_dim_join",
+    "j1_inner_equi_join",
 )
 
 

@@ -1,0 +1,167 @@
+"""Round-4 additions: gap sessionization (batch + streaming twin),
+exact-substring span audit, and the kNN label-noise vote.
+
+- st13s streaming sessionization must equal the one-pass st13 query at
+  ANY batch split (session numbering, boundaries, and exact DECIMAL
+  sums are chunking-independent), and crash-retried batches must change
+  nothing;
+- d15's interval merge is pinned on a planted corpus where the expected
+  maximal spans are computable by hand;
+- s10's majority vote is pinned on a planted fixture with one
+  mislabeled vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.operators.dedup import (
+    _SPAN_K,
+    substring_span_stats,
+)
+from real_time_data_warehouse_spark.operators.retrieval import knn_label_vote
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from real_time_data_warehouse_spark.streaming.sessionize import (
+    apply_session_batch,
+    compact_session_log,
+)
+from real_time_data_warehouse_spark.tables import Tables
+from tests.conftest import SF_DIR
+
+query_map()
+
+_KEY = ("user_id", "session_seq")
+
+
+def _expected(spark):
+    return {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["value_sum"], 2),
+        )
+        for r in QUERY_REGISTRY["st13_sessionization"].fn(spark, SF_DIR).collect()
+    }
+
+
+def _got(spark, out_dir):
+    return {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["value_sum"], 2),
+        )
+        for r in compact_session_log(spark, out_dir).collect()
+    }
+
+
+def _replay(spark, tmp_path, n_batches: int, retry_last: bool = False):
+    events = (
+        Tables(spark, SF_DIR)
+        .events.select("user_id", "ts", "value", "event_id")
+        .localCheckpoint(eager=True)
+    )
+    ids = sorted(r["event_id"] for r in events.select("event_id").collect())
+    cuts = [ids[len(ids) * (i + 1) // n_batches - 1] for i in range(n_batches)]
+    state = str(tmp_path / f"state{n_batches}")
+    out = str(tmp_path / f"out{n_batches}")
+    lo = None
+    for i, hi in enumerate(cuts):
+        batch = events.where(
+            (F.col("event_id") <= hi)
+            & (F.col("event_id") > (lo if lo is not None else -1))
+        )
+        apply_session_batch(spark, batch, i, state, out)
+        if retry_last and i == len(cuts) - 1:
+            apply_session_batch(spark, batch, i, state, out)
+        lo = hi
+    return _got(spark, out)
+
+
+def test_session_replay_matches_one_pass_any_split(spark, tmp_path):
+    exp = _expected(spark)
+    assert _replay(spark, tmp_path, 3) == exp
+    assert _replay(spark, tmp_path, 7) == exp
+
+
+def test_session_batch_retry_idempotent(spark, tmp_path):
+    assert _replay(spark, tmp_path, 4, retry_last=True) == _expected(spark)
+
+
+def test_substring_spans_planted_corpus(spark):
+    # doc 1 and doc 2 share the verbatim 8-token run c1..c8 (positions
+    # 3..10 in doc 1, 1..8 in doc 2); doc 3 shares nothing long enough.
+    run = " ".join(f"c{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + run + " a3 a4"),
+            (2, run + " b1 b2 b3"),
+            (3, "c1 c2 c3 d1 d2 d3 d4 d5 d6 d7"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_grams"],
+            r["dup_tokens"],
+            r["dup_fraction"],
+        )
+        for r in substring_span_stats(docs).collect()
+    }
+    # an 8-token shared run yields 8-K+1 = 3 duplicated positional
+    # 6-grams per doc, merging into ONE 8-token island
+    n_grams = 8 - _SPAN_K + 1
+    assert rows[1] == (12, n_grams, 8, round(8 / 12, 4))
+    assert rows[2] == (11, n_grams, 8, round(8 / 11, 4))
+    assert rows[3] == (10, 0, 0, 0.0)
+
+
+def test_substring_spans_merges_overlapping_islands(spark):
+    # two shared runs inside ONE doc separated by a unique token:
+    # islands must NOT merge across the gap
+    r1 = " ".join(f"x{i}" for i in range(1, 7))  # 6 tokens = 1 gram
+    r2 = " ".join(f"y{i}" for i in range(1, 7))
+    docs = spark.createDataFrame(
+        [
+            (1, r1 + " gapword " + r2),
+            (2, r1 + " other tokens here entirely"),
+            (3, r2 + " more unrelated filler text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["dup_grams"], r["dup_tokens"])
+        for r in substring_span_stats(docs).collect()
+    }
+    assert rows[1] == (2, 12)  # two disjoint 6-token islands
+    assert rows[2] == (1, 6)
+    assert rows[3] == (1, 6)
+
+
+def test_knn_label_vote_flags_planted_noise(spark):
+    # 6 vectors in two tight clusters; vec 0 sits in cluster A but is
+    # labeled B -> the 3-NN majority says A, agree = 0. vec 10 (sampled,
+    # mod 10) is correctly labeled.
+    rows = [
+        (0, [1.0, 0.0], 2),  # mislabeled: neighbors are label 1
+        (1, [0.9, 0.1], 1),
+        (2, [0.95, 0.05], 1),
+        (3, [0.85, 0.15], 1),
+        (10, [0.0, 1.0], 2),  # correctly labeled
+        (11, [0.1, 0.9], 2),
+        (12, [0.05, 0.95], 2),
+        (13, [0.15, 0.85], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["knn_label"], r["agree"])
+        for r in knn_label_vote(emb, sample_mod=10, k=3).collect()
+    }
+    assert set(got) == {0, 10}
+    assert got[0] == (1, 0)
+    assert got[10] == (2, 1)
