@@ -1259,21 +1259,20 @@ def d15_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_stats(t.documents)
 
 
-def substring_span_stats(documents: DataFrame) -> DataFrame:
-    """(doc_id, text) frame → per-doc duplicated-span coverage (the d15
-    body, exposed so tests can run it on planted corpora)."""
-    from pyspark.sql.window import Window
-
-    # same parallelizing repartition as the shingle family: one compact
-    # parquet file must not serialize the per-gram work onto one task
+def _doc_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, t): tokenized docs, repartitioned the
+    same way as the shingle family so one compact parquet file does not
+    serialize the per-gram work onto one task."""
     docs = documents.select("doc_id", "text").repartition(
         documents.sparkSession.sparkContext.defaultParallelism
     )
-    toks = docs.select("doc_id", tokenize("text").alias("t"))
-    n_tok = toks.select(
-        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
-    ).localCheckpoint(eager=True)
-    grams = (
+    return docs.select("doc_id", tokenize("text").alias("t"))
+
+
+def _positional_grams(toks: DataFrame) -> DataFrame:
+    """(doc_id, t) → (doc_id, s, g): 1-based positional word
+    ``_SPAN_K``-grams (the exact-substring units of d15/d16)."""
+    return (
         toks.where(F.size("t") >= _SPAN_K)
         .select(
             "doc_id",
@@ -1287,18 +1286,15 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
             ).alias("i", "g"),
         )
         .select("doc_id", (F.col("i") + 1).alias("s"), "g")
-        .localCheckpoint(eager=True)  # grams feed both the dup-set
-        # aggregate and the join back — compute the transform once
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("g")
-    )
-    spans = grams.join(dup, "g").select(
-        "doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")
-    )
+
+
+def _mark_islands(spans: DataFrame) -> DataFrame:
+    """(doc_id, s, e) → + island id: overlapping/adjacent intervals get
+    the same island number via the running-max-end trick; both windows
+    ride ONE doc_id exchange."""
+    from pyspark.sql.window import Window
+
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s")
@@ -1309,7 +1305,7 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    islands = spans.withColumn(
+    return spans.withColumn(
         "prev_max", F.max("e").over(w_prev)
     ).withColumn(
         "island",
@@ -1320,7 +1316,28 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
             ).otherwise(0)
         ).over(w_cum),
     )
-    merged = islands.groupBy("doc_id", "island").agg(
+
+
+def substring_span_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → per-doc duplicated-span coverage (the d15
+    body, exposed so tests can run it on planted corpora)."""
+    toks = _doc_tokens(documents)
+    n_tok = toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+    # grams feed both the dup-set aggregate and the join back —
+    # compute the transform once
+    grams = _positional_grams(toks).localCheckpoint(eager=True)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    spans = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")
+    )
+    merged = _mark_islands(spans).groupBy("doc_id", "island").agg(
         (F.max("e") - F.min("s") + 1).alias("span_len"),
         F.count("*").alias("n_grams"),
     )
@@ -1345,4 +1362,151 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("dup_tokens"),
         frac.cast("double").alias("dup_fraction"),
+    )
+
+
+# --- d16: strip duplicated substrings, keep the first occurrence ----------
+
+
+@register(
+    "d16_substring_strip",
+    survey="ext-dedup,ext-text",
+    doc=f"The ACTION to d15's audit (the dedup step of the "
+        "exact-substring family, Lee et al. 2021): every positional "
+        f"word {_SPAN_K}-gram keeps only its globally FIRST occurrence "
+        "(min (doc_id, position) — deterministic, engine-independent); "
+        "all later occurrences mark their spans, overlapping spans "
+        "merge per doc (same island trick as d15), and the covered "
+        "token positions are stripped, yielding token-normalized "
+        "clean_text with the copied phrase preserved exactly once in "
+        "the corpus. Shape: ONE gram-key exchange ranks occurrences "
+        "(row_number over the gram partition), the interval merge "
+        "shares one doc_id exchange, and the rebuild is a per-doc "
+        "array filter — nothing pairwise, linear in corpus tokens, so "
+        "the plan scales exactly like d15.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tokenize_sql('text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {_SPAN_K} + 2)) AS s,
+                   unnest(list_transform(
+                       range(1, len(t) - {_SPAN_K} + 2),
+                       i -> array_to_string(t[i:i+{_SPAN_K - 1}], ' ')
+                   )) AS g
+            FROM toks WHERE len(t) >= {_SPAN_K}
+        ),
+        red AS (
+            SELECT doc_id, s, s + {_SPAN_K} - 1 AS e FROM (
+                SELECT doc_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                           ORDER BY doc_id, s) AS rn
+                FROM grams
+            ) WHERE rn >= 2
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM red
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM islands GROUP BY doc_id, island
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) + 1)) AS p,
+                   unnest(t) AS tok
+            FROM toks
+        ),
+        kept AS (
+            SELECT p.doc_id, p.p, p.tok
+            FROM pos p LEFT JOIN merged m
+              ON p.doc_id = m.doc_id AND p.p >= m.s AND p.p <= m.e
+            WHERE m.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - COALESCE(a.kept_tokens, 0) AS BIGINT)
+                   AS removed_tokens,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def d16_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return substring_strip(t.documents)
+
+
+def substring_strip(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → (doc_id, n_tokens, removed_tokens,
+    clean_text): duplicated spans stripped, first occurrence kept (the
+    d16 body, exposed so tests can run it on planted corpora)."""
+    from pyspark.sql.window import Window
+
+    toks = _doc_tokens(documents).localCheckpoint(eager=True)
+    # rank every occurrence of a gram globally; occurrence 2+ is
+    # redundant — (doc_id, s) is unique, so the order is total and the
+    # keep-first policy is deterministic in both engines
+    w_first = Window.partitionBy("g").orderBy("doc_id", "s")
+    red = (
+        _positional_grams(toks)
+        .withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") >= 2)
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("s"),
+            (F.col("s") + _SPAN_K - 1).cast("int").alias("e"),
+        )
+    )
+    ivals = (
+        _mark_islands(red)
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivals"))
+    )
+    joined = toks.join(ivals, "doc_id", "left")
+    indexed = F.transform(
+        F.col("t"),
+        lambda x, i: F.struct(
+            x.alias("tok"), (i + 1).cast("int").alias("p")
+        ),
+    )
+    # F.exists over a NULL interval list (doc with nothing to strip) is
+    # NULL — coalesce to "not covered" so those docs keep every token
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.coalesce(
+            F.exists(
+                F.col("ivals"),
+                lambda iv: (st["p"] >= iv["s"]) & (st["p"] <= iv["e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("removed_tokens"),
+        F.array_join(
+            F.transform(kept, lambda st: st["tok"]), " "
+        ).alias("clean_text"),
     )

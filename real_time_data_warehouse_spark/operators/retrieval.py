@@ -743,3 +743,108 @@ def knn_label_vote(
             .alias("agree"),
         )
     )
+
+
+# --- s11: hard-negative mining for contrastive training -------------------
+
+_NEG_K = 5  # hard negatives per anchor
+
+
+@register(
+    "s11_hard_negatives",
+    survey="ext-similarity,ext-curation",
+    doc=f"Hard-negative mining: for the same deterministic "
+        f"1/{_KNN_SAMPLE_MOD} anchor sample as s10, the top-{_NEG_K} "
+        "most-similar vectors with a DIFFERENT label — the pairs a "
+        "contrastive/embedding trainer wants as in-batch negatives "
+        "(high similarity, wrong class). Integer-quantized dot "
+        "products (x1024) keep similarity, ranking, and ties exact in "
+        "both engines. Shape: identical to s10 — the anchor sample "
+        "broadcasts, the collection streams through one "
+        "BroadcastNestedLoopJoin, WindowGroupLimit prunes to k per "
+        "anchor before the single exchange. At full-corpus scale the "
+        "identical ranking consumes an s3/s5 ANN shortlist instead of "
+        "the exact candidate set.",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, {_ivec_sql('embedding')} AS v
+                   FROM embeddings),
+        cand AS (
+            SELECT q.vec_id, q.label,
+                   n.vec_id AS neighbor_id, n.label AS neg_label,
+                   CAST({_idot_sql('q.v', 'n.v')} AS BIGINT) AS sim
+            FROM e q JOIN e n
+              ON n.vec_id <> q.vec_id AND n.label <> q.label
+            WHERE q.vec_id % {_KNN_SAMPLE_MOD} = 0
+        )
+        SELECT vec_id, CAST(label AS INT) AS label, neighbor_id,
+               CAST(neg_label AS INT) AS neg_label,
+               CAST(rn AS INT) AS rnk, sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= {_NEG_K}
+    """,
+)
+def s11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return hard_negative_pairs(
+        t.embeddings, sample_mod=_KNN_SAMPLE_MOD, k=_NEG_K
+    )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame, *, sample_mod: int, k: int
+) -> DataFrame:
+    """(vec_id, embedding, label) frame → top-k different-label
+    neighbors per sampled anchor (the s11 body, exposed for planted
+    fixtures)."""
+    from pyspark.sql.window import Window
+
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1024).cast("bigint"),
+        ).alias("v"),
+    )
+    q = e.where(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("nv"),
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(
+            (F.col("neighbor_id") != F.col("qid"))
+            & (F.col("neg_label") != F.col("qlabel"))
+        )
+        .select("qid", "qlabel", "neighbor_id", "neg_label", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            "neighbor_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.col("rn").cast("int").alias("rnk"),
+            "sim",
+        )
+    )

@@ -72,10 +72,10 @@ def register(
 # Adding a query REQUIRES adding it here — ordered_registry() fails loud
 # on any mismatch, and tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # tier 1: never driver-verified (round 4 recorded no correctness run)
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
+    # tier 1: never driver-verified. (The banded-LSH rebase of d5/d9/d9s
+    # DID get hard signal: CORRECTNESS_r03.json was recorded after the
+    # rebase commit and has all three green, so they rotated below the
+    # cap this session.)
     "j10_asof_join",
     "st8_scd2_intervals",
     "c7_quota_sample",
@@ -118,28 +118,34 @@ MANIFEST: tuple[str, ...] = (
     "st12_transition_matrix",
     # tier 2d: new this session (driver round 4) — no signal yet
     "d15_substring_spans",
+    "d16_substring_strip",
     "st13_sessionization",
     "st13s_session_replay",
     "s10_knn_label_noise",
+    "s11_hard_negatives",
     # tier 3: last driver-verified in round 2
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
+    "t5_normalize",
     # --- slot 50 boundary: everything below was driver-green in round 3
-    # (CORRECTNESS_r03.json) — or round 2 for the sql* apps, the five
-    # narrow p-filters/projections (whose shared projection machinery is
-    # covered by the in-cap p-rows), and the two map-side text ops
-    # t5/t6 displaced by this session's additions (their tokenize/array
-    # machinery is exercised by in-cap t1-t4/t10) — and unchanged since.
-    # j2-j5 (driver-green r3, unchanged) displaced by the round-4 tier-2d
-    # additions; their join machinery rides on in-cap j1/j10/j11 kin ---
+    # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
+    # current code — including the banded-LSH d5/d9/d9s) — or round 2
+    # for the sql* apps, the narrow p-filters/projections (whose shared
+    # projection machinery is covered by the in-cap p-rows), and the
+    # map-side text op t6 (its tokenize/array machinery is exercised by
+    # in-cap t1-t4/t10) — and unchanged since. j2-j5 (driver-green r3,
+    # unchanged) displaced by the round-4 tier-1 additions; their join
+    # machinery rides on in-cap j1/j10/j11 kin ---
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
     "j2_left_outer_join",
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
-    "t5_normalize",
     "t6_repetition",
     "c4_corpus_shuffle",
     "c5_pseudonymize",

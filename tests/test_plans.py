@@ -396,3 +396,57 @@ def test_d2c_no_cartesian_and_bounded_shuffles(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d15_linear_not_pairwise(spark):
+    """d15: gram counts reduce in one shuffle, spans join back on the
+    gram equi-key, and the interval merge + rollup share the doc_id
+    partitioning — never a pairwise doc×doc product and no more
+    exchanges than {repartition, gram-agg, gram-join-back, doc window}."""
+    df = q("d15_substring_spans", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_st13_single_user_exchange(spark):
+    """st13: lag, running sum, and the session rollup must all ride ONE
+    hash exchange on user_id (the groupBy keys extend the window
+    partition key, so Catalyst reuses the distribution)."""
+    df = q("st13_sessionization", spark)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_s10_broadcasts_audit_sample(spark):
+    """s10: the 1/10 audit sample is the BUILD side of a broadcast
+    nested-loop join (the collection streams, never shuffles pairwise);
+    the only exchange is the per-query top-k/vote window, and the
+    group-limit prunes below it."""
+    df = q("s10_knn_label_noise", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert shuffle_count(df) == 1, plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_d16_linear_not_pairwise(spark):
+    """d16: occurrence ranking is one gram-key window, the island merge
+    + interval collect share the doc_id partitioning, and the rebuild
+    joins intervals back on the doc equi-key — never doc×doc."""
+    df = q("d16_substring_strip", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_s11_broadcasts_anchor_sample(spark):
+    """s11: same contract as s10 — anchors broadcast, the collection
+    streams, one exchange for the per-anchor top-k with a map-side
+    group-limit."""
+    df = q("s11_hard_negatives", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert shuffle_count(df) == 1, plan
+    assert "WindowGroupLimit" in plan

@@ -165,3 +165,72 @@ def test_knn_label_vote_flags_planted_noise(spark):
     assert set(got) == {0, 10}
     assert got[0] == (1, 0)
     assert got[10] == (2, 1)
+
+
+def test_substring_strip_keeps_first_occurrence(spark):
+    # same corpus as the d15 planted test: the 8-token run c1..c8 first
+    # occurs in doc 1 (positions 3..10), so doc 1 keeps ALL its text and
+    # doc 2 loses exactly the copied run
+    run = " ".join(f"c{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + run + " a3 a4"),
+            (2, run + " b1 b2 b3"),
+            (3, "c1 c2 c3 d1 d2 d3 d4 d5 d6 d7"),
+        ],
+        "doc_id long, text string",
+    )
+    from real_time_data_warehouse_spark.operators.dedup import substring_strip
+
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["clean_text"])
+        for r in substring_strip(docs).collect()
+    }
+    assert rows[1] == (12, 0, "a1 a2 " + run + " a3 a4")
+    assert rows[2] == (11, 8, "b1 b2 b3")
+    assert rows[3] == (10, 0, "c1 c2 c3 d1 d2 d3 d4 d5 d6 d7")
+
+
+def test_substring_strip_within_doc_repeat(spark):
+    # unlike d15 (cross-doc only), the keep-first policy also strips a
+    # verbatim self-repeat: the second x1..x6 run goes
+    run = " ".join(f"x{i}" for i in range(1, 7))
+    docs = spark.createDataFrame(
+        [(1, run + " gap " + run)], "doc_id long, text string"
+    )
+    from real_time_data_warehouse_spark.operators.dedup import substring_strip
+
+    (row,) = substring_strip(docs).collect()
+    assert row["n_tokens"] == 13
+    assert row["removed_tokens"] == 6
+    assert row["clean_text"] == run + " gap"
+
+
+def test_hard_negatives_ranking(spark):
+    # two tight clusters (see the s10 test); each sampled anchor's hard
+    # negatives are the OTHER cluster's members, nearest first
+    rows = [
+        (0, [1.0, 0.0], 2),
+        (1, [0.9, 0.1], 1),
+        (2, [0.95, 0.05], 1),
+        (3, [0.85, 0.15], 1),
+        (10, [0.0, 1.0], 2),
+        (11, [0.1, 0.9], 2),
+        (12, [0.05, 0.95], 2),
+        (13, [0.15, 0.85], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        hard_negative_pairs,
+    )
+
+    got = {
+        (r["vec_id"], r["rnk"]): r["neighbor_id"]
+        for r in hard_negative_pairs(emb, sample_mod=10, k=2).collect()
+    }
+    # anchor 0 (label 2) ~ [1, 0]: nearest label-1 vectors are 2 then 1
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 1
+    # anchor 10 (label 2) ~ [0, 1]: nearest label-1 vectors are 3 then 1
+    assert got[(10, 1)] == 3 and got[(10, 2)] == 1
