@@ -58,6 +58,12 @@ EXTENDED = (
     "a16_gapfill_locf",
     "a17_spike_detection",
     "st12_transition_matrix",
+    # driver-round-4 additions
+    "d15_substring_spans",
+    "d16_substring_strip",
+    "st13_sessionization",
+    "s10_knn_label_noise",
+    "s11_hard_negatives",
 )
 
 # Headline set: the flagship + one representative per operator family.

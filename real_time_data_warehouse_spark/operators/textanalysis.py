@@ -593,3 +593,74 @@ def t10_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("rule_stopwords"),
         (r_wc & r_mwl & r_alpha & r_sym & r_stop).alias("keep"),
     )
+
+
+# --- t11: PII audit + redaction -------------------------------------------
+
+# Patterns kept to the RE2 ∩ Java-regex common subset (no lookaround,
+# no backreferences) so Spark and DuckDB match identically.
+_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    # card/account-length digit runs (13-19); Luhn validation is a
+    # downstream refinement — the audit flags the candidate surface
+    ("idnum", r"\b\d{13,19}\b"),
+)
+
+
+@register(
+    "t11_pii_audit",
+    survey="ext-text,ext-curation",
+    doc="PII audit + redaction (the pre-training scrub pass every "
+        "public pipeline ships — emails, IPv4s, phone numbers, "
+        "card-length digit runs): per-doc match counts per class on "
+        "the raw text, plus redacted text with each class replaced by "
+        "a typed tag in a fixed class order (email→ip→phone→idnum, "
+        "left-to-right non-overlapping within a class — identical "
+        "semantics in Java regex and RE2 because the patterns avoid "
+        "lookaround/backreferences). Complements c5 (which "
+        "pseudonymizes structured keys): this scrubs free text. Pure "
+        "map-side codegen — zero shuffles at any scale. The synthetic "
+        "fixture is PII-free, so the driver row pins the no-op path "
+        "exactly; the planted-corpus pytest pins the positive path.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '{_PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                    '{_PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                    '{_PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                    '{_PII_PATTERNS[3][1]}')) AS BIGINT) AS n_idnum,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '{_PII_PATTERNS[0][1]}', '<email>', 'g'),
+                   '{_PII_PATTERNS[1][1]}', '<ip>', 'g'),
+                   '{_PII_PATTERNS[2][1]}', '<phone>', 'g'),
+                   '{_PII_PATTERNS[3][1]}', '<idnum>', 'g') AS redacted
+        FROM documents
+    """,
+)
+def t11_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return pii_audit(t.documents)
+
+
+def pii_audit(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → per-doc PII counts + redacted text (the
+    t11 body, exposed so tests can run it on planted corpora)."""
+    # idx=0 (the full match) must be explicit: Spark defaults to group 1
+    # and raises AT MATCH TIME on group-free patterns — the PII-free
+    # fixture would mask that, the planted tests don't
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in _PII_PATTERNS
+    ]
+    red = F.col("text")
+    for name, pat in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name if name != 'ipv4' else 'ip'}>")
+    return documents.select("doc_id", *counts, red.alias("redacted"))

@@ -123,13 +123,13 @@ MANIFEST: tuple[str, ...] = (
     "st13s_session_replay",
     "s10_knn_label_noise",
     "s11_hard_negatives",
+    "t11_pii_audit",
     # tier 3: last driver-verified in round 2
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
     "p4_map_access_projection",
     "p11_null_tombstone_filter",
     "j1_inner_equi_join",
-    "t5_normalize",
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
     # current code — including the banded-LSH d5/d9/d9s) — or round 2
@@ -146,6 +146,7 @@ MANIFEST: tuple[str, ...] = (
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
+    "t5_normalize",
     "t6_repetition",
     "c4_corpus_shuffle",
     "c5_pseudonymize",

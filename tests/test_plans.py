@@ -251,6 +251,8 @@ def test_t8_vocab_joins_not_broadcast_corpus(spark):
         ("c9_doc_chunks", 2),
         # t10: one array-HOF project over the scan, zero shuffles
         ("t10_gopher_rules", 2),
+        # t11: pure regex expressions — scan→project fused, zero shuffles
+        ("t11_pii_audit", 1),
     ],
 )
 def test_mapside_queries_codegen_span(spark, name, max_stages):

@@ -79,22 +79,22 @@ TIER1 = (
     "st13s_session_replay",
     "s10_knn_label_noise",
     "s11_hard_negatives",
+    "t11_pii_audit",
 )
 # Last driver-verified in round 2 and still inside the cap after this
-# session's additions: the narrow p-filters the in-cap apps compose,
-# j1 as the join-family representative, and t5 (rotated back in now
-# that the d5/d9/d9s slots freed up). j2-j5 (driver-green in round 3,
-# unchanged) stay displaced below the cap: first-time signal outranks
-# a re-check, and their join machinery rides on the in-cap j1/j10/j11
-# kin. The other r2-green map-side ops (t2/t3/t6/t1b, m2/m3, c1-c6,
-# s2) sit just below the cap: each shares its tokenize/array/hash
-# machinery with an in-cap sibling, is green in the sf0.1
-# full-registry sweep, and rotates back in next round once the
-# no-signal tier drains.
+# session's additions: the narrow p-filters the in-cap apps compose
+# and j1 as the join-family representative. j2-j5 (driver-green in
+# round 3, unchanged) stay displaced below the cap: first-time signal
+# outranks a re-check, and their join machinery rides on the in-cap
+# j1/j10/j11 kin. The other r2-green map-side ops (t2/t3/t5/t6/t1b,
+# m2/m3, c1-c6, s2) sit just below the cap: each shares its
+# tokenize/array/hash machinery with an in-cap sibling, is green in
+# the sf0.1 full-registry sweep, and rotates back in next round once
+# the no-signal tier drains.
 TIER2 = (
     "p2_dirty_side_output", "p3_bootstrap_exclusion",
     "p4_map_access_projection", "p11_null_tombstone_filter",
-    "j1_inner_equi_join", "t5_normalize",
+    "j1_inner_equi_join",
 )
 
 

@@ -234,3 +234,87 @@ def test_hard_negatives_ranking(spark):
     assert got[(0, 1)] == 2 and got[(0, 2)] == 1
     # anchor 10 (label 2) ~ [0, 1]: nearest label-1 vectors are 3 then 1
     assert got[(10, 1)] == 3 and got[(10, 2)] == 1
+
+
+def test_strip_never_removes_more_than_audit_flags(spark):
+    # d15 flags EVERY occurrence of a cross-doc duplicated gram; d16
+    # spares the globally-first occurrence (but also strips within-doc
+    # repeats d15 ignores). On the real fixture the per-corpus totals
+    # must satisfy: d16 removed ≤ d15 flagged + within-doc repeats, and
+    # every doc with removed > 0 has some duplication signal. Cheap
+    # cross-operator sanity at sf0.001.
+    d15 = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in QUERY_REGISTRY["d15_substring_spans"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    d16 = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in QUERY_REGISTRY["d16_substring_strip"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(d15) == set(d16)
+    flagged = {d for d, v in d15.items() if v > 0}
+    removed = {d for d, v in d16.items() if v > 0}
+    # cross-doc duplication is the dominant signal: every doc d15 flags
+    # either keeps the first copy (removed may be 0 for exactly one doc
+    # per cluster) or gets stripped; a doc d16 strips without any d15
+    # flag can only be a pure within-doc repeat
+    assert removed - flagged == set(), "d16 stripped docs d15 never flagged"
+
+
+def test_pii_audit_planted_positive_path(spark):
+    # the synthetic corpus is PII-free (the driver row pins the no-op
+    # path); this pins the positive path on planted PII of every class
+    from real_time_data_warehouse_spark.operators.textanalysis import pii_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or admin@sub.example.org today"),
+            (2, "server 192.168.0.1 logged 555-123-4567 twice"),
+            (3, "card 4111111111111111 exp soon"),
+            (4, "clean text with digits 42 and 1234 only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (
+            r["n_email"], r["n_ipv4"], r["n_phone"], r["n_idnum"],
+            r["redacted"],
+        )
+        for r in pii_audit(docs).collect()
+    }
+    assert rows[1] == (2, 0, 0, 0, "contact <email> or <email> today")
+    assert rows[2] == (0, 1, 1, 0, "server <ip> logged <phone> twice")
+    assert rows[3] == (0, 0, 0, 1, "card <idnum> exp soon")
+    assert rows[4] == (0, 0, 0, 0, "clean text with digits 42 and 1234 only")
+
+
+def test_pii_audit_planted_matches_duckdb(spark, tmp_path):
+    # the parity sweep only sees the PII-free fixture; run the SAME
+    # oracle SQL over a planted parquet so the positive path is also
+    # engine-checked
+    import duckdb
+
+    from real_time_data_warehouse_spark.operators.textanalysis import pii_audit
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+    from tests.parity import compare
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bob@example.com met 10.0.0.1"),
+            (2, "call 555-123-4567 re card 4111111111111111"),
+            (3, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    ok, msg = compare(pii_audit(docs), con, QUERY_REGISTRY["t11_pii_audit"].oracle)
+    assert ok, msg
