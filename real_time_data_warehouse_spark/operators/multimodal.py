@@ -400,3 +400,135 @@ def m4_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(hamming <= _PHASH_HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+# --- m5: audio waveform energy / silence-trim -----------------------------
+
+_AUDIO_LEN = 64  # samples synthesized per doc (leading text bytes)
+_AUDIO_WIN = 16  # samples per energy window
+_SILENCE_TH = 50_000  # sum-of-squares below this => silent window
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("total_energy", LongType()),
+        StructField("n_silent", IntegerType()),
+        StructField("lead_trim", IntegerType()),
+    ]
+)
+
+
+def synthesize_audio(t: Tables) -> DataFrame:
+    """documents → (doc_id, payload): deterministic unsigned-8-bit PCM
+    stand-in — the first ``_AUDIO_LEN`` printable-ASCII bytes of the
+    text (sanitized so byte values equal code points and the DuckDB
+    oracle can recompute them with ``ascii()``)."""
+    clean = F.regexp_replace("text", r"[^ -~]", "")
+    return t.documents.select(
+        "doc_id",
+        F.encode(F.substring(clean, 1, _AUDIO_LEN), "utf-8").alias("payload"),
+    )
+
+
+def audio_energy_stats(audio: DataFrame) -> DataFrame:
+    """(doc_id, payload) → windowed sum-of-squares energy, silent-window
+    count, and the leading-silence trim point (the m5 body). The decode
+    loop is the real audio path: numpy over raw bytes inside
+    ``mapInPandas``, Arrow-batched, partition-preserving — swap the
+    ``frombuffer`` line for a codec call and nothing else changes.
+    Integer arithmetic only (u8 squares summed exactly), so the stats
+    are bit-identical in any engine."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "n_windows", "total_energy",
+                "n_silent", "lead_trim",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(v)
+                n_win = n // _AUDIO_WIN
+                e = (
+                    (v[: n_win * _AUDIO_WIN] ** 2)
+                    .reshape(n_win, _AUDIO_WIN)
+                    .sum(axis=1)
+                    if n_win
+                    else np.zeros(0, dtype=np.int64)
+                )
+                silent = e < _SILENCE_TH
+                loud = np.nonzero(~silent)[0]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_windows"].append(n_win)
+                out["total_energy"].append(int(e.sum()))
+                out["n_silent"].append(int(silent.sum()))
+                out["lead_trim"].append(
+                    int(loud[0]) if len(loud) else n_win
+                )
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+@register(
+    "m5_audio_energy",
+    survey="ext-multimodal",
+    doc=f"Audio waveform stats — the audio leg of the multimodal "
+        "family: deterministic u8-PCM payloads (sanitized leading text "
+        f"bytes), windowed sum-of-squares energy ({_AUDIO_WIN} samples "
+        f"per window), silent-window count (energy < {_SILENCE_TH}) "
+        "and the leading-silence trim index — the stats a speech "
+        "pipeline computes to trim and VAD-filter clips before "
+        "training. The numpy-over-raw-bytes loop inside mapInPandas is "
+        "the REAL audio path (swap frombuffer for a codec call); "
+        "exact integer arithmetic makes the DuckDB oracle (ascii codes "
+        "recomputed from the same text) bit-identical. Map-side only — "
+        "zero shuffles at any scale.",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                          1, {_AUDIO_LEN}) AS a
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(range(1, len(a) + 1)) AS p,
+                   unnest(list_transform(range(1, len(a) + 1),
+                          i -> ascii(substr(a, CAST(i AS INT), 1)))) AS v
+            FROM s
+        ),
+        win AS (
+            SELECT doc_id,
+                   CAST(floor((p - 1) / {_AUDIO_WIN}) AS INT) AS w,
+                   SUM(v * v) AS e
+            FROM pos
+            GROUP BY doc_id, CAST(floor((p - 1) / {_AUDIO_WIN}) AS INT)
+            HAVING COUNT(*) = {_AUDIO_WIN}
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_windows,
+                   SUM(e) AS total_energy,
+                   SUM(CASE WHEN e < {_SILENCE_TH} THEN 1 ELSE 0 END)
+                       AS n_silent,
+                   COALESCE(MIN(CASE WHEN e >= {_SILENCE_TH} THEN w END),
+                            COUNT(*)) AS lead_trim
+            FROM win GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(len(s.a) AS BIGINT) AS n_samples,
+               CAST(COALESCE(a.n_windows, 0) AS INT) AS n_windows,
+               CAST(COALESCE(a.total_energy, 0) AS BIGINT) AS total_energy,
+               CAST(COALESCE(a.n_silent, 0) AS INT) AS n_silent,
+               CAST(COALESCE(a.lead_trim, 0) AS INT) AS lead_trim
+        FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id
+    """,
+)
+def m5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return audio_energy_stats(synthesize_audio(t))

@@ -80,6 +80,7 @@ TIER1 = (
     "s10_knn_label_noise",
     "s11_hard_negatives",
     "t11_pii_audit",
+    "m5_audio_energy",
 )
 # Last driver-verified in round 2 and still inside the cap after this
 # session's additions: the narrow p-filters the in-cap apps compose
@@ -93,8 +94,7 @@ TIER1 = (
 # the no-signal tier drains.
 TIER2 = (
     "p2_dirty_side_output", "p3_bootstrap_exclusion",
-    "p4_map_access_projection", "p11_null_tombstone_filter",
-    "j1_inner_equi_join",
+    "p4_map_access_projection", "j1_inner_equi_join",
 )
 
 

@@ -318,3 +318,44 @@ def test_pii_audit_planted_matches_duckdb(spark, tmp_path):
     )
     ok, msg = compare(pii_audit(docs), con, QUERY_REGISTRY["t11_pii_audit"].oracle)
     assert ok, msg
+
+
+def test_audio_energy_planted_silence(spark):
+    # doc 1: 16 loud letters then 16 spaces -> window 0 loud, window 1
+    # silent, lead_trim 0; doc 2: spaces first -> lead_trim 1; doc 3:
+    # shorter than one window -> zero windows; doc 4: all spaces ->
+    # lead_trim == n_windows (fully trimmed)
+    from real_time_data_warehouse_spark.operators.multimodal import (
+        audio_energy_stats,
+        synthesize_audio,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    loud = "x" * 16
+    quiet = " " * 16
+    docs = spark.createDataFrame(
+        [
+            (1, loud + quiet),
+            (2, quiet + loud),
+            (3, "short"),
+            (4, quiet + quiet),
+        ],
+        "doc_id long, text string",
+    )
+
+    class _T:
+        documents = docs
+
+    rows = {
+        r["doc_id"]: (
+            r["n_samples"], r["n_windows"], r["total_energy"],
+            r["n_silent"], r["lead_trim"],
+        )
+        for r in audio_energy_stats(synthesize_audio(_T())).collect()
+    }
+    e_loud = 16 * ord("x") ** 2
+    e_quiet = 16 * 32**2
+    assert rows[1] == (32, 2, e_loud + e_quiet, 1, 0)
+    assert rows[2] == (32, 2, e_loud + e_quiet, 1, 1)
+    assert rows[3] == (5, 0, 0, 0, 0)
+    assert rows[4] == (32, 2, 2 * e_quiet, 2, 2)
