@@ -91,3 +91,18 @@ def write_events_jsonl(events_nanos: DataFrame, path: str) -> None:
     """Dump a raw (nanos-ts) events frame as JSONL — the test/round-trip
     twin of read_events_jsonl."""
     events_nanos.select(*_COLS).write.mode("overwrite").json(path)
+
+
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Batch ORC → normalized events frame. ORC is the other columnar
+    hand-off format warehouses exchange (Hive-lineage pipelines); Spark
+    reads it natively with predicate pushdown and column pruning, so
+    the downstream plans are identical to the parquet path."""
+    raw = spark.read.schema(EVENTS_FILE_SCHEMA).orc(path)
+    return _normalize(raw)
+
+
+def write_events_orc(events_nanos: DataFrame, path: str) -> None:
+    """Dump a raw (nanos-ts) events frame as ORC — round-trip twin of
+    read_events_orc."""
+    events_nanos.select(*_COLS).write.mode("overwrite").orc(path)

@@ -128,3 +128,34 @@ def test_jsonl_stream_drives_pipeline(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {
         r["event_id"] for r in want.collect()
     }
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC events (the Hive-lineage hand-off) must normalize to EXACTLY
+    the frame tables.load yields from parquet, and the ORC scan must
+    keep pushdown + pruning (same plan class as parquet)."""
+    from real_time_data_warehouse_spark.sources.files import (
+        read_events_orc,
+        write_events_orc,
+    )
+
+    ev = Tables(spark, SF_DIR).events
+    raw_nanos = ev.select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000).cast("bigint")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    odir = str(tmp_path / "events_orc")
+    write_events_orc(raw_nanos, odir)
+    got = read_events_orc(spark, odir)
+    assert got.schema == ev.select(*got.columns).schema
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in ev.select(*got.columns).collect()}
+    assert a == b
+
+    # pushdown + pruning survive the format swap
+    pruned = got.where(F.col("event_type") == "page_view").select(
+        "event_id", "event_type"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "event_type" in plan
