@@ -597,13 +597,18 @@ SESSION_GAP_S = 28800
     """,
 )
 def st13_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_events(Tables(spark, sf_dir).events)
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """(user_id, ts, value, event_id) frame → gap sessions (the st13
+    body, exposed so tests can run it on planted/random streams)."""
     from real_time_data_warehouse_spark.functions.money import dec
 
-    t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # timestamp -> double keeps fractional seconds (matches DuckDB epoch())
     sec = F.col("ts").cast("double")
-    brk = t.events.select(
+    brk = events.select(
         "user_id",
         "ts",
         "value",

@@ -425,3 +425,141 @@ def test_bm25_shortlist_is_subset_of_term_hitters(spark):
     )
     assert bad.count() == 0
     assert top.count() > 0
+
+
+# --- round-4 additions: d16 strip and st13 sessionization vs brute force --
+
+
+def _brute_strip(docs: dict[int, list[str]], k: int) -> dict[int, list[str]]:
+    """O(everything) reference for d16: rank every positional k-gram
+    occurrence by (doc_id, pos); occurrences ranked 2+ mark [pos, pos+k)
+    for removal; return kept tokens per doc."""
+    first: dict[tuple, tuple] = {}
+    occs = []
+    for d in sorted(docs):
+        t = docs[d]
+        for s in range(len(t) - k + 1):
+            g = tuple(t[s : s + k])
+            occs.append((d, s, g))
+            if g not in first:
+                first[g] = (d, s)
+    removed: dict[int, set] = {d: set() for d in docs}
+    for d, s, g in occs:
+        if first[g] != (d, s):
+            removed[d].update(range(s, s + k))
+    return {
+        d: [tok for i, tok in enumerate(docs[d]) if i not in removed[d]]
+        for d in docs
+    }
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_substring_strip_matches_bruteforce(spark, token_lists):
+    """d16 on random tiny-alphabet corpora (duplicated 6-grams arise
+    naturally) must equal the quadratic keep-first reference."""
+    from real_time_data_warehouse_spark.operators.dedup import (
+        _SPAN_K,
+        substring_strip,
+    )
+
+    docs = {i + 1: toks for i, toks in enumerate(token_lists)}
+    frame = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_strip(frame).collect()
+    }
+    exp = {
+        d: " ".join(t) for d, t in _brute_strip(docs, _SPAN_K).items()
+    }
+    assert got == exp
+
+
+def _brute_sessions(events, gap_s):
+    """Reference for st13: per user, sort by (ts, event_id), split on
+    gaps > gap_s, roll up (count, sum)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, val, eid in events:
+        by_user[uid].append((ts, eid, val))
+    out = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        seq, last = 0, None
+        for ts, eid, val in rows:
+            if last is None or ts - last > gap_s:
+                seq += 1
+                out[(uid, seq)] = [ts, ts, 0, 0.0]
+            cur = out[(uid, seq)]
+            cur[1] = max(cur[1], ts)
+            cur[2] += 1
+            cur[3] = round(cur[3] + val, 2)
+            last = ts
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=200_000),  # ts offset s
+            st.integers(min_value=0, max_value=9999),   # value cents
+        ),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+def test_sessionization_matches_bruteforce(spark, raw):
+    """st13 on random event streams (gaps straddle the 8 h threshold)
+    must equal the per-user scan reference: same numbering, boundaries,
+    counts and 2-dec sums."""
+    import datetime as dt
+
+    from real_time_data_warehouse_spark.operators.stateful import (
+        SESSION_GAP_S,
+        sessionize_events,
+    )
+
+    base = dt.datetime(2022, 1, 1, tzinfo=dt.timezone.utc)
+    events = [
+        (uid, off, cents / 100.0, i + 1)
+        for i, (uid, off, cents) in enumerate(raw)
+    ]
+    frame = spark.createDataFrame(
+        [
+            (uid, base + dt.timedelta(seconds=off), val, eid)
+            for uid, off, val, eid in events
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    sess = sessionize_events(frame)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            int(r["session_start"].timestamp() - base.timestamp()),
+            int(r["session_end"].timestamp() - base.timestamp()),
+            r["n_events"],
+            round(r["value_sum"], 2),
+        )
+        for r in sess.collect()
+    }
+    exp = {
+        k: (v[0], v[1], v[2], round(v[3], 2))
+        for k, v in _brute_sessions(
+            [(u, o, val, e) for u, o, val, e in events], SESSION_GAP_S
+        ).items()
+    }
+    assert got == exp
