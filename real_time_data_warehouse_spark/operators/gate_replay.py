@@ -274,3 +274,48 @@ QUERY_REGISTRY["st13s_session_replay"] = _dc14.replace(
     QUERY_REGISTRY["st13s_session_replay"],
     oracle=QUERY_REGISTRY["st13_sessionization"].oracle,
 )
+
+
+@register(
+    "a1s_windowed_sum_replay",
+    survey="A1,W1,W4,ext-scale",
+    doc=f"Streaming windowed-sum replay: the events table is split into "
+        f"{_N_BATCHES} batches and pushed through "
+        "streaming/window_agg.apply_window_batch — incremental keyed "
+        "tumbling-window aggregation via MERGEABLE partials (decimal "
+        "sum + count), each batch re-emitting only the (window, key) "
+        "groups it touched — then the upsert log compacts last-wins. "
+        "Checked against the ONE-PASS a1 oracle: the driver verifies "
+        "the reference's core DWS pattern (Flink incremental window "
+        "reduce, DwsTradeSkuOrderWindow.java:271-302) is batch ≡ "
+        "stream at any batch split, with NO ordering contract — the "
+        "merge is commutative and associative.",
+    oracle=None,  # attached below: the a1 batch-form oracle, verbatim
+)
+def a1s_windowed_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        aggregations as _aggregations,
+    )
+    from real_time_data_warehouse_spark.streaming import window_agg
+
+    t = Tables(spark, sf_dir)
+    rows = t.events.select("event_id", "ts", "event_type", "value")
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        window_agg.apply_window_batch,
+        finalize=window_agg.compact_window_log,
+    )
+
+
+import dataclasses as _dc15  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    aggregations as _aggs_for_oracle,
+)
+
+QUERY_REGISTRY["a1s_windowed_sum_replay"] = _dc15.replace(
+    QUERY_REGISTRY["a1s_windowed_sum_replay"],
+    oracle=QUERY_REGISTRY["a1_windowed_sum"].oracle,
+)

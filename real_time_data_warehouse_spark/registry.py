@@ -125,11 +125,12 @@ MANIFEST: tuple[str, ...] = (
     "s11_hard_negatives",
     "t11_pii_audit",
     "m5_audio_energy",
-    # tier 3: last driver-verified in round 2 (p11 displaced below the
-    # cap by m5: its null-filter machinery rides on in-cap p2/p3)
+    "a1s_windowed_sum_replay",
+    # tier 3: last driver-verified in round 2 (p11/p4 displaced below
+    # the cap by m5/a1s: their filter/projection machinery rides on
+    # in-cap p2/p3)
     "p2_dirty_side_output",
     "p3_bootstrap_exclusion",
-    "p4_map_access_projection",
     "j1_inner_equi_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
@@ -147,6 +148,7 @@ MANIFEST: tuple[str, ...] = (
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
+    "p4_map_access_projection",
     "p11_null_tombstone_filter",
     "t5_normalize",
     "t6_repetition",

@@ -1,0 +1,149 @@
+"""Incremental keyed tumbling-window aggregation — the streaming form
+of ``a1_windowed_sum`` (the reference's core DWS pattern:
+``DwsTradeSkuOrderWindow.java:271-302``, a keyed 10 s event-time window
+with an incremental reduce).
+
+The batch query is a plain groupBy over ``window(ts) × sku_group``; the
+streaming form exploits that DECIMAL sum and count are MERGEABLE: each
+micro-batch aggregates its own rows map-side, merges the partials with
+the carried totals for exactly the (window, key) groups present in the
+batch, and re-emits those groups as CDC-style upserts. State is a full
+snapshot per batch (``state/batch_id=N``) with the same replay
+discipline as ``streaming/sessionize.py``/``scd2.py`` — a crash-retried
+batch re-reads the pre-batch snapshot and overwrites its own partitions,
+so the stream is idempotent under retry; last-wins compaction of the
+upsert log materializes exactly the one-pass batch result, independent
+of where the batch boundaries fall (no ordering requirement at all:
+merge is commutative AND associative, unlike the gates' ascending-id
+contract).
+
+This is the Spark-native answer to Flink's incremental window reduce:
+partial aggregation happens inside each micro-batch's hash aggregate
+(map-side combine), and the cross-batch merge touches only the groups
+the batch saw — per-batch cost is O(batch), state reads prune to the
+touched keys.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.money import dec
+from real_time_data_warehouse_spark.functions.time import tumble
+
+_STATE_SCHEMA = (
+    "wstart timestamp, sku_group string, "
+    "order_amount decimal(18,2), order_ct long"
+)
+_KEY = ["wstart", "sku_group"]
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Latest snapshot with id < batch_id (replay bound), else empty."""
+    best = -1
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            m = re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1)))
+    if best >= 0:
+        return spark.read.parquet(os.path.join(state_dir, f"batch_id={best}"))
+    return spark.createDataFrame([], _STATE_SCHEMA)
+
+
+def apply_window_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of the incremental windowed sum over
+    (ts, event_type, value): aggregate the batch, merge partials with
+    carried totals for the touched groups, re-emit those groups,
+    snapshot the new totals."""
+    part = (
+        batch.groupBy(tumble("ts"), F.col("event_type").alias("sku_group"))
+        .agg(
+            F.sum(dec("value")).cast("decimal(18,2)").alias("order_amount"),
+            F.count("*").cast("long").alias("order_ct"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "sku_group",
+            "order_amount",
+            "order_ct",
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = _read_state(spark, state_dir, batch_id)
+    touched = part.select(*_KEY).distinct()
+    carried = state.join(F.broadcast(touched), _KEY, "leftsemi")
+    untouched = state.join(F.broadcast(touched), _KEY, "leftanti")
+    merged = (
+        carried.unionByName(part)
+        .groupBy(*_KEY)
+        .agg(
+            F.sum("order_amount").cast("decimal(18,2)").alias("order_amount"),
+            F.sum("order_ct").cast("long").alias("order_ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    untouched.unionByName(merged).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def compact_window_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Materialize the windowed-sum table from the per-batch upsert log
+    (last-wins per group by emitting batch), stamped with the same
+    stt/edt/cur_date metadata and column types the a1 batch query
+    emits."""
+    from pyspark.sql.window import Window
+
+    log = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy(*_KEY).orderBy(F.col("batch_id").desc())
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    wend = F.col("wstart") + F.expr("INTERVAL 10 SECONDS")
+    return last.select(
+        F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format(wend, "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        F.date_format("wstart", "yyyy-MM-dd").alias("cur_date"),
+        "sku_group",
+        F.col("order_amount").cast("double").alias("order_amount"),
+        F.col("order_ct").cast("long").alias("order_ct"),
+    )
+
+
+def run_window_stream(
+    spark: SparkSession,
+    event_source: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire the incremental windowed sum as a foreachBatch query over a
+    streaming (ts, event_type, value) source. No ordering contract —
+    the merge is order-independent."""
+    return (
+        event_source.writeStream.foreachBatch(
+            lambda b, bid: apply_window_batch(
+                b.sparkSession, b, bid, state_dir, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,6 +81,7 @@ TIER1 = (
     "s11_hard_negatives",
     "t11_pii_audit",
     "m5_audio_energy",
+    "a1s_windowed_sum_replay",
 )
 # Last driver-verified in round 2 and still inside the cap after this
 # session's additions: the narrow p-filters the in-cap apps compose
@@ -94,7 +95,7 @@ TIER1 = (
 # the no-signal tier drains.
 TIER2 = (
     "p2_dirty_side_output", "p3_bootstrap_exclusion",
-    "p4_map_access_projection", "j1_inner_equi_join",
+    "j1_inner_equi_join",
 )
 
 

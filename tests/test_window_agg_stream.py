@@ -1,0 +1,60 @@
+"""Streaming windowed-sum (a1s) invariants: merge is order-independent
+and retry-idempotent, so the compacted log equals the one-pass a1 query
+at ANY batch split — including splits that put the same window in every
+batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+from real_time_data_warehouse_spark.streaming.window_agg import (
+    apply_window_batch,
+    compact_window_log,
+)
+from real_time_data_warehouse_spark.tables import Tables
+from tests.conftest import SF_DIR
+
+query_map()
+
+
+def _expected(spark):
+    return {
+        (r["stt"], r["sku_group"]): (r["order_amount"], r["order_ct"])
+        for r in QUERY_REGISTRY["a1_windowed_sum"].fn(spark, SF_DIR).collect()
+    }
+
+
+def _got(spark, out):
+    return {
+        (r["stt"], r["sku_group"]): (r["order_amount"], r["order_ct"])
+        for r in compact_window_log(spark, out).collect()
+    }
+
+
+def _replay(spark, tmp_path, n_batches, key, retry_last=False):
+    ev = (
+        Tables(spark, SF_DIR)
+        .events.select("event_id", "ts", "event_type", "value", "user_id")
+        .localCheckpoint(eager=True)
+    )
+    state = str(tmp_path / f"state_{key}")
+    out = str(tmp_path / f"out_{key}")
+    for b in range(n_batches):
+        # modulo split: EVERY batch carries events from every window —
+        # the adversarial case for cross-batch merging (the replay
+        # query's range split is the easy case)
+        batch = ev.where(F.col("event_id") % n_batches == b)
+        apply_window_batch(spark, batch, b, state, out)
+        if retry_last and b == n_batches - 1:
+            apply_window_batch(spark, batch, b, state, out)
+    return _got(spark, out)
+
+
+def test_modulo_split_matches_one_pass(spark, tmp_path):
+    exp = _expected(spark)
+    assert _replay(spark, tmp_path, 3, "m3") == exp
+
+
+def test_retry_is_idempotent(spark, tmp_path):
+    assert _replay(spark, tmp_path, 4, "r4", retry_last=True) == _expected(spark)
