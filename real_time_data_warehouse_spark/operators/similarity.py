@@ -400,7 +400,10 @@ def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all 32 plane dots in one exact-integer matmul per Arrow batch (see
     # _band_buckets_udf); posexplode_outer + isNotNull for the
     # InferFiltersFromGenerate lesson (dedup.py)
-    sig = _banded_sig(emb)
+    # sig feeds BOTH sides of the band self-join — checkpoint so the
+    # pandas-UDF matmul runs once, not twice (the d3 localCheckpoint
+    # lesson)
+    sig = _banded_sig(emb).localCheckpoint(eager=True)
     q = sig.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -494,7 +497,8 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelize signature batches past a single-row-group input split
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sig = _banded_sig(emb)
+    # both join sides read sig — one matmul, not two (see s2b)
+    sig = _banded_sig(emb).localCheckpoint(eager=True)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
