@@ -319,3 +319,55 @@ QUERY_REGISTRY["a1s_windowed_sum_replay"] = _dc15.replace(
     QUERY_REGISTRY["a1s_windowed_sum_replay"],
     oracle=QUERY_REGISTRY["a1_windowed_sum"].oracle,
 )
+
+
+@register(
+    "j4s_interval_join_replay",
+    survey="J4,W5,ext-scale",
+    doc=f"Streaming interval-join replay: the events table is split "
+        f"into {_N_BATCHES} ascending TIME-RANGE batches and pushed "
+        "through streaming/joins.apply_interval_join_batch — a "
+        "stream-stream interval join maintained incrementally, with "
+        "state exactly the trailing 30-minute window of events (the "
+        "same bound Spark's watermarked join derives from the range "
+        "predicate) and an append-only output log (strictly-prior "
+        "semantics make every purchase complete at its own batch). "
+        "Checked against the ONE-PASS j4 oracle: the driver verifies "
+        "the hardest streaming op class — stream⋈stream with state "
+        "eviction — is batch ≡ stream.",
+    oracle=None,  # attached below: the j4 batch-form oracle, verbatim
+)
+def j4s_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        joins as _joins,
+    )
+    from real_time_data_warehouse_spark.streaming import joins as sjoins
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts", "event_type")
+    # time-ranged batches need a 0-based integer time key (the helper
+    # splits [0, max] into N ranges)
+    t0 = ev.agg(F.min("ts")).first()[0]
+    rows = ev.withColumn(
+        "tsec",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
+    )
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        sjoins.apply_interval_join_batch,
+        finalize=sjoins.read_interval_join_log,
+    )
+
+
+import dataclasses as _dc16  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    joins as _joins_for_oracle,
+)
+
+QUERY_REGISTRY["j4s_interval_join_replay"] = _dc16.replace(
+    QUERY_REGISTRY["j4s_interval_join_replay"],
+    oracle=QUERY_REGISTRY["j4_interval_join"].oracle,
+)

@@ -126,11 +126,11 @@ MANIFEST: tuple[str, ...] = (
     "t11_pii_audit",
     "m5_audio_energy",
     "a1s_windowed_sum_replay",
-    # tier 3: last driver-verified in round 2 (p11/p4 displaced below
-    # the cap by m5/a1s: their filter/projection machinery rides on
-    # in-cap p2/p3)
+    "j4s_interval_join_replay",
+    # tier 3: last driver-verified in round 2 (p3/p4/p11 displaced
+    # below the cap by this session's additions: their filter/
+    # projection machinery rides on in-cap p2)
     "p2_dirty_side_output",
-    "p3_bootstrap_exclusion",
     "j1_inner_equi_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
@@ -148,6 +148,7 @@ MANIFEST: tuple[str, ...] = (
     "j3_filtered_inner_join",
     "j4_interval_join",
     "j5_lookup_dim_join",
+    "p3_bootstrap_exclusion",
     "p4_map_access_projection",
     "p11_null_tombstone_filter",
     "t5_normalize",

@@ -93,3 +93,99 @@ def left_outer_stream_join(
         & (F.col("p_ts") <= F.col("o_ts") + F.expr(f"INTERVAL {pay_window}")),
         "leftOuter",
     ).select("order_id", "o_user", "o_ts", "pay_id", "p_ts")
+
+
+# --- incremental interval join (the j4s replay body) ----------------------
+
+import os as _os
+import re as _re
+
+from pyspark.sql import SparkSession
+
+_IJ_STATE_SCHEMA = "prior_id long, user_id long, ts timestamp"
+_IJ_LOOKBACK_S = 1800  # 30 minutes — one source of truth with j4
+
+
+def _read_ij_state(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Latest snapshot with id < batch_id (replay bound), else empty."""
+    best = -1
+    if _os.path.isdir(state_dir):
+        for name in _os.listdir(state_dir):
+            m = _re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1)))
+    if best >= 0:
+        return spark.read.parquet(
+            _os.path.join(state_dir, f"batch_id={best}")
+        )
+    return spark.createDataFrame([], _IJ_STATE_SCHEMA)
+
+
+def apply_interval_join_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of the incremental interval join over
+    time-range-ordered batches of (event_id, user_id, ts, event_type).
+
+    Because batches are time ranges [lo, hi) and the join condition is
+    STRICTLY prior (ts_e < ts_p), every event a purchase can match is
+    in its own batch or an earlier one — so each purchase's count is
+    COMPLETE at its batch and the output log is append-only (no
+    upserts). State is exactly the trailing lookback window of events
+    (rows older than max_ts − lookback can never match a future
+    purchase), which is the same bound Spark's watermarked
+    stream-stream join derives from the range predicate."""
+    events = batch.select(
+        "event_id", "user_id", "ts", "event_type"
+    ).localCheckpoint(eager=True)
+    state = _read_ij_state(spark, state_dir, batch_id)
+    all_ev = state.unionByName(
+        events.select(
+            F.col("event_id").alias("prior_id"), "user_id", "ts"
+        )
+    ).localCheckpoint(eager=True)
+    pay = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("pay_user"),
+        F.col("ts").alias("pay_ts"),
+    )
+    joined = pay.join(
+        all_ev,
+        (F.col("pay_user") == F.col("user_id"))
+        & (
+            F.col("ts")
+            >= F.col("pay_ts") - F.expr(f"INTERVAL {_IJ_LOOKBACK_S} SECONDS")
+        )
+        & (F.col("ts") < F.col("pay_ts")),
+    )
+    out = joined.groupBy("pay_id").agg(
+        F.count("prior_id").alias("prior_events")
+    )
+    out.write.mode("overwrite").parquet(
+        _os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    # evict: keep only the trailing lookback window (state stays O(rate
+    # × lookback) forever — the watermark bound)
+    mx = all_ev.agg(F.max("ts")).first()[0]
+    new_state = all_ev.where(
+        F.col("ts") > F.lit(mx) - F.expr(f"INTERVAL {_IJ_LOOKBACK_S} SECONDS")
+    )
+    new_state.write.mode("overwrite").parquet(
+        _os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_interval_join_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Concatenate the append-only per-batch outputs (each purchase is
+    emitted exactly once, in its own batch)."""
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
