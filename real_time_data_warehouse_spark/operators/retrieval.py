@@ -640,12 +640,15 @@ _KNN_SAMPLE_MOD = 10  # audit every 10th vector (vec_id % 10 == 0)
         "the standard screen for mislabeled examples before training "
         "on a labeled corpus. Embeddings are integer-quantized (x1024, "
         "exact in IEEE — the s8 rule) so similarities, ranking, and "
-        "the vote are ALL integer arithmetic. Shape: the sampled audit "
-        "side broadcasts (it is 10x smaller by construction), the "
-        "collection streams through a BroadcastNestedLoopJoin — exact "
-        "by design on the audit sample; at full-corpus scale the same "
-        "vote runs over an s3/s5 ANN shortlist instead of the exact "
-        "one (the audited semantics per neighbor set are unchanged).",
+        "the vote are ALL integer arithmetic. Shape: the anchor matrix "
+        "rides to the workers (10x smaller by construction) and the "
+        "collection streams through ONE vectorized numpy matmul per "
+        "Arrow batch inside mapInPandas with a per-batch top-k "
+        "combiner, so the single exchange carries batches x anchors x "
+        "k rows, never anchors x collection — exact by design on the "
+        "audit sample; at full-corpus scale the same vote runs over an "
+        "s3/s5 ANN shortlist instead of the exact one (the audited "
+        "semantics per neighbor set are unchanged).",
     oracle=f"""
         WITH e AS (SELECT vec_id, label, {_ivec_sql('embedding')} AS v
                    FROM embeddings),
@@ -683,11 +686,26 @@ def s10_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_vote(t.embeddings, sample_mod=_KNN_SAMPLE_MOD, k=_KNN_K)
 
 
-def knn_label_vote(
-    embeddings: DataFrame, *, sample_mod: int, k: int
+def _anchor_topk_candidates(
+    embeddings: DataFrame,
+    *,
+    sample_mod: int,
+    k: int,
+    exclude_same_label: bool,
 ) -> DataFrame:
-    """(vec_id, embedding, label) frame → kNN majority-vote audit rows
-    (the s10 body, exposed so tests can run it on planted fixtures)."""
+    """Shared exact-kNN kernel for s10/s11: integer-quantize, pull the
+    1/sample_mod anchor matrix to the workers (same memory class as
+    broadcasting it — the scale path swaps this stage for an s3/s5 ANN
+    shortlist), then ONE numpy matmul per Arrow batch with a per-batch
+    top-k COMBINER: each batch emits at most k candidates per anchor
+    (ordered by sim desc, nid asc — exact int64 arithmetic, so the
+    per-batch prune is deterministic), and a final per-anchor window
+    keeps the global top k. Replaces the codegen lambda-aggregate
+    cross join: the same 262M multiply-adds run as one BLAS-shaped
+    matmul instead of per-row expression trees, and the shuffle
+    carries batches×anchors×k rows instead of anchors×collection."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.window import Window
 
     e = embeddings.select(
@@ -698,31 +716,59 @@ def knn_label_vote(
             lambda x: F.floor(x.cast("double") * 1024).cast("bigint"),
         ).alias("v"),
     )
-    q = e.where(F.col("vec_id") % sample_mod == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
+    qrows = e.where(F.col("vec_id") % sample_mod == 0).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.int64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (qids, qlabels, qmat)
     )
-    n = e.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlabel"),
-        F.col("v").alias("nv"),
-    )
-    sim = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        F.broadcast(q)
-        .crossJoin(n)
-        .where(F.col("nid") != F.col("qid"))
-        .select("qid", "qlabel", "nlabel", "nid", sim.alias("sim"))
+
+    def batches(it):
+        aqids, aqlabels, aq = bc.value
+        m = len(aqids)
+        for pdf in it:
+            if not len(pdf) or not m:
+                continue
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nlabels = pdf["label"].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf["v"]), dtype=np.int64)
+            sims = aq @ vmat.T  # m × n, exact int64
+            out = {c: [] for c in ("qid", "qlabel", "nid", "nlabel", "sim")}
+            for i in range(m):
+                if exclude_same_label:
+                    valid = nlabels != aqlabels[i]
+                else:
+                    valid = nids != aqids[i]
+                if not valid.any():
+                    continue
+                vn, vl, vs = nids[valid], nlabels[valid], sims[i][valid]
+                order = np.lexsort((vn, -vs))[:k]
+                out["qid"].extend([aqids[i]] * len(order))
+                out["qlabel"].extend([aqlabels[i]] * len(order))
+                out["nid"].extend(vn[order])
+                out["nlabel"].extend(vl[order])
+                out["sim"].extend(vs[order])
+            yield pd.DataFrame(out)
+
+    cand = e.mapInPandas(
+        batches, "qid long, qlabel int, nid long, nlabel int, sim long"
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
-    knn = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+    return cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame, *, sample_mod: int, k: int
+) -> DataFrame:
+    """(vec_id, embedding, label) frame → kNN majority-vote audit rows
+    (the s10 body, exposed so tests can run it on planted fixtures)."""
+    from pyspark.sql.window import Window
+
+    knn = _anchor_topk_candidates(
+        embeddings, sample_mod=sample_mod, k=k, exclude_same_label=False
     )
     votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
         F.count("*").alias("cnt")
@@ -759,10 +805,9 @@ _NEG_K = 5  # hard negatives per anchor
         "contrastive/embedding trainer wants as in-batch negatives "
         "(high similarity, wrong class). Integer-quantized dot "
         "products (x1024) keep similarity, ranking, and ties exact in "
-        "both engines. Shape: identical to s10 — the anchor sample "
-        "broadcasts, the collection streams through one "
-        "BroadcastNestedLoopJoin, WindowGroupLimit prunes to k per "
-        "anchor before the single exchange. At full-corpus scale the "
+        "both engines. Shape: identical to s10 — one vectorized matmul "
+        "per Arrow batch with a per-batch top-k combiner, no join, one "
+        "exchange, WindowGroupLimit pruning. At full-corpus scale the "
         "identical ranking consumes an s3/s5 ANN shortlist instead of "
         "the exact candidate set.",
     oracle=f"""
@@ -799,52 +844,14 @@ def hard_negative_pairs(
     """(vec_id, embedding, label) frame → top-k different-label
     neighbors per sampled anchor (the s11 body, exposed for planted
     fixtures)."""
-    from pyspark.sql.window import Window
-
-    e = embeddings.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 1024).cast("bigint"),
-        ).alias("v"),
+    top = _anchor_topk_candidates(
+        embeddings, sample_mod=sample_mod, k=k, exclude_same_label=True
     )
-    q = e.where(F.col("vec_id") % sample_mod == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-    )
-    n = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neg_label"),
-        F.col("v").alias("nv"),
-    )
-    sim = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        F.broadcast(q)
-        .crossJoin(n)
-        .where(
-            (F.col("neighbor_id") != F.col("qid"))
-            & (F.col("neg_label") != F.col("qlabel"))
-        )
-        .select("qid", "qlabel", "neighbor_id", "neg_label", sim.alias("sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("qlabel").cast("int").alias("label"),
-            "neighbor_id",
-            F.col("neg_label").cast("int").alias("neg_label"),
-            F.col("rn").cast("int").alias("rnk"),
-            "sim",
-        )
+    return top.select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlabel").cast("int").alias("label"),
+        F.col("nid").alias("neighbor_id"),
+        F.col("nlabel").cast("int").alias("neg_label"),
+        F.col("rn").cast("int").alias("rnk"),
+        "sim",
     )

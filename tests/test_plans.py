@@ -420,14 +420,15 @@ def test_st13_single_user_exchange(spark):
     assert shuffle_count(df) == 1, formatted_plan(df)
 
 
-def test_s10_broadcasts_audit_sample(spark):
-    """s10: the 1/10 audit sample is the BUILD side of a broadcast
-    nested-loop join (the collection streams, never shuffles pairwise);
-    the only exchange is the per-query top-k/vote window, and the
-    group-limit prunes below it."""
+def test_s10_vectorized_combiner_no_join(spark):
+    """s10: the exact-kNN kernel is a vectorized numpy matmul inside
+    mapInPandas with a per-batch top-k combiner — NO join of any kind
+    (the collection never shuffles pairwise), one exchange for the
+    global per-anchor top-k, group-limit pruning below it."""
     df = q("s10_knn_label_noise", spark)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan, plan
     assert shuffle_count(df) == 1, plan
     assert "WindowGroupLimit" in plan
 
@@ -443,12 +444,12 @@ def test_d16_linear_not_pairwise(spark):
     assert shuffle_count(df) <= 4, plan
 
 
-def test_s11_broadcasts_anchor_sample(spark):
-    """s11: same contract as s10 — anchors broadcast, the collection
-    streams, one exchange for the per-anchor top-k with a map-side
-    group-limit."""
+def test_s11_vectorized_combiner_no_join(spark):
+    """s11: same contract as s10 — matmul + per-batch combiner in
+    mapInPandas, no join, one exchange, map-side group-limit."""
     df = q("s11_hard_negatives", spark)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan, plan
     assert shuffle_count(df) == 1, plan
     assert "WindowGroupLimit" in plan
