@@ -371,3 +371,48 @@ QUERY_REGISTRY["j4s_interval_join_replay"] = _dc16.replace(
     QUERY_REGISTRY["j4s_interval_join_replay"],
     oracle=QUERY_REGISTRY["j4_interval_join"].oracle,
 )
+
+
+@register(
+    "j2s_left_outer_join_replay",
+    survey="J2,W5,ext-scale",
+    doc=f"Streaming left-outer join replay: 'click' orders wait up to "
+        "30 min for a same-user 'purchase' across time-range batches "
+        "(streaming/joins.apply_left_outer_batch). This is the op "
+        "where Flink and Spark diverge hardest (SURVEY §7.4.1): Flink "
+        "emits the null row immediately and retracts it on match; here "
+        "the unmatched order HOLDS in state and emits its null-padded "
+        "row exactly once — when event time proves no payment can "
+        "arrive (or at end-of-stream flush). Matched pairs append the "
+        "moment the payment's batch runs. Checked against the one-pass "
+        "LEFT JOIN oracle: a green row is the driver verifying the "
+        "retract-free outer-join design produces the identical net "
+        "table.",
+    oracle=f"""
+        SELECT o.event_id AS order_id, p.event_id AS pay_id
+        FROM events o
+        LEFT JOIN events p
+          ON o.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= o.ts
+         AND p.ts <= o.ts + INTERVAL 30 MINUTE
+        WHERE o.event_type = 'click'
+    """,
+)
+def j2s_left_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import joins as sjoins
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts", "event_type")
+    t0 = ev.agg(F.min("ts")).first()[0]
+    rows = ev.withColumn(
+        "tsec",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
+    )
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        sjoins.apply_left_outer_batch,
+        finalize=sjoins.finalize_left_outer,
+    )

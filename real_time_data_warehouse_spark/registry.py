@@ -127,20 +127,21 @@ MANIFEST: tuple[str, ...] = (
     "m5_audio_energy",
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
-    # tier 3: last driver-verified in round 2 (p3/p4/p11 displaced
-    # below the cap by this session's additions: their filter/
-    # projection machinery rides on in-cap p2)
+    "j2s_left_outer_join_replay",
+    # tier 3: last driver-verified in round 2 (p3/p4/p11/j1 displaced
+    # below the cap by this session's additions: their machinery rides
+    # on in-cap p2 and the j2s/j4s join replays)
     "p2_dirty_side_output",
-    "j1_inner_equi_join",
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
     # current code — including the banded-LSH d5/d9/d9s) — or round 2
     # for the sql* apps, the narrow p-filters/projections (whose shared
     # projection machinery is covered by the in-cap p-rows), and the
     # map-side text op t6 (its tokenize/array machinery is exercised by
-    # in-cap t1-t4/t10) — and unchanged since. j2-j5 (driver-green r3,
-    # unchanged) displaced by the round-4 tier-1 additions; their join
-    # machinery rides on in-cap j1/j10/j11 kin ---
+    # in-cap t1-t4/t10) — and unchanged since. j1-j5 (j2-j5 r3-green
+    # unchanged, j1 r2) displaced by the round-4 tier-1 additions; join
+    # machinery rides on in-cap j9-j11 and the j2s/j4s replays ---
+    "j1_inner_equi_join",
     "d5_embedding_neardup",
     "d9_semantic_gate",
     "d9s_semantic_gate_replay",

@@ -189,3 +189,124 @@ def read_interval_join_log(spark: SparkSession, out_dir: str) -> DataFrame:
         .parquet(out_dir)
         .drop("batch_id")
     )
+
+
+# --- incremental left-outer join (the j2s replay body) --------------------
+
+_LOJ_WINDOW_S = 1800  # payment window after the order event
+_LOJ_STATE_SCHEMA = "order_id long, user_id long, o_ts timestamp, matched int"
+
+
+def _loj_state_dir(out_dir: str) -> str:
+    # underscore prefix: invisible to Spark's parquet discovery, so the
+    # out_dir log read skips it and one scratch root serves both
+    return _os.path.join(out_dir, "_state")
+
+
+def apply_left_outer_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of order ⟕ payment over time-range batches of
+    (event_id, user_id, ts, event_type): 'click' events open an order
+    that waits up to 30 min for a same-user 'purchase'.
+
+    The Flink/Spark divergence op (SURVEY §7.4.1): Flink emits
+    +I(order, null) immediately and retracts on match; here the
+    unmatched order is HELD in state and the null-padded row is
+    emitted exactly once — when event time proves no payment can still
+    arrive (o_ts + window < max seen ts; future batches are strictly
+    later). Matches emit append-only the moment the payment's batch
+    runs, since a payment can never precede its order's batch under
+    time-range splitting (p_ts >= o_ts)."""
+    state_dir = _loj_state_dir(out_dir)
+    ev = batch.select(
+        "event_id", "user_id", "ts", "event_type"
+    ).localCheckpoint(eager=True)
+    state = _read_loj_state(spark, state_dir, batch_id)
+    new_orders = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("order_id"),
+        "user_id",
+        F.col("ts").alias("o_ts"),
+        F.lit(0).alias("matched"),
+    )
+    pays = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    all_orders = state.unionByName(new_orders).localCheckpoint(eager=True)
+    pairs = all_orders.join(
+        pays,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("o_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("o_ts") + F.expr(f"INTERVAL {_LOJ_WINDOW_S} SECONDS")
+        ),
+    ).select("order_id", "pay_id")
+    matched_now = pairs.select("order_id").distinct()
+    updated = (
+        all_orders.join(
+            matched_now.withColumn("hit", F.lit(1)), "order_id", "left"
+        )
+        .select(
+            "order_id",
+            "user_id",
+            "o_ts",
+            F.greatest("matched", F.coalesce("hit", F.lit(0))).alias(
+                "matched"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    horizon = F.col("o_ts") + F.expr(f"INTERVAL {_LOJ_WINDOW_S} SECONDS")
+    expired = updated.where(horizon < F.lit(mx)) if mx else updated.limit(0)
+    nulls = expired.where(F.col("matched") == 0).select(
+        "order_id", F.lit(None).cast("long").alias("pay_id")
+    )
+    pairs.unionByName(nulls).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    keep = updated.where(horizon >= F.lit(mx)) if mx else updated
+    keep.write.mode("overwrite").parquet(
+        _os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def _read_loj_state(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    best = -1
+    if _os.path.isdir(state_dir):
+        for name in _os.listdir(state_dir):
+            m = _re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1)))
+    if best >= 0:
+        return spark.read.parquet(
+            _os.path.join(state_dir, f"batch_id={best}")
+        )
+    return spark.createDataFrame([], _LOJ_STATE_SCHEMA)
+
+
+def finalize_left_outer(spark: SparkSession, out_dir: str) -> DataFrame:
+    """End-of-stream flush: the watermark goes to infinity, so every
+    still-pending unmatched order emits its null-padded row now; the
+    append-only pair/null log plus the flush is the complete left-outer
+    result."""
+    state_dir = _loj_state_dir(out_dir)
+    pending = _read_loj_state(spark, state_dir, 1 << 30)
+    leftovers = pending.where(F.col("matched") == 0).select(
+        "order_id", F.lit(None).cast("long").alias("pay_id")
+    )
+    log = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
+    return log.unionByName(leftovers)

@@ -83,6 +83,7 @@ TIER1 = (
     "m5_audio_energy",
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
+    "j2s_left_outer_join_replay",
 )
 # Last driver-verified in round 2 and still inside the cap after this
 # session's additions: the narrow p-filters the in-cap apps compose
@@ -95,7 +96,7 @@ TIER1 = (
 # the sf0.1 full-registry sweep, and rotates back in next round once
 # the no-signal tier drains.
 TIER2 = (
-    "p2_dirty_side_output", "j1_inner_equi_join",
+    "p2_dirty_side_output",
 )
 
 
