@@ -906,3 +906,67 @@ def a17_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v") * F.col("n_trail") > 2 * F.col("sum_trail"),
         ).alias("is_spike"),
     )
+
+
+# --- a14: Window TopN ------------------------------------------------------
+
+_TOPN_PER_WINDOW = 3
+
+
+@register(
+    "a14_window_topn",
+    survey="A9,W1,ext-scale",
+    doc=f"Window TopN — Flink SQL's canonical per-window ranking "
+        "(the ADS keyword/source rankings the reference's serving layer "
+        f"computes per window): within each 1 h tumbling window, the "
+        f"top {_TOPN_PER_WINDOW} event types by count with "
+        "deterministic (count desc, type asc) tie-break. Plan: one "
+        "partial-agg exchange on (window, type), then the rank rides a "
+        "second exchange on the window key with WindowGroupLimit "
+        "pruning map-side — at scale the ranked exchange carries at "
+        "most |windows| x |types| pre-aggregated rows, never raw "
+        "events.",
+    oracle=f"""
+        SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+               event_type,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(rn AS INT) AS rnk
+        FROM (
+            SELECT w, event_type, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                       ORDER BY cnt DESC, event_type) AS rn
+            FROM (
+                SELECT {oracle_tumble('ts', 3600)} AS w,
+                       event_type, COUNT(*) AS cnt
+                FROM events
+                GROUP BY {oracle_tumble('ts', 3600)}, event_type
+            )
+        ) WHERE rn <= {_TOPN_PER_WINDOW}
+    """,
+)
+def a14_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.events.groupBy(
+            tumble("ts", "1 hour").alias("window"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("wstart"), "event_type", "cnt"
+        )
+    )
+    w = Window.partitionBy("wstart").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPN_PER_WINDOW)
+        .select(
+            F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )

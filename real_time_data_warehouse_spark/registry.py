@@ -128,10 +128,11 @@ MANIFEST: tuple[str, ...] = (
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
-    # tier 3: last driver-verified in round 2 (p3/p4/p11/j1 displaced
-    # below the cap by this session's additions: their machinery rides
-    # on in-cap p2 and the j2s/j4s join replays)
-    "p2_dirty_side_output",
+    "a14_window_topn",
+    # tier 3: last driver-verified in round 2 (p2/p3/p4/p11/j1 all
+    # displaced below the cap — every in-cap slot now carries a
+    # never-checked query; their filter/join machinery rides on the
+    # in-cap j2s/j4s/a14 kin)
     # --- slot 50 boundary: everything below was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
     # current code — including the banded-LSH d5/d9/d9s) — or round 2
@@ -141,6 +142,7 @@ MANIFEST: tuple[str, ...] = (
     # in-cap t1-t4/t10) — and unchanged since. j1-j5 (j2-j5 r3-green
     # unchanged, j1 r2) displaced by the round-4 tier-1 additions; join
     # machinery rides on in-cap j9-j11 and the j2s/j4s replays ---
+    "p2_dirty_side_output",
     "j1_inner_equi_join",
     "d5_embedding_neardup",
     "d9_semantic_gate",

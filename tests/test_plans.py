@@ -453,3 +453,13 @@ def test_s11_vectorized_combiner_no_join(spark):
     assert "Join" not in plan, plan
     assert shuffle_count(df) == 1, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_a14_window_topn_pruned_rank(spark):
+    """a14: the rank input is the pre-aggregated (window, type) table —
+    two exchanges total (partial agg + window rank), WindowGroupLimit
+    pruning before the second."""
+    df = q("a14_window_topn", spark)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 2, plan
+    assert "WindowGroupLimit" in plan

@@ -84,6 +84,7 @@ TIER1 = (
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
+    "a14_window_topn",
 )
 # Last driver-verified in round 2 and still inside the cap after this
 # session's additions: the narrow p-filters the in-cap apps compose
@@ -95,9 +96,8 @@ TIER1 = (
 # tokenize/array/hash machinery with an in-cap sibling, is green in
 # the sf0.1 full-registry sweep, and rotates back in next round once
 # the no-signal tier drains.
-TIER2 = (
-    "p2_dirty_side_output",
-)
+# (empty this round: every in-cap slot carries a never-checked query)
+TIER2 = ()
 
 
 def test_manifest_matches_registrations():
