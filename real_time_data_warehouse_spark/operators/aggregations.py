@@ -970,3 +970,71 @@ def a14_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+# --- w11: CUMULATE window --------------------------------------------------
+
+_CUM_CYCLE_S = 21600  # 6 h cycle
+_CUM_STEP_S = 3600  # 1 h step => windows [cycle, cycle+k*step), k=1..6
+
+
+@register(
+    "w11_cumulate_window",
+    survey="W8,W1,ext-scale",
+    doc="CUMULATE window (Flink 1.17's third window TVF, alongside "
+        "TUMBLE/HOP which w1/w8 cover): within each 6 h cycle, "
+        "early-fire cumulative windows every hour — window k spans "
+        "[cycle_start, cycle_start + k·1 h) and reports the running "
+        "event count and DECIMAL value sum, the 'today so far, "
+        "refreshed hourly' dashboard shape. Spark form: each event "
+        "expands map-side (sequence + explode inside codegen) into the "
+        "6−⌊elapsed/step⌋ windows whose end lies after it, then ONE "
+        "partial-agg exchange on (cycle, k) — the fan-out is bounded "
+        "by cycle/step (6 here), so shuffled rows are ≤6× events with "
+        "full map-side combine, and no window ever re-reads earlier "
+        "data (the incremental-emit property CUMULATE exists for).",
+    oracle=f"""
+        SELECT strftime(to_timestamp(cyc)::TIMESTAMP,
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(to_timestamp(cyc + k * {_CUM_STEP_S})::TIMESTAMP,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               CAST(COUNT(*) AS BIGINT) AS event_ct,
+               {oracle_dec_sum('value', 'value_sum')}
+        FROM (
+            SELECT value, cyc,
+                   unnest(range(CAST(floor((ep - cyc) / {_CUM_STEP_S})
+                                     AS BIGINT) + 1, 7)) AS k
+            FROM (
+                SELECT value,
+                       floor(epoch(ts)) AS ep,
+                       CAST(floor(floor(epoch(ts)) / {_CUM_CYCLE_S})
+                            * {_CUM_CYCLE_S} AS BIGINT) AS cyc
+                FROM events
+            )
+        )
+        GROUP BY cyc, k
+    """,
+)
+def w11_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ep = F.floor(F.col("ts").cast("double")).cast("bigint")
+    cyc = (F.floor(ep / _CUM_CYCLE_S) * _CUM_CYCLE_S).cast("bigint")
+    k_min = (F.floor((ep - cyc) / _CUM_STEP_S) + 1).cast("bigint")
+    expanded = t.events.select(
+        "value",
+        cyc.alias("cyc"),
+        F.explode(F.sequence(k_min, F.lit(6).cast("bigint"))).alias("k"),
+    )
+    return expanded.groupBy("cyc", "k").agg(
+        F.count("*").cast("bigint").alias("event_ct"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
+    ).select(
+        F.date_format(F.timestamp_seconds("cyc"), "yyyy-MM-dd HH:mm:ss")
+        .alias("stt"),
+        F.date_format(
+            F.timestamp_seconds(F.col("cyc") + F.col("k") * _CUM_STEP_S),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("edt"),
+        "event_ct",
+        "value_sum",
+    )

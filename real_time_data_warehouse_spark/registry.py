@@ -129,6 +129,9 @@ MANIFEST: tuple[str, ...] = (
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
     "a14_window_topn",
+    # --- slot 51+: w11 landed after all 50 cap slots were already
+    # taken by never-checked queries — it leads next round's tier 1 ---
+    "w11_cumulate_window",
     # tier 3: last driver-verified in round 2 (p2/p3/p4/p11/j1 all
     # displaced below the cap — every in-cap slot now carries a
     # never-checked query; their filter/join machinery rides on the

@@ -463,3 +463,10 @@ def test_a14_window_topn_pruned_rank(spark):
     plan = formatted_plan(df)
     assert shuffle_count(df) <= 2, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_w11_cumulate_one_exchange(spark):
+    """w11: the cumulate fan-out is a map-side sequence+explode; the
+    only exchange is the (cycle, k) partial->final aggregate."""
+    df = q("w11_cumulate_window", spark)
+    assert shuffle_count(df) == 1, formatted_plan(df)

@@ -58,3 +58,41 @@ def test_modulo_split_matches_one_pass(spark, tmp_path):
 
 def test_retry_is_idempotent(spark, tmp_path):
     assert _replay(spark, tmp_path, 4, "r4", retry_last=True) == _expected(spark)
+
+
+def test_w11_last_step_equals_cycle_totals(spark):
+    """CUMULATE invariant: window k=6 spans the whole 6 h cycle, so its
+    totals must equal a plain 6 h tumble — and each earlier step is a
+    prefix (monotone non-decreasing counts)."""
+    rows = QUERY_REGISTRY["w11_cumulate_window"].fn(spark, SF_DIR).collect()
+    by_cycle = {}
+    for r in rows:
+        by_cycle.setdefault(r["stt"], []).append(
+            (r["edt"], r["event_ct"], round(r["value_sum"], 2))
+        )
+    ev = Tables(spark, SF_DIR).events
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    tumble6 = (
+        ev.groupBy(
+            F.date_format(
+                F.timestamp_seconds(
+                    (F.floor(F.col("ts").cast("double") / 21600) * 21600)
+                    .cast("bigint")
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("stt")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    exp = {r["stt"]: (r["n"], round(r["s"], 2)) for r in tumble6}
+    for stt, steps in by_cycle.items():
+        steps.sort()
+        counts = [n for _, n, _ in steps]
+        assert counts == sorted(counts), "cumulate counts must be monotone"
+        last = steps[-1]
+        assert (last[1], last[2]) == exp[stt]
