@@ -859,3 +859,73 @@ def c11_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capped"
         ),
     )
+
+
+# --- c12: quality-weighted soft sampling ----------------------------------
+
+# (lower-band-edge, keep-rate%) — descending; score >= 0.55 keeps all
+_QW_BANDS = ((0.55, 100), (0.45, 50), (0.35, 20), (0.0, 5))
+
+
+@register(
+    "c12_quality_weighted_sample",
+    survey="ext-curation,ext-text",
+    doc="Quality-WEIGHTED soft sampling (the FineWeb/LLM-corpus practice "
+        "of down-sampling rather than hard-dropping mid-quality text): "
+        "t2's composite score maps to a keep-rate band (>=0.55 keeps "
+        "100%, 0.45-0.55 50%, 0.35-0.45 20%, below 5%) and the keep "
+        "decision is the deterministic md5(doc_id) % 100 < rate coin — "
+        "no rand(), so the sampled corpus is identical across runs, "
+        "engines and partitionings, and every decision is auditable "
+        "(band + rate + kept are all emitted). Composes t2 exactly like "
+        "c1/c2 compose their signals: a map-side projection over the "
+        "scored frame, zero extra shuffles.",
+    oracle=None,  # composed below from the t2 oracle
+)
+def c12_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = QUERY_REGISTRY["t2_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    rate = F.lit(None).cast("int")
+    band = F.lit(None).cast("int")
+    for i, (edge, r) in enumerate(_QW_BANDS):
+        cond = F.col("quality_score") >= edge
+        rate = F.coalesce(rate, F.when(cond, r))
+        band = F.coalesce(band, F.when(cond, i))
+    bucket = md5_hash(F.col("doc_id").cast("string")) % 100
+    return scored.select(
+        "doc_id",
+        "quality_score",
+        band.cast("int").alias("band"),
+        rate.cast("int").alias("rate_pct"),
+        (bucket < rate).cast("int").alias("kept"),
+    )
+
+
+def _c12_oracle() -> str:
+    t2 = QUERY_REGISTRY["t2_quality_score"].oracle
+    h = md5_hash_sql("CAST(doc_id AS VARCHAR)")
+    band_case = " ".join(
+        f"WHEN quality_score >= {edge} THEN {i}"
+        for i, (edge, _) in enumerate(_QW_BANDS)
+    )
+    rate_case = " ".join(
+        f"WHEN quality_score >= {edge} THEN {r}"
+        for edge, r in _QW_BANDS
+    )
+    return f"""
+        WITH t2 AS ({t2})
+        SELECT doc_id, quality_score,
+               CAST(CASE {band_case} END AS INT) AS band,
+               CAST(CASE {rate_case} END AS INT) AS rate_pct,
+               CAST(CASE WHEN {h} % 100 < (CASE {rate_case} END)
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM t2
+    """
+
+
+import dataclasses as _dc12
+
+QUERY_REGISTRY["c12_quality_weighted_sample"] = _dc12.replace(
+    QUERY_REGISTRY["c12_quality_weighted_sample"], oracle=_c12_oracle()
+)

@@ -59,18 +59,13 @@ def register(
 # Driver visit order — EXPLICIT manifest, not import side-effect order.
 # The external correctness driver truncates at 50 queries per round
 # (observed rounds 1-3; documented in BASELINE.md), so the first 50
-# slots are the only hard-signal slots. Current tiers (the driver last
-# recorded CORRECTNESS_r03.json; rounds called "4"/"5" in older comments
-# were builder sessions between driver recordings):
-#   tier 1   never driver-verified: the banded-LSH rebase of d5/d9(+d9s)
-#            and the session-4/5 additions (j10...w10);
-#   tier 2c  new in session 6 (t10, a13/a13s, m4, z1, s8, a2c, c11,
-#            st10, d13, d2c, a15, st11, a16);
-#   tier 3   last driver-verified in round 2 — fills the cap;
-#   51+      driver-green in round 3 (or round 2 for sql*), unchanged, or
-#            displaced map-side ops whose machinery rides on in-cap kin.
-# Adding a query REQUIRES adding it here — ordered_registry() fails loud
-# on any mismatch, and tests/test_registry_manifest.py pins the tiers.
+# slots are the only hard-signal slots. This round: ALL 50 in-cap slots
+# carry never-driver-checked queries (tiers below, oldest additions
+# first); w11/c12 arrived after the cap filled and lead next round's
+# tier 1; everything past them has round-2/3 green signal and is
+# unchanged. Adding a query REQUIRES adding it here —
+# ordered_registry() fails loud on any mismatch, and
+# tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
     # tier 1: never driver-verified. (The banded-LSH rebase of d5/d9/d9s
     # DID get hard signal: CORRECTNESS_r03.json was recorded after the
@@ -129,14 +124,11 @@ MANIFEST: tuple[str, ...] = (
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
     "a14_window_topn",
-    # --- slot 51+: w11 landed after all 50 cap slots were already
-    # taken by never-checked queries — it leads next round's tier 1 ---
+    # --- slot 51+: w11/c12 landed after all 50 cap slots were already
+    # taken by never-checked queries — they lead next round's tier 1 ---
     "w11_cumulate_window",
-    # tier 3: last driver-verified in round 2 (p2/p3/p4/p11/j1 all
-    # displaced below the cap — every in-cap slot now carries a
-    # never-checked query; their filter/join machinery rides on the
-    # in-cap j2s/j4s/a14 kin)
-    # --- slot 50 boundary: everything below was driver-green in round 3
+    "c12_quality_weighted_sample",
+    # --- the rest was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
     # current code — including the banded-LSH d5/d9/d9s) — or round 2
     # for the sql* apps, the narrow p-filters/projections (whose shared
