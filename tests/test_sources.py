@@ -159,3 +159,24 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "event_type" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A landed directory where later files carry a NEW column (schema
+    evolution between producer deploys) must read as the union schema
+    with nulls for old files — mergeSchema, the lakehouse contract a
+    100 TB ingest directory depends on."""
+    v1 = spark.createDataFrame(
+        [(1, "click"), (2, "view")], "event_id long, event_type string"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "click", "mobile")],
+        "event_id long, event_type string, device string",
+    )
+    d = str(tmp_path / "evolving")
+    v1.write.mode("overwrite").parquet(d + "/day=1")
+    v2.write.mode("overwrite").parquet(d + "/day=2")
+    got = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(got.columns) == {"event_id", "event_type", "device", "day"}
+    rows = {r["event_id"]: r["device"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "mobile"}
