@@ -64,6 +64,9 @@ EXTENDED = (
     "st13_sessionization",
     "s10_knn_label_noise",
     "s11_hard_negatives",
+    "a14_window_topn",
+    "w11_cumulate_window",
+    "c12_quality_weighted_sample",
 )
 
 # Headline set: the flagship + one representative per operator family.
