@@ -416,3 +416,41 @@ def j2s_left_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         sjoins.apply_left_outer_batch,
         finalize=sjoins.finalize_left_outer,
     )
+
+
+@register(
+    "a5s_windowed_uu_replay",
+    survey="A5,ST4,ext-scale",
+    doc=f"Streaming windowed-UU replay: the events table is split into "
+        f"{_N_BATCHES} batches and pushed through "
+        "streaming/distinct_agg.apply_distinct_batch — DISTINCT is the "
+        "aggregate naive count-partials CANNOT merge (repeat users "
+        "double-count), so state is the membership set itself as a "
+        "distinct-triples table (the reference's keyed Set state, "
+        "DwsTradeCartAddUuWindow.java:99-139, in table form); new "
+        "members anti-join in, touched groups re-emit full counts, the "
+        "log compacts last-wins. Checked against the ONE-PASS a5 "
+        "oracle at any batch split — set union has no ordering "
+        "contract.",
+    oracle=None,  # attached below: the a5 batch-form oracle, verbatim
+)
+def a5s_windowed_uu_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import distinct_agg
+
+    t = Tables(spark, sf_dir)
+    rows = t.events.select("event_id", "user_id", "ts", "event_type")
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        distinct_agg.apply_distinct_batch,
+        finalize=distinct_agg.compact_distinct_log,
+    )
+
+
+import dataclasses as _dc17  # noqa: E402
+
+QUERY_REGISTRY["a5s_windowed_uu_replay"] = _dc17.replace(
+    QUERY_REGISTRY["a5s_windowed_uu_replay"],
+    oracle=QUERY_REGISTRY["a5_windowed_uu"].oracle,
+)

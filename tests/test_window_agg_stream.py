@@ -96,3 +96,39 @@ def test_w11_last_step_equals_cycle_totals(spark):
         assert counts == sorted(counts), "cumulate counts must be monotone"
         last = steps[-1]
         assert (last[1], last[2]) == exp[stt]
+
+
+# --- a5s distinct-count replay invariants ---------------------------------
+
+
+def test_a5s_modulo_split_and_retry(spark, tmp_path):
+    """DISTINCT partials: repeat users across batches must not
+    double-count (the failure mode of naive count merging) — the
+    adversarial modulo split puts every user in every batch; a retried
+    batch must also change nothing."""
+    from real_time_data_warehouse_spark.streaming.distinct_agg import (
+        apply_distinct_batch,
+        compact_distinct_log,
+    )
+
+    exp = {
+        (r["cur_date"], r["event_type"]): r["uu_ct"]
+        for r in QUERY_REGISTRY["a5_windowed_uu"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        Tables(spark, SF_DIR)
+        .events.select("event_id", "user_id", "ts", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    state, out = str(tmp_path / "a5s_state"), str(tmp_path / "a5s_out")
+    n = 4
+    for b in range(n):
+        batch = ev.where(F.col("event_id") % n == b)
+        apply_distinct_batch(spark, batch, b, state, out)
+        if b == n - 1:
+            apply_distinct_batch(spark, batch, b, state, out)
+    got = {
+        (r["cur_date"], r["event_type"]): r["uu_ct"]
+        for r in compact_distinct_log(spark, out).collect()
+    }
+    assert got == exp
