@@ -97,3 +97,67 @@ def test_streaming_batches_accept_empty_micro_batch(spark, tmp_path):
     apply_window_batch(spark, ev, 0, w_state, w_out)
     apply_window_batch(spark, empty, 1, w_state, w_out)
     assert compact_window_log(spark, w_out).count() == 1
+
+
+def test_join_and_distinct_batches_accept_empty_micro_batch(spark, tmp_path):
+    """Empty micro-batches through the join/distinct appliers: state
+    must carry through unchanged and the compacted output must equal
+    the run without the empty batch."""
+    from real_time_data_warehouse_spark.streaming.distinct_agg import (
+        apply_distinct_batch,
+        compact_distinct_log,
+    )
+    from real_time_data_warehouse_spark.streaming.joins import (
+        apply_interval_join_batch,
+        apply_left_outer_batch,
+        finalize_left_outer,
+        read_interval_join_log,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "click"),
+            (2, 10, "2024-01-01 00:10:00", "purchase"),
+            (3, 11, "2024-01-01 01:00:00", "click"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"), "event_type",
+    )
+    empty = ev.limit(0)
+
+    # interval join: batch 1 is empty mid-stream
+    st, out = str(tmp_path / "ij_s"), str(tmp_path / "ij_o")
+    apply_interval_join_batch(spark, ev.where(F.col("event_id") <= 2), 0, st, out)
+    apply_interval_join_batch(spark, empty, 1, st, out)
+    apply_interval_join_batch(spark, ev.where(F.col("event_id") == 3), 2, st, out)
+    got = {
+        (r["pay_id"], r["prior_events"])
+        for r in read_interval_join_log(spark, out).collect()
+    }
+    assert got == {(2, 1)}  # the purchase saw one prior click
+
+    # left outer: empty batch then the far-future click expires nothing
+    out2 = str(tmp_path / "loj_o")
+    apply_left_outer_batch(spark, ev.where(F.col("event_id") <= 2), 0, "", out2)
+    apply_left_outer_batch(spark, empty, 1, "", out2)
+    apply_left_outer_batch(spark, ev.where(F.col("event_id") == 3), 2, "", out2)
+    rows = {
+        (r["order_id"], r["pay_id"])
+        for r in finalize_left_outer(spark, out2).collect()
+    }
+    assert rows == {(1, 2), (3, None)}
+
+    # distinct: empty batch leaves counts untouched
+    st3, out3 = str(tmp_path / "uu_s"), str(tmp_path / "uu_o")
+    apply_distinct_batch(spark, ev, 0, st3, out3)
+    apply_distinct_batch(spark, empty, 1, st3, out3)
+    got3 = {
+        (r["cur_date"], r["event_type"]): r["uu_ct"]
+        for r in compact_distinct_log(spark, out3).collect()
+    }
+    assert got3 == {
+        ("2024-01-01", "click"): 2,
+        ("2024-01-01", "purchase"): 1,
+    }
