@@ -359,3 +359,34 @@ def test_audio_energy_planted_silence(spark):
     assert rows[2] == (32, 2, e_loud + e_quiet, 1, 1)
     assert rows[3] == (5, 0, 0, 0, 0)
     assert rows[4] == (32, 2, 2 * e_quiet, 2, 2)
+
+
+def test_substring_family_on_degenerate_identical_corpus(spark):
+    """200 identical docs: the worst case for anything pairwise (19.9k
+    pairs) but linear for the gram formulation — every positional gram
+    occurs 200×, spans join back 200 rows per gram (never 200²), doc 1
+    keeps its text (keep-first) and every other doc strips fully."""
+    text = " ".join(f"w{i}" for i in range(1, 13))  # 12 tokens
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 201)], "doc_id long, text string"
+    )
+    from real_time_data_warehouse_spark.operators.dedup import (
+        substring_span_stats,
+        substring_strip,
+    )
+
+    spans = {
+        r["doc_id"]: (r["dup_tokens"], r["dup_fraction"])
+        for r in substring_span_stats(docs).collect()
+    }
+    assert len(spans) == 200
+    assert all(v == (12, 1.0) for v in spans.values())
+
+    strip = {
+        r["doc_id"]: (r["removed_tokens"], r["clean_text"])
+        for r in substring_strip(docs).collect()
+    }
+    assert strip[1] == (0, text)
+    assert all(
+        strip[d] == (12, "") for d in range(2, 201)
+    ), "every copy after the first must strip fully"
