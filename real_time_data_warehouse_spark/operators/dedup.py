@@ -1094,7 +1094,20 @@ def d2c_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(t.documents)
 
 
-def prefix_candidates(sets: DataFrame) -> DataFrame:
+# Bucket-array bound for the prefix index. Prefix filtering makes big
+# buckets RARE (the hot head of the frequency distribution sorts to the
+# end of every set and falls out of the index), but rare is not never:
+# an adversarially common prefix-region shingle would otherwise build
+# one unbounded collect_list row — a single-task memory hazard at
+# scale. Buckets over the cap keep their pairs (d2c is LOSSLESS and
+# answers d2's oracle) but generate them through a skew-safe self-join
+# that AQE can split across tasks instead of one giant array row.
+_PREFIX_BUCKET_CAP = 256
+
+
+def prefix_candidates(
+    sets: DataFrame, bucket_cap: int = _PREFIX_BUCKET_CAP
+) -> DataFrame:
     """(doc_id, shs) → ratio-pruned candidate pairs from the frequency-
     ordered prefix index (the d2c candidate generator, exposed so tests
     can count the candidate space against the full-index form)."""
@@ -1111,12 +1124,15 @@ def prefix_candidates(sets: DataFrame) -> DataFrame:
         .where(F.col("rn") <= p)
         .select("sh", "doc_id", "n")
     )
+    sizes = prefix.groupBy("sh").agg(F.count("*").alias("bn"))
+    sized = prefix.join(sizes.where(F.col("bn") >= 2), "sh")
+    # normal buckets: micro-block arrays, bounded by the cap
     buckets = (
-        prefix.groupBy("sh")
+        sized.where(F.col("bn") <= bucket_cap)
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .where(F.size("ds") >= 2)
     )
-    return (
+    array_pairs = (
         buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1129,6 +1145,24 @@ def prefix_candidates(sets: DataFrame) -> DataFrame:
             "doc_a", "na",
             F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb"),
         )
+    )
+    # oversized buckets: row-level self-join, same pair set, no arrays
+    big = sized.where(F.col("bn") > bucket_cap).select("sh", "doc_id", "n")
+    join_pairs = (
+        big.select(
+            "sh", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        )
+        .join(
+            big.select(
+                "sh", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "sh",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .drop("sh")
+    )
+    return (
+        array_pairs.unionByName(join_pairs)
         .where(F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 3)
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -1248,9 +1282,13 @@ _SPAN_K = 6
                CAST(len(t.t) AS BIGINT) AS n_tokens,
                CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
                CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-               CAST(floor(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
-                    / len(t.t) * 10000 + 0.5) / 10000 AS DOUBLE)
-                   AS dup_fraction
+               -- 0-token guard: DuckDB's IEEE /0 yields inf/NaN while
+               -- Spark's Divide yields NULL; pin both sides to 0.0 for
+               -- degenerate (punctuation-only) docs
+               CAST(CASE WHEN len(t.t) = 0 THEN 0.0
+                    ELSE floor(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                         / len(t.t) * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS dup_fraction
         FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
     """,
 )
@@ -1345,7 +1383,9 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
         F.sum("span_len").alias("dup_tokens"),
         F.sum("n_grams").alias("dup_grams"),
     )
-    frac = (
+    # 0-token guard (see oracle note): Spark /0 → NULL, DuckDB → inf;
+    # both sides pin degenerate docs to 0.0
+    frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
         F.floor(
             F.coalesce("dup_tokens", F.lit(0)).cast("double")
             / F.col("n_tokens")

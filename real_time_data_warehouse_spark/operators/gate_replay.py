@@ -258,11 +258,20 @@ def st13s_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.streaming import sessionize
 
     t = Tables(spark, sf_dir)
-    rows = t.events.select("user_id", "ts", "value", "event_id")
+    ev = t.events.select("user_id", "ts", "value", "event_id")
+    # sessionize's carried-state contract is batches ascending in EVENT
+    # TIME (the open session's last_ts must precede every batch ts), so
+    # split on a derived 0-based time key like j4s/j2s — not event_id,
+    # whose monotonicity in ts is a fixture accident
+    t0 = ev.agg(F.min("ts")).first()[0]
+    rows = ev.withColumn(
+        "tsec",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
+    )
     return _replay_batches(
         spark,
         rows,
-        "event_id",
+        "tsec",
         sessionize.apply_session_batch,
         finalize=sessionize.compact_session_log,
     )
@@ -413,7 +422,11 @@ def j2s_left_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         rows,
         "tsec",
-        sjoins.apply_left_outer_batch,
+        # the left-outer applier keeps state under out_dir/_state (so
+        # finalize can re-derive it) and takes no state_dir argument
+        lambda sp, b, i, _store, out: sjoins.apply_left_outer_batch(
+            sp, b, i, out
+        ),
         finalize=sjoins.finalize_left_outer,
     )
 
@@ -453,4 +466,81 @@ import dataclasses as _dc17  # noqa: E402
 QUERY_REGISTRY["a5s_windowed_uu_replay"] = _dc17.replace(
     QUERY_REGISTRY["a5s_windowed_uu_replay"],
     oracle=QUERY_REGISTRY["a5_windowed_uu"].oracle,
+)
+
+
+def _with_tsec(ev: DataFrame) -> DataFrame:
+    """0-based integer event-time key for time-range batch splitting —
+    the carried-state appliers' ordering contract (batches ascend in
+    event time), independent of any id/ts correlation in the fixture."""
+    t0 = ev.agg(F.min("ts")).first()[0]
+    return ev.withColumn(
+        "tsec",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
+    )
+
+
+@register(
+    "st3s_visitor_fix_replay",
+    survey="ST3,ext-scale",
+    doc=f"Streaming visitor-flag repair replay: the events table is "
+        f"split into {_N_BATCHES} ascending TIME-RANGE batches and "
+        "pushed through streaming/user_state.apply_visitor_batch — "
+        "keyed first-visit-date state (the reference's ValueState in "
+        "DwdBaseLog.java:121-188) folded per batch, every event "
+        "stamped is_new and APPENDED exactly once (the flag is final "
+        "at its own batch under time-ascending splits; no retraction). "
+        "Checked against the ONE-PASS st3 oracle: a green row is the "
+        "driver verifying the custom visitor-state op is batch ≡ "
+        "stream.",
+    oracle=None,  # attached below: the st3 batch-form oracle, verbatim
+)
+def st3s_visitor_fix_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import user_state
+
+    t = Tables(spark, sf_dir)
+    rows = _with_tsec(t.events.select("event_id", "user_id", "ts"))
+    return _replay_batches(
+        spark, rows, "tsec", user_state.apply_visitor_batch
+    )
+
+
+@register(
+    "st5s_returning_user_replay",
+    survey="ST5,ext-scale",
+    doc=f"Streaming returning-user replay: the events table is split "
+        f"into {_N_BATCHES} ascending TIME-RANGE batches and pushed "
+        "through streaming/user_state.apply_returning_batch — keyed "
+        "last-login-date state (the reference's 8-day-gap op, "
+        "DwsUserUserLoginWindow.java:80-124, the one SURVEY §7.3 calls "
+        "genuinely custom) with per-date count accumulators; touched "
+        "dates re-emit full counts and the upsert log compacts "
+        "last-wins. Checked against the ONE-PASS st5 oracle: a green "
+        "row is the driver verifying uu/returning counts are "
+        "independent of where the batch boundaries fall.",
+    oracle=None,  # attached below: the st5 batch-form oracle, verbatim
+)
+def st5s_returning_user_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import user_state
+
+    t = Tables(spark, sf_dir)
+    rows = _with_tsec(t.events.select("user_id", "ts", "event_type"))
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        user_state.apply_returning_batch,
+        finalize=user_state.compact_returning_log,
+    )
+
+
+import dataclasses as _dc18  # noqa: E402
+
+QUERY_REGISTRY["st3s_visitor_fix_replay"] = _dc18.replace(
+    QUERY_REGISTRY["st3s_visitor_fix_replay"],
+    oracle=QUERY_REGISTRY["st3_visitor_state_fix"].oracle,
+)
+QUERY_REGISTRY["st5s_returning_user_replay"] = _dc18.replace(
+    QUERY_REGISTRY["st5s_returning_user_replay"],
+    oracle=QUERY_REGISTRY["st5_returning_user"].oracle,
 )

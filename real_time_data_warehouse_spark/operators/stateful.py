@@ -573,7 +573,7 @@ SESSION_GAP_S = 28800
         "processor carries.",
     oracle=f"""
         WITH brk AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
                           OR epoch(ts) - epoch(LAG(ts) OVER w)
                              > {SESSION_GAP_S}
@@ -583,8 +583,11 @@ SESSION_GAP_S = 28800
         ),
         sess AS (
             SELECT user_id, ts, value,
+                   -- event_id tie-break: same total order as brk's
+                   -- window and the Spark twin, so duplicate-ts rows
+                   -- cannot make the ROWS-frame sum nondeterministic
                    SUM(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_seq
             FROM brk

@@ -76,3 +76,12 @@ def codegen_stage_count(df: DataFrame) -> int:
     ids = set(re.findall(r"codegen id : (\d+)", plan))
     ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     return len(ids)
+
+
+def assert_no_cartesian(df: DataFrame, what: str) -> None:
+    """One-shot guard for frames built inside streaming appliers, which
+    the registry-wide plan lint skips for suite economy: fail loud if
+    the per-batch plan degraded to a true CartesianProduct (broadcast
+    nested-loop against 1-row bounds frames remains fine)."""
+    if "CartesianProduct" in formatted_plan(df):
+        raise AssertionError(f"{what}: per-batch plan has CartesianProduct")

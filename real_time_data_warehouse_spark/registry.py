@@ -129,6 +129,8 @@ MANIFEST: tuple[str, ...] = (
     "w11_cumulate_window",
     "c12_quality_weighted_sample",
     "a5s_windowed_uu_replay",
+    "st3s_visitor_fix_replay",
+    "st5s_returning_user_replay",
     # --- the rest was driver-green in round 3
     # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
     # current code — including the banded-LSH d5/d9/d9s) — or round 2

@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
+
 from real_time_data_warehouse_spark.operators.curation import _QUALITY_MIN
 from real_time_data_warehouse_spark.operators.textanalysis import (
     predicted_lang_col,
@@ -69,6 +71,10 @@ def curate_batch(
         )
         .localCheckpoint(eager=True)  # decisions feed two writes below
     )
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(decisions, "curation.apply_curation_batch")
     decisions.write.mode("overwrite").parquet(
         os.path.join(base_dir, "decisions", f"batch_id={batch_id}")
     )

@@ -37,6 +37,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from pyspark.sql.window import Window
 
 from real_time_data_warehouse_spark.operators.dedup import (
@@ -191,6 +193,10 @@ def apply_gate_batch(
     # final join — materialize once
     docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
     out, batch_entry = classify_batch(spark, docs, store_dir)
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(out, "dedup_gate.apply_gate_batch")
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )

@@ -42,6 +42,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
+
 from real_time_data_warehouse_spark.operators.similarity import (
     _NEARDUP_COS,
     _banded_sig,
@@ -117,6 +119,10 @@ def apply_gate_batch(
         .localCheckpoint(eager=True)
     )
     out, batch_entry = classify_batch(spark, vecs, store_dir)
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(out, "embedding_gate.apply_gate_batch")
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )

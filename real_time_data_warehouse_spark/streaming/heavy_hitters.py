@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
+
 _STATE_SCHEMA = "w string, cnt bigint"
 
 
@@ -65,6 +67,10 @@ def apply_hh_batch(
         merged = merged.select(
             "w", (F.col("cnt") - cut).cast("bigint").alias("cnt")
         ).where(F.col("cnt") > 0)
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(merged, "heavy_hitters.apply_hh_batch")
     merged.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"batch_id={batch_id}")
     )

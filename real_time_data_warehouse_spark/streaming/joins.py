@@ -98,9 +98,10 @@ def left_outer_stream_join(
 # --- incremental interval join (the j4s replay body) ----------------------
 
 import os as _os
-import re as _re
 
 from pyspark.sql import SparkSession
+
+from real_time_data_warehouse_spark.streaming.state_store import read_snapshot
 
 _IJ_STATE_SCHEMA = "prior_id long, user_id long, ts timestamp"
 _IJ_LOOKBACK_S = 1800  # 30 minutes — one source of truth with j4
@@ -110,17 +111,7 @@ def _read_ij_state(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
     """Latest snapshot with id < batch_id (replay bound), else empty."""
-    best = -1
-    if _os.path.isdir(state_dir):
-        for name in _os.listdir(state_dir):
-            m = _re.fullmatch(r"batch_id=(\d+)", name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1)))
-    if best >= 0:
-        return spark.read.parquet(
-            _os.path.join(state_dir, f"batch_id={best}")
-        )
-    return spark.createDataFrame([], _IJ_STATE_SCHEMA)
+    return read_snapshot(spark, state_dir, batch_id, _IJ_STATE_SCHEMA)
 
 
 def apply_interval_join_batch(
@@ -207,7 +198,6 @@ def apply_left_outer_batch(
     spark: SparkSession,
     batch: DataFrame,
     batch_id: int,
-    state_dir: str,
     out_dir: str,
 ) -> None:
     """One micro-batch of order ⟕ payment over time-range batches of
@@ -221,7 +211,12 @@ def apply_left_outer_batch(
     arrive (o_ts + window < max seen ts; future batches are strictly
     later). Matches emit append-only the moment the payment's batch
     runs, since a payment can never precede its order's batch under
-    time-range splitting (p_ts >= o_ts)."""
+    time-range splitting (p_ts >= o_ts).
+
+    State lives under ``out_dir/_state`` (underscore-prefixed so the
+    log read skips it) — derived here AND in ``finalize_left_outer``
+    from the one ``out_dir`` handle, which is why this applier takes no
+    separate state_dir argument."""
     state_dir = _loj_state_dir(out_dir)
     ev = batch.select(
         "event_id", "user_id", "ts", "event_type"
@@ -281,17 +276,8 @@ def apply_left_outer_batch(
 def _read_loj_state(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
-    best = -1
-    if _os.path.isdir(state_dir):
-        for name in _os.listdir(state_dir):
-            m = _re.fullmatch(r"batch_id=(\d+)", name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1)))
-    if best >= 0:
-        return spark.read.parquet(
-            _os.path.join(state_dir, f"batch_id={best}")
-        )
-    return spark.createDataFrame([], _LOJ_STATE_SCHEMA)
+    """Latest snapshot with id < batch_id (replay bound), else empty."""
+    return read_snapshot(spark, state_dir, batch_id, _LOJ_STATE_SCHEMA)
 
 
 def finalize_left_outer(spark: SparkSession, out_dir: str) -> DataFrame:

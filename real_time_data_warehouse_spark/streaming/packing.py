@@ -22,10 +22,11 @@ doc_id ranges per batch (as the gates).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from pyspark.sql.window import Window
 
 from real_time_data_warehouse_spark.functions.text import tokenize
@@ -34,20 +35,16 @@ from real_time_data_warehouse_spark.operators.curation import (
     _PACK_SHARDS,
 )
 
+from real_time_data_warehouse_spark.streaming.state_store import read_snapshot
+
 _STATE_SCHEMA = "shard long, cum_tokens long"
 
 
-def _read_state(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame:
+def _read_state(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
     """Latest snapshot with id < batch_id (replay bound), else empty."""
-    best = -1
-    if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            m = re.fullmatch(r"batch_id=(\d+)", name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1)))
-    if best >= 0:
-        return spark.read.parquet(os.path.join(state_dir, f"batch_id={best}"))
-    return spark.createDataFrame([], _STATE_SCHEMA)
+    return read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
 
 
 def apply_pack_batch(
@@ -87,6 +84,10 @@ def apply_pack_batch(
         .alias("bin_id"),
         (cum_before % _PACK_CAPACITY).cast("bigint").alias("offset_in_bin"),
     )
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(out, "packing.apply_pack_batch")
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )

@@ -37,28 +37,25 @@ Batch ≡ stream equivalence is driver-checked by the
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from pyspark.sql.window import Window
+
+from real_time_data_warehouse_spark.streaming.state_store import read_snapshot
 
 _STATE_SCHEMA = (
     "user_id long, event_type string, valid_from timestamp, version int"
 )
 
 
-def _read_state(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame:
+def _read_state(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
     """Latest snapshot with id < batch_id (replay bound), else empty."""
-    best = -1
-    if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            m = re.fullmatch(r"batch_id=(\d+)", name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1)))
-    if best >= 0:
-        return spark.read.parquet(os.path.join(state_dir, f"batch_id={best}"))
-    return spark.createDataFrame([], _STATE_SCHEMA)
+    return read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
 
 
 def apply_scd2_batch(
@@ -137,6 +134,10 @@ def apply_scd2_batch(
         F.lead("valid_from").over(wv).alias("valid_to"),
         "version",
     ).localCheckpoint(eager=True)
+    if batch_id == 0:
+        # one-shot (plan shape is batch-invariant): the registry-wide
+        # lint skips replay queries, so the guard lives in the applier
+        assert_no_cartesian(intervals, "scd2.apply_scd2_batch")
     intervals.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )

@@ -1,0 +1,45 @@
+"""Shared parquet snapshot-store reader for the incremental streaming
+appliers (window_agg, distinct_agg, sessionize, joins, packing, scd2,
+user_state).
+
+Every applier keeps its keyed state as per-batch snapshot directories
+``<state_dir>/batch_id=N`` and follows the same replay discipline: batch
+N reads the LATEST snapshot with id < N and overwrites snapshot N and
+output partition N, so a retried batch re-reads the pre-batch state and
+is idempotent. The "latest id < batch_id" scan was copy-pasted per
+module; this is the single shared implementation (only the empty-state
+schema differs per caller).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_snapshot(
+    spark: SparkSession, state_dir: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Latest ``batch_id=K`` snapshot under *state_dir* with
+    K < *batch_id* (the replay bound), else an empty frame of
+    *schema*."""
+    best = -1
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            m = re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1)))
+    if best >= 0:
+        return spark.read.parquet(
+            os.path.join(state_dir, f"batch_id={best}")
+        )
+    return spark.createDataFrame([], schema)
+
+
+def write_snapshot(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Overwrite snapshot *batch_id* (idempotent under replay)."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )

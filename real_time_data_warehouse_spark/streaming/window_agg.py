@@ -27,13 +27,14 @@ touched keys.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.functions.money import dec
 from real_time_data_warehouse_spark.functions.time import tumble
+
+from real_time_data_warehouse_spark.streaming.state_store import read_snapshot
 
 _STATE_SCHEMA = (
     "wstart timestamp, sku_group string, "
@@ -46,15 +47,7 @@ def _read_state(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
     """Latest snapshot with id < batch_id (replay bound), else empty."""
-    best = -1
-    if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            m = re.fullmatch(r"batch_id=(\d+)", name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1)))
-    if best >= 0:
-        return spark.read.parquet(os.path.join(state_dir, f"batch_id={best}"))
-    return spark.createDataFrame([], _STATE_SCHEMA)
+    return read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
 
 
 def apply_window_batch(

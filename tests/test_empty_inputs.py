@@ -140,9 +140,9 @@ def test_join_and_distinct_batches_accept_empty_micro_batch(spark, tmp_path):
 
     # left outer: empty batch then the far-future click expires nothing
     out2 = str(tmp_path / "loj_o")
-    apply_left_outer_batch(spark, ev.where(F.col("event_id") <= 2), 0, "", out2)
-    apply_left_outer_batch(spark, empty, 1, "", out2)
-    apply_left_outer_batch(spark, ev.where(F.col("event_id") == 3), 2, "", out2)
+    apply_left_outer_batch(spark, ev.where(F.col("event_id") <= 2), 0, out2)
+    apply_left_outer_batch(spark, empty, 1, out2)
+    apply_left_outer_batch(spark, ev.where(F.col("event_id") == 3), 2, out2)
     rows = {
         (r["order_id"], r["pay_id"])
         for r in finalize_left_outer(spark, out2).collect()

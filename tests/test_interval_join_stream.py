@@ -125,9 +125,9 @@ def _loj_replay(spark, tmp_path, n_batches, key, retry_last=False):
         batch = ev.where(
             (sec >= span * b / n_batches) & (sec < span * (b + 1) / n_batches)
         )
-        apply_left_outer_batch(spark, batch, b, "", out)
+        apply_left_outer_batch(spark, batch, b, out)
         if retry_last and b == n_batches - 1:
-            apply_left_outer_batch(spark, batch, b, "", out)
+            apply_left_outer_batch(spark, batch, b, out)
     return Counter(
         (r["order_id"], r["pay_id"])
         for r in finalize_left_outer(spark, out).collect()

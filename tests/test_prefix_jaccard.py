@@ -77,3 +77,50 @@ def test_prefix_filter_is_lossless(spark, skewed_docs):
     }
     assert truth, "fixture must contain qualifying pairs"
     assert got == truth
+
+
+def test_bucket_cap_is_lossless_and_bounds_arrays(spark, skewed_docs):
+    """A prefix-region shingle hotter than the bucket cap must flow
+    through the skew-safe self-join path and still yield the IDENTICAL
+    candidate set (d2c's losslessness contract with d2's oracle)."""
+    sets = shingle_sets_for(skewed_docs, hashed=False).localCheckpoint(
+        eager=True
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_candidates(sets, bucket_cap=1 << 30).collect()
+    }
+    # cap=3 forces every even the rare-tail buckets (size 2) through the
+    # array path while anything bigger self-joins
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_candidates(sets, bucket_cap=3).collect()
+    }
+    assert capped == uncapped
+    # and with cap=0 EVERY bucket self-joins: still the same candidates
+    all_join = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_candidates(sets, bucket_cap=0).collect()
+    }
+    assert all_join == uncapped
+
+
+def test_bucket_cap_default_matches_registry_query(spark, skewed_docs):
+    """The default-capped generator feeds prefix_jaccard_pairs — verify
+    the end-to-end pairs on the skewed corpus stay exact (same truth as
+    test_prefix_filter_is_lossless, now under the capped generator)."""
+    sets = shingle_sets_for(skewed_docs, hashed=False).collect()
+    by_id = {r["doc_id"]: set(r["shs"]) for r in sets}
+    truth = set()
+    for a in by_id:
+        for b in by_id:
+            if a < b:
+                inter = len(by_id[a] & by_id[b])
+                union = len(by_id[a] | by_id[b])
+                if inter / union >= 0.6:
+                    truth.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_pairs(skewed_docs).collect()
+    }
+    assert got == truth
