@@ -24,6 +24,9 @@ from real_time_data_warehouse_spark.session import get_spark
 # total (that set is frozen for cross-round comparability — BASELINE.md);
 # measured median-of-3 the same way and reported under "extended" so
 # per-query truth exists at sf0.1 for the newer scale-sensitive ops too.
+# A frozen per-query baseline for THIS set (recorded driver round 5)
+# lives in BASELINE.md "Frozen extended-set baseline" — compare a
+# round's extended medians against it; >2x is a regression, not noise.
 EXTENDED = (
     "s2b_lsh_multiband_topk",
     "s3_ivf_ann_topk",
@@ -67,6 +70,10 @@ EXTENDED = (
     "a14_window_topn",
     "w11_cumulate_window",
     "c12_quality_weighted_sample",
+    # driver-round-5 additions (not in the frozen extended baseline —
+    # first recorded medians land in BENCH_r05)
+    "a6b_cjk_keyword_count",
+    "s12_label_partitioned_ann",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -64,6 +64,34 @@ def tokenize_sql(expr: str) -> str:
     )
 
 
+# CJK-aware token pattern (U1 parity for non-ASCII corpora). The
+# reference's IK tokenizer (KeywordUtil.java:16-41) does dictionary
+# segmentation of Chinese; a dictionary is not reproducible as a
+# portable expression, so the deterministic codepoint-class twin is:
+# every Han character is its own token (the IK "ik_max_word" degenerate
+# case), ASCII word runs split as in :func:`tokenize`. Two spellings of
+# the same script class: Java regex (Spark) calls it \p{IsHan}, RE2
+# (DuckDB) calls it \p{Han}.
+CJK_TOKEN_RE_JAVA = r"\p{IsHan}|[a-z0-9]+"
+CJK_TOKEN_RE_RE2 = r"\p{Han}|[a-z0-9]+"
+
+
+def tokenize_cjk(col: Column | str) -> Column:
+    """string → array<string>: Han chars as single tokens + lowercase
+    ASCII word runs, in document order. Pure Catalyst (regexp_extract_all
+    stays in whole-stage codegen); group idx 0 is explicit because Spark
+    defaults to capture group 1."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        F.lower(c), F.lit(CJK_TOKEN_RE_JAVA), F.lit(0)
+    )
+
+
+def tokenize_cjk_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize_cjk`."""
+    return f"regexp_extract_all(lower({expr}), '{CJK_TOKEN_RE_RE2}', 0)"
+
+
 def md5_hash(col: Column | str, bits: int = 32) -> Column:
     """Portable FAST string hash: integer from the first ``bits//4`` hex
     chars of md5. Native (whole-stage codegen) md5+conv on Spark, native

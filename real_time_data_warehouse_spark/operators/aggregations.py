@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_data_warehouse_spark.functions.money import dec, oracle_dec_sum
+from real_time_data_warehouse_spark.functions.text import tokenize_cjk_sql
 from real_time_data_warehouse_spark.functions.time import oracle_tumble, tumble, window_meta
 from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
@@ -239,6 +240,64 @@ def a6_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return (
         t.documents.select(F.explode(tokenize("text")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("keyword_ct"))
+    )
+
+
+# Fixed CJK vocabulary for the a6b fixture derivation (the synthetic
+# corpus is ASCII; the CJK text is derived deterministically from it so
+# both engines tokenize the SAME mixed-script strings).
+_CJK_WORDS = ("数据", "仓库", "实时", "流式", "查询", "搜索")
+_CJK_LIST_SQL = "['" + "','".join(_CJK_WORDS) + "']"
+
+
+@register(
+    "a6b_cjk_keyword_count",
+    survey="A6,U1",
+    doc="CJK keyword count — U1 parity for non-ASCII corpora "
+        "(KeywordUtil.java:16-41 applies the IK Chinese tokenizer; the "
+        "ASCII corpus never exercises that path). Each document derives "
+        "a deterministic mixed-script string (two doc_id-selected "
+        "Chinese words around an ASCII snippet), tokenize_cjk splits it "
+        "— every Han char its own token, ASCII word runs as in a6 — and "
+        "the keywords are counted. Pure Catalyst (regexp_extract_all "
+        "inside codegen); the oracle runs the RE2 spelling of the same "
+        "codepoint-class pattern. Deviation from IK's dictionary "
+        "segmentation is documented in functions/text.py.",
+    oracle=f"""
+        WITH mixed AS (
+            SELECT {_CJK_LIST_SQL}[CAST(doc_id % 6 + 1 AS INT)]
+                   || ' ' || substr(text, 1, 40) || ' ' ||
+                   {_CJK_LIST_SQL}[CAST((doc_id * 3 + 1) % 6 + 1 AS INT)]
+                   AS s
+            FROM documents
+        )
+        SELECT t.keyword, CAST(COUNT(*) AS BIGINT) AS keyword_ct
+        FROM mixed m,
+             LATERAL (SELECT unnest({tokenize_cjk_sql('m.s')})
+                      AS keyword) t
+        GROUP BY t.keyword
+    """,
+)
+def a6b_cjk_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize_cjk
+
+    t = Tables(spark, sf_dir)
+    words = F.array(*[F.lit(w) for w in _CJK_WORDS])
+    mixed = t.documents.select(
+        F.concat(
+            F.element_at(words, (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "),
+            F.substring("text", 1, 40),
+            F.lit(" "),
+            F.element_at(
+                words, ((F.col("doc_id") * 3 + 1) % 6 + 1).cast("int")
+            ),
+        ).alias("s")
+    )
+    return (
+        mixed.select(F.explode(tokenize_cjk("s")).alias("keyword"))
         .groupBy("keyword")
         .agg(F.count("*").alias("keyword_ct"))
     )
@@ -1037,4 +1096,60 @@ def w11_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edt"),
         "event_ct",
         "value_sum",
+    )
+
+
+@register(
+    "u3_weighted_mean_udaf",
+    survey="U3",
+    doc="Custom UDAF demonstration — the one §2 surface with no query "
+        "until now (the reference registers no UDAF; SURVEY notes "
+        "pandas GROUPED_AGG as the Spark-side mechanism). Per-event_type "
+        "weighted mean of value with weight (event_id % 7 + 1), computed "
+        "by TWO Arrow-batched GROUPED_AGG pandas UDAFs that fold exact "
+        "INTEGER partials (cents x weight, weight) — the partials are "
+        "associativity-independent, so the final double division and "
+        "round are bit-identical to the oracle's. This is the "
+        "API-surface witness for U3, not a hot-path pattern: the same "
+        "semantics compile to builtins (see the oracle), and SCALE.md "
+        "documents when a real UDAF is actually warranted.",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM((event_id % 7 + 1) *
+                        CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS wsum_cents,
+               CAST(SUM(event_id % 7 + 1) AS BIGINT) AS w_sum,
+               CAST(ROUND(CAST(SUM((event_id % 7 + 1) *
+                        CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                    / 100.0 / SUM(event_id % 7 + 1), 4) AS DOUBLE)
+                   AS wavg
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def u3_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.udaf import (
+        weight_sum,
+        weighted_cents_sum,
+    )
+
+    t = Tables(spark, sf_dir)
+    weighted = t.events.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 7 + 1).cast("bigint").alias("w"),
+    )
+    agg = weighted.groupBy("event_type").agg(
+        weighted_cents_sum("value", "w").alias("wsum_cents"),
+        weight_sum("w").alias("w_sum"),
+    )
+    return agg.select(
+        "event_type",
+        "wsum_cents",
+        "w_sum",
+        F.round(
+            F.col("wsum_cents").cast("double") / 100.0 / F.col("w_sum"), 4
+        )
+        .cast("double")
+        .alias("wavg"),
     )

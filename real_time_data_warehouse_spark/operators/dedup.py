@@ -1124,8 +1124,16 @@ def prefix_candidates(
         .where(F.col("rn") <= p)
         .select("sh", "doc_id", "n")
     )
-    sizes = prefix.groupBy("sh").agg(F.count("*").alias("bn"))
-    sized = prefix.join(sizes.where(F.col("bn") >= 2), "sh")
+    # bucket size via window — rides the SAME hash exchange on sh the
+    # bucket build needs (no extra shuffle vs the uncapped form); the
+    # checkpoint materializes the prefix pipeline once for its three
+    # consumers (array path + both sides of the skew self-join)
+    w_sh = Window.partitionBy("sh")
+    sized = (
+        prefix.withColumn("bn", F.count("*").over(w_sh))
+        .where(F.col("bn") >= 2)
+        .localCheckpoint(eager=True)
+    )
     # normal buckets: micro-block arrays, bounded by the cap
     buckets = (
         sized.where(F.col("bn") <= bucket_cap)

@@ -261,6 +261,86 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s12_label_partitioned_ann",
+    survey="ext-similarity",
+    doc=f"Metadata-constrained vector search: each query (vec_id < "
+        f"{_N_QUERIES}) retrieves its top-{_TOP_K} cosine neighbors "
+        "AMONG VECTORS SHARING ITS LABEL (tenant/lang/shard isolation — "
+        "the filtered-ANN problem, where post-filtering a global top-k "
+        "under-returns). Spark-first shape: the metadata constraint is "
+        "an EQUI-JOIN key, so the search shards into per-label "
+        "partitions co-located by one hash exchange — no crossJoin, no "
+        "broadcast requirement, each label bucket independent (the "
+        "pre-filter plan; scales with corpus × queries-per-label "
+        "instead of corpus × queries).",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_inner_product(q.v, n.v) /
+                       (sqrt(list_inner_product(q.v, q.v)) *
+                        sqrt(list_inner_product(n.v, n.v))) AS sim
+            FROM e q JOIN e n
+              ON n.label = q.label AND n.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def s12_label_partitioned_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("v").alias("nv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
+    )
+    scored = (
+        q.join(n, "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("sim", 6).cast("double").alias("sim"),
+        )
+    )
+
+
 def _s2_oracle() -> str:
     bucket_expr = _bucket_sql()
     return f"""

@@ -58,174 +58,163 @@ def register(
 
 # Driver visit order — EXPLICIT manifest, not import side-effect order.
 # The external correctness driver truncates at 50 queries per round
-# (observed rounds 1-3; documented in BASELINE.md), so the first 50
-# slots are the only hard-signal slots. This round: ALL 50 in-cap slots
-# carry never-driver-checked queries (tiers below, oldest additions
-# first); w11/c12 arrived after the cap filled and lead next round's
-# tier 1; everything past them has round-2/3 green signal and is
-# unchanged. Adding a query REQUIRES adding it here —
-# ordered_registry() fails loud on any mismatch, and
+# (observed rounds 1-4; documented in BASELINE.md), so the first 50
+# slots are the only hard-signal slots. Adding a query REQUIRES adding
+# it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # tier 1: never driver-verified. (The banded-LSH rebase of d5/d9/d9s
-    # DID get hard signal: CORRECTNESS_r03.json was recorded after the
-    # rebase commit and has all three green, so they rotated below the
-    # cap this session.)
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
-    "d12_shingle_containment",
-    # tier 2: new round-5 queries
-    "s6_bm25_topk",
-    "s7_hybrid_rerank",
-    "t7_ngram_stats",
-    "t8_pmi_bigrams",
-    "c9_doc_chunks",
-    "c3s_packing_replay",
-    "c1s_curation_replay",
-    "c10_corpus_profile",
-    "d6b_cluster_histogram",
-    "t9_unigram_surprisal",
-    "j11_range_join",
-    "w10_late_event_audit",
-    # tier 2c: new this session (round 6 of the build) — no signal yet
-    "t10_gopher_rules",
-    "a13_heavy_hitters",
-    "m4_media_phash_dedup",
-    "z1_zorder_layout",
-    "s8_mmr_rerank",
-    "a2c_hll_partial_union",
-    "c11_token_budget_plan",
-    "st10_changelog_fold",
-    "a13s_heavy_hitters_replay",
-    "d13_source_overlap",
-    "d2c_prefix_jaccard",
-    "a15_retention_cohorts",
-    "st11_funnel",
-    "a16_gapfill_locf",
-    "s9_ann_recall_audit",
-    "d14_minhash_recall_audit",
-    "a17_spike_detection",
-    "st12_transition_matrix",
-    # tier 2d: new this session (driver round 4) — no signal yet
-    "d15_substring_spans",
-    "d16_substring_strip",
-    "st13_sessionization",
-    "st13s_session_replay",
-    "s10_knn_label_noise",
-    "s11_hard_negatives",
-    "t11_pii_audit",
-    "m5_audio_energy",
-    "a1s_windowed_sum_replay",
-    "j4s_interval_join_replay",
-    "j2s_left_outer_join_replay",
-    "a14_window_topn",
-    # --- slot 51+: w11/c12 landed after all 50 cap slots were already
-    # taken by never-checked queries — they lead next round's tier 1 ---
-    "w11_cumulate_window",
-    "c12_quality_weighted_sample",
-    "a5s_windowed_uu_replay",
-    "st3s_visitor_fix_replay",
-    "st5s_returning_user_replay",
-    # --- the rest was driver-green in round 3
-    # (CORRECTNESS_r03.json, recorded 2026-08-14 08:11 against the
-    # current code — including the banded-LSH d5/d9/d9s) — or round 2
-    # for the sql* apps, the narrow p-filters/projections (whose shared
-    # projection machinery is covered by the in-cap p-rows), and the
-    # map-side text op t6 (its tokenize/array machinery is exercised by
-    # in-cap t1-t4/t10) — and unchanged since. j1-j5 (j2-j5 r3-green
-    # unchanged, j1 r2) displaced by the round-4 tier-1 additions; join
-    # machinery rides on in-cap j9-j11 and the j2s/j4s replays ---
-    "p2_dirty_side_output",
-    "j1_inner_equi_join",
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
-    "j2_left_outer_join",
-    "j3_filtered_inner_join",
-    "j4_interval_join",
-    "j5_lookup_dim_join",
-    "p3_bootstrap_exclusion",
-    "p4_map_access_projection",
-    "p11_null_tombstone_filter",
-    "t5_normalize",
-    "t6_repetition",
-    "c4_corpus_shuffle",
-    "c5_pseudonymize",
-    "c6_mixture_weights",
-    "c1_corpus_curation",
-    "m3_corrupt_quarantine",
-    "t1b_trigram_langid",
-    "s2_lsh_ann_topk",
-    "t3_token_count",
-    "t2_quality_score",
-    "t1_lang_id",
-    "t4_fingerprint",
-    "p1_cdc_etl_filter",
-    "m1_media_features",
-    "m2_frame_sampling",
-    "c2_stratified_sample",
-    "c3_sequence_packing",
-    "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
-    "d7s_dedup_gate_replay",
-    "q0_flagship_trade_summary",
-    "f_json_roundtrip",
-    "j6_dim_chain_join",
-    "j7_broadcast_config_join",
-    "j8_semi_anti_join",
-    "j8b_full_outer_join",
-    "a1_windowed_sum",
-    "a2_distinct_count",
-    "a3_multikey_window",
-    "a4_global_window",
-    "a5_windowed_uu",
-    "a6_keyword_count",
-    "a7_daily_gmv",
-    "a8_province_amount",
-    "a9_topk_channel",
-    "a10_rollup",
-    "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
-    "w8b_session_window",
-    "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",
-    "s4_cluster_stats",
-    "s2b_lsh_multiband_topk",
-    "d7_dedup_gate",
-    "s3_ivf_ann_topk",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d2b_jaccard_capped",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "d6_dedup_clusters",
-    "d8_decontamination",
-    "s1_cosine_topk",
+    # Rotated for driver round 5 (tools/rotation.py freshness order):
+    # tier 1 = never driver-verified (w11/c12/a5s sat at slots 51-53
+    # last round; st3s/st5s/a6b are new this session); then the
+    # stalest hard signal first — the full r2-green cohort re-enters
+    # the cap after two rounds out, and the 8 oldest r3 rows fill the
+    # remaining slots. Everything below slot 50 is r3/r4-green and
+    # unchanged; it rotates back as the no-signal tier drains.
+    "w11_cumulate_window",  # NEVER
+    "c12_quality_weighted_sample",  # NEVER
+    "a5s_windowed_uu_replay",  # NEVER
+    "st3s_visitor_fix_replay",  # NEVER
+    "st5s_returning_user_replay",  # NEVER
+    "a6b_cjk_keyword_count",  # NEVER
+    "s12_label_partitioned_ann",  # NEVER
+    "u3_weighted_mean_udaf",  # NEVER
+    "p2_dirty_side_output",  # r2
+    "j1_inner_equi_join",  # r2
+    "j2_left_outer_join",  # r2
+    "j3_filtered_inner_join",  # r2
+    "j4_interval_join",  # r2
+    "j5_lookup_dim_join",  # r2
+    "p3_bootstrap_exclusion",  # r2
+    "p4_map_access_projection",  # r2
+    "p11_null_tombstone_filter",  # r2
+    "t5_normalize",  # r2
+    "t6_repetition",  # r2
+    "c4_corpus_shuffle",  # r2
+    "c5_pseudonymize",  # r2
+    "c6_mixture_weights",  # r2
+    "c1_corpus_curation",  # r2
+    "m3_corrupt_quarantine",  # r2
+    "t1b_trigram_langid",  # r2
+    "s2_lsh_ann_topk",  # r2
+    "t3_token_count",  # r2
+    "t2_quality_score",  # r2
+    "t1_lang_id",  # r2
+    "t4_fingerprint",  # r2
+    "p1_cdc_etl_filter",  # r2
+    "m1_media_features",  # r2
+    "m2_frame_sampling",  # r2
+    "c2_stratified_sample",  # r2
+    "c3_sequence_packing",  # r2
+    "p5_cdc_state_transition",  # r2
+    "p6_cart_delta",  # r2
+    "p7_dynamic_column_pruning",  # r2
+    "p8_page_filter",  # r2
+    "p9_login_filter",  # r2
+    "p10_search_filter",  # r2
+    "sql1_order_detail_app",  # r2
+    "sql2_keyword_window_app",  # r2
+    "sql3_serving_gmv_app",  # r2
+    "d5_embedding_neardup",  # r3
+    "d9_semantic_gate",  # r3
+    "d9s_semantic_gate_replay",  # r3
+    "f_scalar_suite",  # r3
+    "a2b_approx_distinct",  # r3
+    "j9_salted_skew_join",  # r3
+    # ---- driver cap: slots below get no hard signal this round ----
+    "a12_salted_skew_agg",  # r3
+    "a11b_approx_percentiles",  # r3
+    "d7s_dedup_gate_replay",  # r3
+    "q0_flagship_trade_summary",  # r3
+    "f_json_roundtrip",  # r3
+    "j6_dim_chain_join",  # r3
+    "j7_broadcast_config_join",  # r3
+    "j8_semi_anti_join",  # r3
+    "j8b_full_outer_join",  # r3
+    "a1_windowed_sum",  # r3
+    "a2_distinct_count",  # r3
+    "a3_multikey_window",  # r3
+    "a4_global_window",  # r3
+    "a5_windowed_uu",  # r3
+    "a6_keyword_count",  # r3
+    "a7_daily_gmv",  # r3
+    "a8_province_amount",  # r3
+    "a9_topk_channel",  # r3
+    "a10_rollup",  # r3
+    "a10b_cube",  # r3
+    "a11_percentiles",  # r3
+    "w8_sliding_window",  # r3
+    "w8b_session_window",  # r3
+    "w9_over_analytics",  # r3
+    "st1_dedup_last_wins",  # r3
+    "st3_visitor_state_fix",  # r3
+    "st4_first_per_day_uv",  # r3
+    "st5_returning_user",  # r3
+    "st6_session_count",  # r3
+    "x1_log_split",  # r3
+    "x1b_explode_children",  # r3
+    "x3_set_ops",  # r3
+    "s4_cluster_stats",  # r3
+    "s2b_lsh_multiband_topk",  # r3
+    "d7_dedup_gate",  # r3
+    "s3_ivf_ann_topk",  # r3
+    "d1_exact_dedup",  # r3
+    "d2_ngram_jaccard_pairs",  # r3
+    "d2b_jaccard_capped",  # r3
+    "d3_minhash_lsh_pairs",  # r3
+    "d4_simhash",  # r3
+    "d6_dedup_clusters",  # r3
+    "d8_decontamination",  # r3
+    "s1_cosine_topk",  # r3
+    "j10_asof_join",  # r4
+    "st8_scd2_intervals",  # r4
+    "c7_quota_sample",  # r4
+    "s5_pq_adc_topk",  # r4
+    "st8s_scd2_replay",  # r4
+    "st9_retract_changelog",  # r4
+    "c8_leakage_safe_split",  # r4
+    "d12_shingle_containment",  # r4
+    "s6_bm25_topk",  # r4
+    "s7_hybrid_rerank",  # r4
+    "t7_ngram_stats",  # r4
+    "t8_pmi_bigrams",  # r4
+    "c9_doc_chunks",  # r4
+    "c3s_packing_replay",  # r4
+    "c1s_curation_replay",  # r4
+    "c10_corpus_profile",  # r4
+    "d6b_cluster_histogram",  # r4
+    "t9_unigram_surprisal",  # r4
+    "j11_range_join",  # r4
+    "w10_late_event_audit",  # r4
+    "t10_gopher_rules",  # r4
+    "a13_heavy_hitters",  # r4
+    "m4_media_phash_dedup",  # r4
+    "z1_zorder_layout",  # r4
+    "s8_mmr_rerank",  # r4
+    "a2c_hll_partial_union",  # r4
+    "c11_token_budget_plan",  # r4
+    "st10_changelog_fold",  # r4
+    "a13s_heavy_hitters_replay",  # r4
+    "d13_source_overlap",  # r4
+    "d2c_prefix_jaccard",  # r4
+    "a15_retention_cohorts",  # r4
+    "st11_funnel",  # r4
+    "a16_gapfill_locf",  # r4
+    "s9_ann_recall_audit",  # r4
+    "d14_minhash_recall_audit",  # r4
+    "a17_spike_detection",  # r4
+    "st12_transition_matrix",  # r4
+    "d15_substring_spans",  # r4
+    "d16_substring_strip",  # r4
+    "st13_sessionization",  # r4
+    "st13s_session_replay",  # r4
+    "s10_knn_label_noise",  # r4
+    "s11_hard_negatives",  # r4
+    "t11_pii_audit",  # r4
+    "m5_audio_energy",  # r4
+    "a1s_windowed_sum_replay",  # r4
+    "j4s_interval_join_replay",  # r4
+    "j2s_left_outer_join_replay",  # r4
+    "a14_window_topn",  # r4
 )
 
 

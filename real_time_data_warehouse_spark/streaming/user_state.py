@@ -204,3 +204,46 @@ def compact_returning_log(spark: SparkSession, out_dir: str) -> DataFrame:
             F.col("back_ct").cast("bigint").alias("back_ct"),
         )
     )
+
+
+def run_visitor_stream(
+    spark: SparkSession,
+    event_source: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire the visitor-flag repair as a foreachBatch query over a
+    streaming (event_id, user_id, ts) source (time-ordered-batch
+    contract as the other carried-state gates)."""
+    return (
+        event_source.writeStream.foreachBatch(
+            lambda b, bid: apply_visitor_batch(
+                b.sparkSession, b, bid, state_dir, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_returning_stream(
+    spark: SparkSession,
+    event_source: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire returning-user detection as a foreachBatch query over a
+    streaming (user_id, ts, event_type) source."""
+    return (
+        event_source.writeStream.foreachBatch(
+            lambda b, bid: apply_returning_batch(
+                b.sparkSession, b, bid, state_dir, out_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -22,7 +22,11 @@ ALL = sorted(QUERY_REGISTRY)
 # Sequential replay queries execute real work (store folds) at call
 # time; their final frames are checkpoint reads with trivial plans, and
 # their internals are the SAME code paths the batch twins lint here.
-# Skipping them keeps the lint cheap without losing coverage.
+# Skipping them keeps the lint cheap without losing coverage — and the
+# loophole is closed at the source: each excluded applier runs
+# plans.audit.assert_no_cartesian on its per-batch frame at batch 0
+# (dedup_gate/embedding_gate/curation/heavy_hitters/packing/scd2), so
+# a degraded join inside a replay fails the replay itself.
 REPLAYS = {
     "d7s_dedup_gate_replay",
     "d9s_semantic_gate_replay",

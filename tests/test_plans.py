@@ -470,3 +470,17 @@ def test_w11_cumulate_one_exchange(spark):
     only exchange is the (cycle, k) partial->final aggregate."""
     df = q("w11_cumulate_window", spark)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_s12_is_equi_join_on_label(spark):
+    """s12: the metadata constraint must plan as a HASH join on label
+    (the pre-filter shape that shards the search per label) — a
+    BroadcastNestedLoopJoin/CartesianProduct means the constraint
+    degraded to a residual filter over the cross product."""
+    df = q("s12_label_partitioned_ann", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        broadcast_join_count(df) + sort_merge_join_count(df) >= 1
+    ), plan

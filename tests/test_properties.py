@@ -48,6 +48,42 @@ def test_poly_hash_cross_engine(spark, texts):
     assert got == exp
 
 
+# mixed-script strategy for the CJK tokenizer: ASCII + Han + CJK
+# punctuation interleaved (U1 non-ASCII parity, a6b's foundation)
+_MIXED = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=122,
+                      exclude_characters="'\\\""),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),
+        st.sampled_from("。！，"),
+    ),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_MIXED, min_size=1, max_size=20))
+def test_tokenize_cjk_cross_engine(spark, texts):
+    """Java \\p{IsHan} and RE2 \\p{Han} must carve identical token
+    streams from arbitrary mixed-script text."""
+    from real_time_data_warehouse_spark.functions.text import (
+        tokenize_cjk,
+        tokenize_cjk_sql,
+    )
+
+    sdf = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = [r[0] for r in sdf.select(tokenize_cjk("s")).collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(
+            f"SELECT {tokenize_cjk_sql('?::VARCHAR')}", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == exp
+
+
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_ASCII, min_size=1, max_size=20))
@@ -563,3 +599,22 @@ def test_sessionization_matches_bruteforce(spark, raw):
         ).items()
     }
     assert got == exp
+
+
+def test_u3_udaf_exact_integer_partials(spark):
+    """The GROUPED_AGG UDAFs must equal the builtin integer aggregates
+    on a planted frame (exactness is what makes u3 oracle-checkable)."""
+    from real_time_data_warehouse_spark.functions.udaf import (
+        weight_sum,
+        weighted_cents_sum,
+    )
+
+    rows = [("a", 1.25, 3), ("a", 0.10, 1), ("b", 19.99, 7), ("b", 0.01, 2)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        r["k"]: (r["c"], r["s"])
+        for r in df.groupBy("k")
+        .agg(weighted_cents_sum("v", "w").alias("c"), weight_sum("w").alias("s"))
+        .collect()
+    }
+    assert got == {"a": (125 * 3 + 10 * 1, 4), "b": (1999 * 7 + 1 * 2, 9)}

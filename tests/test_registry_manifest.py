@@ -1,15 +1,14 @@
 """Driver visit-order contract: the explicit MANIFEST in registry.py.
 
 The external correctness driver truncates at 50 queries per round
-(observed rounds 1-3 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. These tests pin:
-- manifest ↔ registration consistency (fails loud on drift, both ways);
-- the tier-1 slots: queries with NO driver signal ever lead (the
-  banded-LSH rebase of d5/d9/d9s got its signal in CORRECTNESS_r03 and
-  rotated below the cap);
-- every query whose most recent hard signal is round 2 lands inside the
-  first 50 where slots allow (the three sql* composition apps are the
-  deliberate exception — their underlying operators are round-3 green).
+(observed rounds 1-4 — documented in BASELINE.md), so the first 50
+manifest slots are the only hard-signal slots. Round-5 rotation
+(tools/rotation.py freshness order): tier 1 = the six never-verified
+queries (w11/c12/a5s were stranded at slots 51-53 last round;
+st3s/st5s/a6b are new); tier 2 = the stalest greens — the full
+r2-cohort (out of the cap for two rounds) plus the 8 oldest-r3 rows
+filling the cap. Everything below slot 50 is r3/r4-green and
+unchanged.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -27,77 +26,63 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified. The banded-LSH rebase of d5/d9/d9s got its
-# hard signal in CORRECTNESS_r03.json (recorded after the rebase
-# commit, all three green), so those rotated below the cap; the
-# remaining tier-1 rows have never appeared in any CORRECTNESS file.
+# Never driver-verified: lead the manifest unconditionally.
 TIER1 = (
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
-    "d12_shingle_containment",
-    # new in round 5
-    "s6_bm25_topk",
-    "s7_hybrid_rerank",
-    "t7_ngram_stats",
-    "t8_pmi_bigrams",
-    "c9_doc_chunks",
-    "c3s_packing_replay",
-    "c1s_curation_replay",
-    "c10_corpus_profile",
-    "d6b_cluster_histogram",
-    "t9_unigram_surprisal",
-    "j11_range_join",
-    "w10_late_event_audit",
-    # new in round 6
-    "t10_gopher_rules",
-    "a13_heavy_hitters",
-    "m4_media_phash_dedup",
-    "z1_zorder_layout",
-    "s8_mmr_rerank",
-    "a2c_hll_partial_union",
-    "c11_token_budget_plan",
-    "st10_changelog_fold",
-    "a13s_heavy_hitters_replay",
-    "d13_source_overlap",
-    "d2c_prefix_jaccard",
-    "a15_retention_cohorts",
-    "st11_funnel",
-    "a16_gapfill_locf",
-    "s9_ann_recall_audit",
-    "d14_minhash_recall_audit",
-    "a17_spike_detection",
-    "st12_transition_matrix",
-    # new in the round-4 driver session
-    "d15_substring_spans",
-    "d16_substring_strip",
-    "st13_sessionization",
-    "st13s_session_replay",
-    "s10_knn_label_noise",
-    "s11_hard_negatives",
-    "t11_pii_audit",
-    "m5_audio_energy",
-    "a1s_windowed_sum_replay",
-    "j4s_interval_join_replay",
-    "j2s_left_outer_join_replay",
-    "a14_window_topn",
+    "w11_cumulate_window",
+    "c12_quality_weighted_sample",
+    "a5s_windowed_uu_replay",
+    "st3s_visitor_fix_replay",
+    "st5s_returning_user_replay",
+    "a6b_cjk_keyword_count",
+    "s12_label_partitioned_ann",
+    "u3_weighted_mean_udaf",
 )
-# Last driver-verified in round 2 and still inside the cap after this
-# session's additions: the narrow p-filters the in-cap apps compose
-# and j1 as the join-family representative. j2-j5 (driver-green in
-# round 3, unchanged) stay displaced below the cap: first-time signal
-# outranks a re-check, and their join machinery rides on the in-cap
-# j1/j10/j11 kin. The other r2-green map-side ops (t2/t3/t5/t6/t1b,
-# m2/m3, c1-c6, s2) sit just below the cap: each shares its
-# tokenize/array/hash machinery with an in-cap sibling, is green in
-# the sf0.1 full-registry sweep, and rotates back in next round once
-# the no-signal tier drains.
-# (empty this round: every in-cap slot carries a never-checked query)
-TIER2 = ()
+# Stalest hard signal (r2 cohort + the 8 oldest r3 rows): must sit
+# inside the cap so their signal refreshes this round.
+TIER2 = (
+    "p2_dirty_side_output",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_filtered_inner_join",
+    "j4_interval_join",
+    "j5_lookup_dim_join",
+    "p3_bootstrap_exclusion",
+    "p4_map_access_projection",
+    "p11_null_tombstone_filter",
+    "t5_normalize",
+    "t6_repetition",
+    "c4_corpus_shuffle",
+    "c5_pseudonymize",
+    "c6_mixture_weights",
+    "c1_corpus_curation",
+    "m3_corrupt_quarantine",
+    "t1b_trigram_langid",
+    "s2_lsh_ann_topk",
+    "t3_token_count",
+    "t2_quality_score",
+    "t1_lang_id",
+    "t4_fingerprint",
+    "p1_cdc_etl_filter",
+    "m1_media_features",
+    "m2_frame_sampling",
+    "c2_stratified_sample",
+    "c3_sequence_packing",
+    "p5_cdc_state_transition",
+    "p6_cart_delta",
+    "p7_dynamic_column_pruning",
+    "p8_page_filter",
+    "p9_login_filter",
+    "p10_search_filter",
+    "sql1_order_detail_app",
+    "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
+    "f_scalar_suite",
+    "a2b_approx_distinct",
+    "j9_salted_skew_join",
+)
 
 
 def test_manifest_matches_registrations():

@@ -212,3 +212,87 @@ def test_returning_empty_mid_stream_batch(spark, tmp_path):
         ("2024-01-08", 1, 0),
         ("2024-01-09", 2, 1),
     }
+
+
+# --- real Structured Streaming (readStream → foreachBatch wrappers) -------
+
+
+def _write_time_batches(spark, events, src, n_batches=3):
+    """One parquet file per ascending event-time range, written
+    oldest-first (arrival order == event-time order — the carried-state
+    contract), as the file-source stream delivers files in order."""
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(src, exist_ok=True)
+    for i, part in enumerate(_time_batches(events, n_batches)):
+        stage = f"{src}_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, pf), os.path.join(src, f"b{i}.parquet"))
+        _time.sleep(0.2)
+
+
+def test_visitor_readstream_matches_batch(spark, tmp_path):
+    from real_time_data_warehouse_spark.streaming.user_state import (
+        run_visitor_stream,
+    )
+
+    ev = (
+        Tables(spark, SF_DIR)
+        .events.select("event_id", "user_id", "ts")
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "v_src")
+    _write_time_batches(spark, ev, src)
+    state, out, ckpt = (
+        str(tmp_path / "vs_state"),
+        str(tmp_path / "vs_out"),
+        str(tmp_path / "vs_ckpt"),
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_visitor_stream(spark, stream, state, out, ckpt)
+    q.awaitTermination(240)
+    got = {
+        (r["event_id"], r["user_id"], r["visit_date"], r["is_new"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == _st3_expected(spark)
+
+
+def test_returning_readstream_matches_batch(spark, tmp_path):
+    from real_time_data_warehouse_spark.streaming.user_state import (
+        run_returning_stream,
+    )
+
+    ev = (
+        Tables(spark, SF_DIR)
+        .events.select("user_id", "ts", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "r_src")
+    _write_time_batches(spark, ev, src)
+    state, out, ckpt = (
+        str(tmp_path / "rs_state"),
+        str(tmp_path / "rs_out"),
+        str(tmp_path / "rs_ckpt"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_returning_stream(spark, stream, state, out, ckpt)
+    q.awaitTermination(240)
+    got = {
+        (r["cur_date"], r["uu_ct"], r["back_ct"])
+        for r in compact_returning_log(spark, out).collect()
+    }
+    assert got == _st5_expected(spark)
