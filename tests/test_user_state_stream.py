@@ -296,3 +296,77 @@ def test_returning_readstream_matches_batch(spark, tmp_path):
         for r in compact_returning_log(spark, out).collect()
     }
     assert got == _st5_expected(spark)
+
+
+# --- hypothesis: random streams, random cuts ------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # user_id
+        st.integers(min_value=0, max_value=20),   # day offset
+        st.integers(min_value=0, max_value=23),   # hour
+        st.sampled_from(["click", "signup", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+_CUTS = st.tuples(
+    st.floats(min_value=0.1, max_value=0.9),
+    st.floats(min_value=0.1, max_value=0.9),
+)
+
+
+def _py_expected_returning(rows):
+    """Pure-python one-pass truth for st5 semantics on a random stream."""
+    days = {}
+    for user, day, _h, etype in rows:
+        if etype in ("click", "signup"):
+            days.setdefault(user, set()).add(day)
+    out = {}
+    for user, ds in days.items():
+        prev = None
+        for d in sorted(ds):
+            uu, back = out.get(d, (0, 0))
+            out[d] = (uu + 1, back + (1 if prev is not None and d - prev >= 8 else 0))
+            prev = d
+    return {
+        (f"2024-01-{d + 1:02d}", uu, back) for d, (uu, back) in out.items()
+    }
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=_EVENTS, cuts=_CUTS)
+def test_returning_random_stream_split_invariance(
+    spark, tmp_path_factory, rows, cuts
+):
+    """st5 incremental counts must equal the pure-python one-pass truth
+    for ANY random stream at ANY random time cuts."""
+    ev = spark.createDataFrame(
+        [
+            (i + 1, u, _ts(d + 1, h), t)
+            for i, (u, d, h, t) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    ).localCheckpoint(eager=True)
+    tmp = tmp_path_factory.mktemp("rus")
+    state, out = str(tmp / "state"), str(tmp / "out")
+    lo = ev.agg(F.min("ts")).first()[0]
+    span = (ev.agg(F.max("ts")).first()[0] - lo).total_seconds() + 1
+    sec = F.col("ts").cast("double") - F.lit(lo).cast("double")
+    bounds = [0.0] + sorted(set(cuts)) + [1.0]
+    for b in range(len(bounds) - 1):
+        batch = ev.where(
+            (sec >= span * bounds[b]) & (sec < span * bounds[b + 1])
+        )
+        apply_returning_batch(spark, batch, b, state, out)
+    got = {
+        (r["cur_date"], r["uu_ct"], r["back_ct"])
+        for r in compact_returning_log(spark, out).collect()
+    }
+    assert got == _py_expected_returning(rows)
