@@ -544,3 +544,47 @@ QUERY_REGISTRY["st5s_returning_user_replay"] = _dc18.replace(
     QUERY_REGISTRY["st5s_returning_user_replay"],
     oracle=QUERY_REGISTRY["st5_returning_user"].oracle,
 )
+
+
+@register(
+    "c10s_profile_replay",
+    survey="ext-curation,ext-text,A10,ext-scale",
+    doc=f"Incremental corpus-profile replay: the documents table is "
+        f"split into {_N_BATCHES} batches and pushed through "
+        "streaming/profile.apply_profile_batch — per-(source, lang) "
+        "MERGEABLE leaf partials (count, token sum, exact DECIMAL "
+        "quality sum) folded into a snapshot store, the ROLLUP "
+        "hierarchy and floor-rounded mean expanded from the final "
+        "leaves at read time. Checked against the ONE-PASS c10 oracle "
+        "at any batch split — the merge is commutative and "
+        "associative, so profile-at-ingest ≡ profile-by-rescan is a "
+        "driver-verified claim.",
+    oracle=None,  # attached below: the c10 batch-form oracle, verbatim
+)
+def c10s_profile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        curation as _curation,
+    )
+    from real_time_data_warehouse_spark.streaming import profile
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text", "source")
+    return _replay_batches(
+        spark,
+        docs,
+        "doc_id",
+        profile.apply_profile_batch,
+        finalize=profile.rollup_profile,
+    )
+
+
+import dataclasses as _dc19  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    curation as _curation_for_oracle,
+)
+
+QUERY_REGISTRY["c10s_profile_replay"] = _dc19.replace(
+    QUERY_REGISTRY["c10s_profile_replay"],
+    oracle=QUERY_REGISTRY["c10_corpus_profile"].oracle,
+)

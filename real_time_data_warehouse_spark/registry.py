@@ -78,6 +78,7 @@ MANIFEST: tuple[str, ...] = (
     "a6b_cjk_keyword_count",  # NEVER
     "s12_label_partitioned_ann",  # NEVER
     "u3_weighted_mean_udaf",  # NEVER
+    "c10s_profile_replay",  # NEVER
     "p2_dirty_side_output",  # r2
     "j1_inner_equi_join",  # r2
     "j2_left_outer_join",  # r2
@@ -119,8 +120,8 @@ MANIFEST: tuple[str, ...] = (
     "d9s_semantic_gate_replay",  # r3
     "f_scalar_suite",  # r3
     "a2b_approx_distinct",  # r3
-    "j9_salted_skew_join",  # r3
     # ---- driver cap: slots below get no hard signal this round ----
+    "j9_salted_skew_join",  # r3
     "a12_salted_skew_agg",  # r3
     "a11b_approx_percentiles",  # r3
     "d7s_dedup_gate_replay",  # r3

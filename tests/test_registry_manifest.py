@@ -36,6 +36,7 @@ TIER1 = (
     "a6b_cjk_keyword_count",
     "s12_label_partitioned_ann",
     "u3_weighted_mean_udaf",
+    "c10s_profile_replay",
 )
 # Stalest hard signal (r2 cohort + the 8 oldest r3 rows): must sit
 # inside the cap so their signal refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "d9s_semantic_gate_replay",
     "f_scalar_suite",
     "a2b_approx_distinct",
-    "j9_salted_skew_join",
 )
 
 
