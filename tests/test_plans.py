@@ -253,6 +253,9 @@ def test_t8_vocab_joins_not_broadcast_corpus(spark):
         ("t10_gopher_rules", 2),
         # t11: pure regex expressions — scan→project fused, zero shuffles
         ("t11_pii_audit", 1),
+        # a6b: regexp_extract_all tokenize + explode codegen'd; the
+        # count agg adds its partial/final stages around one exchange
+        ("a6b_cjk_keyword_count", 3),
     ],
 )
 def test_mapside_queries_codegen_span(spark, name, max_stages):
