@@ -1376,3 +1376,98 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["s5_pq_adc_topk"] = _dc.replace(_QR["s5_pq_adc_topk"], oracle=_pq_oracle())
+
+
+# --- d17: SemDeDup — cluster-scoped semantic keep/drop ----------------------
+
+
+def _d17_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    pair = (
+        "list_inner_product(a.vq, b.vq) / "
+        "(sqrt(list_inner_product(a.vq, a.vq)) * "
+        "sqrt(list_inner_product(b.vq, b.vq)))"
+    )
+    return f"""
+        WITH {ctes},
+        asgn AS (
+            SELECT vec_id, vq, cell FROM (
+                SELECT x.vec_id, x.vq, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY {csim} DESC, c.cell) AS rn
+                FROM e x, {trained} c)
+            WHERE rn = 1
+        ),
+        dups AS (
+            SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM asgn a JOIN asgn b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE {pair} >= {_NEARDUP_COS}
+            GROUP BY a.vec_id
+        )
+        SELECT a.vec_id,
+               CAST(a.cell AS INT) AS cell,
+               CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS kept
+        FROM asgn a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+@register(
+    "d17_semantic_dedup",
+    survey="ext-dedup,ext-similarity",
+    doc=f"SemDeDup-style cluster-scoped semantic dedup (Abbas et al. "
+        f"2023): every vector is assigned to its nearest trained IVF "
+        f"centroid (the same seeded {_IVF_CELLS}-cell Lloyd's quantizer "
+        "as s3/s4), then pairwise cosine runs ONLY within each cluster "
+        f"and a vector is dropped when a LOWER-id cluster-mate sits at "
+        f"cosine >= {_NEARDUP_COS} (keep-first, deterministic). Differs "
+        "from d5 (LSH-banded near-dup PAIR list): this is the "
+        "keep/drop DECISION per vector with the cluster as the "
+        "candidate bound — the pair space is sum(|cell|^2), never "
+        "corpus^2, which is the whole SemDeDup scaling argument; at "
+        "100 TB cells shard the corpus so each self-join partition is "
+        "one cell's vectors. Cosines are the exact integer-quantized "
+        "values (s3's discipline) so the threshold comparison is "
+        "bit-identical cross-engine.",
+    oracle=None,  # attached below (replays the training chain)
+)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _trained_centroids(sf_dir, emb)
+    best = _topcells_udf(cents, 1)
+    vq = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    # pandas-UDF subtree feeds BOTH sides of the self-join — checkpoint
+    # once so assignment runs a single time (the d2c recompute lesson)
+    asgn = emb.select(
+        "vec_id", best(F.col("v"))[0].alias("cell"), vq.alias("vq")
+    ).localCheckpoint(eager=True)
+    a = asgn.select("vec_id", "cell", F.col("vq").alias("va"))
+    b = asgn.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("vq").alias("vb")
+    )
+    pair_sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("vec_b") < F.col("vec_id"))
+        .where(pair_sim >= _NEARDUP_COS)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_dups"))
+    )
+    return asgn.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        F.col("n_dups").isNull().cast("int").alias("kept"),
+    )
+
+
+_QR["d17_semantic_dedup"] = _dc.replace(
+    _QR["d17_semantic_dedup"], oracle=_d17_oracle()
+)

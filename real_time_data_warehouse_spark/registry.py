@@ -216,6 +216,8 @@ MANIFEST: tuple[str, ...] = (
     "j4s_interval_join_replay",  # r4
     "j2s_left_outer_join_replay",  # r4
     "a14_window_topn",  # r4
+    # Round-5 session additions — below the cap until the next rotation.
+    "d17_semantic_dedup",  # NEW r5
 )
 
 

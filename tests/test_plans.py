@@ -487,3 +487,15 @@ def test_s12_is_equi_join_on_label(spark):
     assert (
         broadcast_join_count(df) + sort_merge_join_count(df) >= 1
     ), plan
+
+
+def test_d17_cell_join_is_equi_not_nested_loop(spark):
+    """d17: the within-cluster pair generation must plan as an equi-join
+    on the cell key — a nested-loop here is the corpus² all-pairs
+    compare that cluster-scoping exists to avoid — and the checkpointed
+    assignment bounds the whole query to a few exchanges."""
+    df = q("d17_semantic_dedup", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 5, plan
