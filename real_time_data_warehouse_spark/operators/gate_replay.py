@@ -588,3 +588,52 @@ QUERY_REGISTRY["c10s_profile_replay"] = _dc19.replace(
     QUERY_REGISTRY["c10s_profile_replay"],
     oracle=QUERY_REGISTRY["c10_corpus_profile"].oracle,
 )
+
+
+@register(
+    "st1s_dedup_last_wins_replay",
+    survey="ST1,ST2,ext-scale",
+    doc=f"Streaming last-write-wins replay: the events table is split "
+        f"into {_N_BATCHES} ascending event_id batches and pushed "
+        "through streaming/last_wins.apply_last_wins_batch — keyed "
+        "current-winner state (the reference's dedup-by-retraction op, "
+        "DwsTradeSkuOrderWindow.java:190-223) folded per batch, touched "
+        "keys re-emitting their winner, the upsert log compacting "
+        "last-wins. The argmax fold under the (ts, event_id) total "
+        "order is commutative+associative, so NO batch ordering "
+        "contract exists — checked against the ONE-PASS st1 oracle at "
+        "an id-based split precisely because the claim is "
+        "split-independence.",
+    oracle=None,  # attached below: the st1 batch-form oracle, verbatim
+)
+def st1s_dedup_last_wins_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _stateful,
+    )
+    from real_time_data_warehouse_spark.streaming import last_wins
+
+    t = Tables(spark, sf_dir)
+    rows = t.events.select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        last_wins.apply_last_wins_batch,
+        finalize=last_wins.compact_last_wins_log,
+    )
+
+
+import dataclasses as _dc20  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    stateful as _stateful_for_oracle,
+)
+
+QUERY_REGISTRY["st1s_dedup_last_wins_replay"] = _dc20.replace(
+    QUERY_REGISTRY["st1s_dedup_last_wins_replay"],
+    oracle=QUERY_REGISTRY["st1_dedup_last_wins"].oracle,
+)

@@ -218,6 +218,7 @@ MANIFEST: tuple[str, ...] = (
     "a14_window_topn",  # r4
     # Round-5 session additions — below the cap until the next rotation.
     "d17_semantic_dedup",  # NEW r5
+    "st1s_dedup_last_wins_replay",  # NEW r5
 )
 
 
