@@ -664,3 +664,98 @@ def pii_audit(documents: DataFrame) -> DataFrame:
     for name, pat in _PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name if name != 'ipv4' else 'ip'}>")
     return documents.select("doc_id", *counts, red.alias("redacted"))
+
+
+# --- t12: character-entropy quality signal --------------------------------
+
+_ENT_QUANT = 1 << 20  # ln-lattice quantization (t9's discipline)
+_LN2 = 0.6931471805599453  # literal on BOTH sides — never engine ln(2)
+
+
+@register(
+    "t12_char_entropy",
+    survey="ext-text",
+    doc="Character-level Shannon entropy per document — the classic "
+        "gibberish/boilerplate quality signal (low = one repeated "
+        "char/compression bomb, high = random bytes; natural text sits "
+        "in a band). Exactness: H = ln N − (Σ nᵢ·ln nᵢ)/N is computed "
+        "on an INTEGER ln-lattice — ln of each small-integer count is "
+        "quantized floor(ln(k)·2²⁰+0.5) (a bigint both engines agree "
+        "on for the whole count domain; pinned by a lattice pytest), "
+        "so the Σ nᵢ·Q(ln nᵢ) partial is an exact bigint sum — "
+        "order-independent, mergeable, safe under Spark's partial "
+        "aggregation — and the final nats→bits division uses a literal "
+        "ln 2. Two shuffles: (doc,char) count, then per-doc fold; both "
+        "combine map-side. Chars via regexp_extract_all('[\\s\\S]') — "
+        "identical RE2∩Java tokenization.",
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+                  FROM documents)
+            GROUP BY doc_id, c
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS u,
+                   CAST(SUM(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE))
+                                 * {_ENT_QUANT} + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM ch GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n, 0) AS n_chars,
+               COALESCE(a.u, 0) AS n_unique_chars,
+               CAST(CASE WHEN COALESCE(a.n, 0) = 0 THEN 0.0 ELSE
+                   floor(((floor(ln(CAST(a.n AS DOUBLE)) * {_ENT_QUANT}
+                                 + 0.5) / {_ENT_QUANT}.0
+                           - CAST(a.s AS DOUBLE)
+                             / (CAST(a.n AS DOUBLE) * {_ENT_QUANT}.0))
+                          / {_LN2}) * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS char_entropy
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def t12_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return char_entropy_frame(t.documents)
+
+
+def char_entropy_frame(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → per-doc char entropy (the t12 body,
+    exposed so tests can run it on planted corpora)."""
+    docs = documents.select("doc_id", "text")
+    ch = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    qln = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * _ENT_QUANT + F.lit(0.5)
+    ).cast("bigint")
+    agg = ch.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("u"),
+        F.sum(F.col("cnt") * qln(F.col("cnt"))).cast("bigint").alias("s"),
+    )
+    h_nats = (
+        qln(F.col("n")).cast("double") / _ENT_QUANT
+        - F.col("s").cast("double")
+        / (F.col("n").cast("double") * float(_ENT_QUANT))
+    )
+    ent = F.when(F.coalesce("n", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.floor((h_nats / _LN2) * 10000 + F.lit(0.5)) / 10000
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_chars"),
+        F.coalesce("u", F.lit(0)).cast("bigint").alias("n_unique_chars"),
+        ent.cast("double").alias("char_entropy"),
+    )

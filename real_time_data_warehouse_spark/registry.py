@@ -219,6 +219,7 @@ MANIFEST: tuple[str, ...] = (
     # Round-5 session additions — below the cap until the next rotation.
     "d17_semantic_dedup",  # NEW r5
     "st1s_dedup_last_wins_replay",  # NEW r5
+    "t12_char_entropy",  # NEW r5
 )
 
 

@@ -207,3 +207,59 @@ def test_changelog_replays_to_last_value(spark):
         .count()
     )
     assert diffs == 0
+
+
+def test_t12_planted_entropies(spark):
+    """Closed-form checks: one repeated char → 0 bits; 'ab' → 1 bit;
+    uniform 4-char alphabet → 2 bits; empty text → 0 with zero counts
+    (the d15 zero-divisor lesson, guarded on both engines)."""
+    from real_time_data_warehouse_spark.operators.textanalysis import (
+        char_entropy_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),
+            (2, "abababab"),
+            (3, "abcdabcd"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy_frame(docs).collect()}
+    assert got[1].char_entropy == 0.0 and got[1].n_unique_chars == 1
+    assert got[2].char_entropy == 1.0
+    assert got[3].char_entropy == 2.0
+    assert got[4].n_chars == 0 and got[4].char_entropy == 0.0
+
+
+def test_t12_ln_lattice_parity(spark, duck):
+    """The cross-engine exactness contract behind t12 (and t9): the
+    quantized ln lattice floor(ln(k)·2²⁰+0.5) must agree bigint-exactly
+    between Spark (Java Math.log) and DuckDB (RE2 side) over the whole
+    count domain a document can produce (counts ≤ doc length; 5000
+    covers the largest fixture docs with 8× headroom)."""
+    from real_time_data_warehouse_spark.operators.textanalysis import (
+        _ENT_QUANT,
+    )
+
+    sp = {
+        r.k: r.q
+        for r in spark.range(1, 5001)
+        .select(
+            F.col("id").alias("k"),
+            F.floor(
+                F.log(F.col("id").cast("double")) * _ENT_QUANT + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .collect()
+    }
+    du = dict(
+        duck.execute(
+            f"SELECT i, CAST(floor(ln(CAST(i AS DOUBLE)) * {_ENT_QUANT} "
+            "+ 0.5) AS BIGINT) FROM range(1, 5001) t(i)"
+        ).fetchall()
+    )
+    assert sp == du

@@ -108,6 +108,9 @@ def test_interval_join_no_cartesian(spark):
         ("st8_scd2_intervals", 1),  # both windows share one user_id sort
         ("c7_quota_sample", 1),     # the per-stratum rank window only
         ("st9_retract_changelog", 1),  # lag window; explode is map-side
+        # t12: (doc,char) count + per-doc fold; the doc_id agg reuses
+        # the partial's partitioning and the join back broadcasts
+        ("t12_char_entropy", 2),
     ],
 )
 def test_shuffle_budget(spark, name, budget):
