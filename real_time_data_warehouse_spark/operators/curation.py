@@ -929,3 +929,80 @@ import dataclasses as _dc12
 QUERY_REGISTRY["c12_quality_weighted_sample"] = _dc12.replace(
     QUERY_REGISTRY["c12_quality_weighted_sample"], oracle=_c12_oracle()
 )
+
+
+# --- c13: dedup-aware cluster-weighted downsampling ------------------------
+
+
+@register(
+    "c13_cluster_weighted_sample",
+    survey="ext-curation,ext-dedup",
+    doc="Dedup-aware SOFT downsampling: instead of keeping one doc per "
+        "near-dup cluster (hard dedup, d6 is_canonical) or all of them, "
+        "keep ceil(sqrt(cluster_size)) per cluster — the sublinear "
+        "thinning rule that preserves some natural-frequency signal "
+        "while destroying the duplicate-flood gradient (the middle "
+        "ground training-mixture work reaches for between dedup-none "
+        "and dedup-all). Picks are deterministic content-hash ranks "
+        "within each cluster (c7's discipline, no rand()); singleton "
+        "clusters keep their doc. Composes d6's connected components; "
+        "ceil(sqrt) on a bigint is a single exact IEEE op on both "
+        "engines. Scale: one window over the cluster key on top of "
+        "d6's cost — the cluster table is corpus-sized, never pairwise.",
+    oracle=None,  # attached below from the d6 oracle
+)
+def c13_cluster_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        md5_hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    cap = F.ceil(F.sqrt(F.col("cluster_size").cast("double")))
+    return (
+        clusters.withColumn(
+            "cluster_size", F.count("*").over(wc).cast("bigint")
+        )
+        .withColumn("pick_rank", F.row_number().over(wr).cast("int"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "pick_rank",
+            (F.col("pick_rank") <= cap).cast("int").alias("kept"),
+        )
+    )
+
+
+def _c13_oracle() -> str:
+    d6 = QUERY_REGISTRY["d6_dedup_clusters"].oracle
+    h = md5_hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH d6 AS ({d6}),
+        s AS (
+            SELECT doc_id, cluster_id,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id)
+                        AS BIGINT) AS cluster_size,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY {h}, doc_id) AS INT) AS pick_rank
+            FROM d6
+        )
+        SELECT doc_id, cluster_id, cluster_size, pick_rank,
+               CAST(CASE WHEN pick_rank <=
+                        ceil(sqrt(CAST(cluster_size AS DOUBLE)))
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM s
+    """
+
+
+import dataclasses as _dc13
+
+QUERY_REGISTRY["c13_cluster_weighted_sample"] = _dc13.replace(
+    QUERY_REGISTRY["c13_cluster_weighted_sample"], oracle=_c13_oracle()
+)

@@ -221,6 +221,7 @@ MANIFEST: tuple[str, ...] = (
     "st1s_dedup_last_wins_replay",  # NEW r5
     "t12_char_entropy",  # NEW r5
     "t13_zipf_slope",  # NEW r5
+    "c13_cluster_weighted_sample",  # NEW r5
 )
 
 

@@ -294,3 +294,25 @@ def test_t13_ln_lattice_parity_and_planted_slope(spark, duck):
         ).fetchall()
     )
     assert sp == du
+
+
+def test_c13_sublinear_keep_rule(spark):
+    """c13: every doc appears once, singletons are always kept, and each
+    cluster keeps exactly ceil(sqrt(size)) docs — the sublinear middle
+    ground between dedup-none and dedup-all."""
+    import math
+
+    rows = q("c13_cluster_weighted_sample", spark).collect()
+    n_docs = Tables(spark, SF_DIR).documents.count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        sz = members[0].cluster_size
+        assert sz == len(members)
+        kept = sum(r.kept for r in members)
+        assert kept == math.ceil(math.sqrt(sz)), (cid, sz, kept)
+        if sz == 1:
+            assert members[0].kept == 1
