@@ -1415,6 +1415,21 @@ def _d17_oracle() -> str:
     """
 
 
+def _assigned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, vq) — every vector labeled with its nearest trained
+    IVF cell, localCheckpointed because consumers (d17 self-join, d17b
+    double-join) read it from multiple plan branches and the pandas-UDF
+    assignment must run once (the d2c recompute lesson)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _trained_centroids(sf_dir, emb)
+    best = _topcells_udf(cents, 1)
+    vq = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    return emb.select(
+        "vec_id", best(F.col("v"))[0].alias("cell"), vq.alias("vq")
+    ).localCheckpoint(eager=True)
+
+
 @register(
     "d17_semantic_dedup",
     survey="ext-dedup,ext-similarity",
@@ -1435,16 +1450,7 @@ def _d17_oracle() -> str:
     oracle=None,  # attached below (replays the training chain)
 )
 def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    cents = _trained_centroids(sf_dir, emb)
-    best = _topcells_udf(cents, 1)
-    vq = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
-    # pandas-UDF subtree feeds BOTH sides of the self-join — checkpoint
-    # once so assignment runs a single time (the d2c recompute lesson)
-    asgn = emb.select(
-        "vec_id", best(F.col("v"))[0].alias("cell"), vq.alias("vq")
-    ).localCheckpoint(eager=True)
+    asgn = _assigned_cells(spark, sf_dir)
     a = asgn.select("vec_id", "cell", F.col("vq").alias("va"))
     b = asgn.select(
         F.col("vec_id").alias("vec_b"), "cell", F.col("vq").alias("vb")
@@ -1470,4 +1476,91 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QR["d17_semantic_dedup"] = _dc.replace(
     _QR["d17_semantic_dedup"], oracle=_d17_oracle()
+)
+
+
+# --- d17b: SemDeDup cell-recall audit --------------------------------------
+
+
+def _d17b_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    d5 = _QR["d5_embedding_neardup"].oracle
+    return f"""
+        WITH {ctes},
+        asgn AS (
+            SELECT vec_id, cell FROM (
+                SELECT x.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY {csim} DESC, c.cell) AS rn
+                FROM e x, {trained} c)
+            WHERE rn = 1
+        ),
+        p AS ({d5}),
+        j AS (
+            SELECT p.vec_a, p.vec_b,
+                   CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END AS same
+            FROM p
+            JOIN asgn a ON p.vec_a = a.vec_id
+            JOIN asgn b ON p.vec_b = b.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(same), 0) AS BIGINT) AS n_same_cell,
+               CAST(CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE
+                   floor(CAST(COALESCE(SUM(same), 0) AS DOUBLE)
+                         / COUNT(*) * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS cell_recall
+        FROM j
+    """
+
+
+@register(
+    "d17b_semdedup_recall_audit",
+    survey="ext-dedup,ext-similarity",
+    doc="Honest-methods audit for d17 (the d14/s9 pattern): SemDeDup "
+        "can only drop a duplicate whose partner lands in the SAME "
+        "cluster, so this measures — as a driver-checked row — the "
+        "fraction of d5's exact near-dup pairs (banded-LSH candidates, "
+        "same cosine threshold) that are same-cell under the trained "
+        "quantizer. The number IS the method's recall ceiling; shipping "
+        "it as a query keeps the limitation measured instead of "
+        "footnoted (SemDeDup raises it by raising k and/or multi-probe "
+        "assignment — both knobs exist in s3). Cost: d5's candidate "
+        "pairs joined twice against the 500-row assignment table.",
+    oracle=None,  # attached below (training chain + d5 oracle)
+)
+def d17b_semdedup_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _QR["d5_embedding_neardup"].fn(spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    asgn = _assigned_cells(spark, sf_dir).select("vec_id", "cell")
+    a = asgn.select(F.col("vec_id").alias("vec_a"), F.col("cell").alias("ca"))
+    b = asgn.select(F.col("vec_id").alias("vec_b"), F.col("cell").alias("cb"))
+    j = (
+        pairs.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .select((F.col("ca") == F.col("cb")).cast("int").alias("same"))
+    )
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("same"), F.lit(0)).cast("bigint").alias("n_same_cell"),
+    )
+    recall = F.when(F.col("n_pairs") == 0, F.lit(1.0)).otherwise(
+        F.floor(
+            F.col("n_same_cell").cast("double")
+            / F.col("n_pairs")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return agg.select(
+        "n_pairs", "n_same_cell", recall.cast("double").alias("cell_recall")
+    )
+
+
+_QR["d17b_semdedup_recall_audit"] = _dc.replace(
+    _QR["d17b_semdedup_recall_audit"], oracle=_d17b_oracle()
 )

@@ -222,6 +222,7 @@ MANIFEST: tuple[str, ...] = (
     "t12_char_entropy",  # NEW r5
     "t13_zipf_slope",  # NEW r5
     "c13_cluster_weighted_sample",  # NEW r5
+    "d17b_semdedup_recall_audit",  # NEW r5
 )
 
 

@@ -52,3 +52,17 @@ def test_d17_consistent_with_d5_pairs(spark):
     # the sf0.001 fixture may have few same-cell d5 pairs; vacuity is
     # acceptable but surprising — surface it if the fixture drifts
     assert checked >= 0
+
+
+def test_d17b_audit_is_internally_consistent(spark):
+    """The recall audit's counts must be a valid fraction of d5's pair
+    list, and every same-cell pair it counts is one the cross-check in
+    test_d17_consistent_with_d5_pairs proves actionable."""
+    row = q("d17b_semdedup_recall_audit", spark).collect()[0]
+    n_d5 = q("d5_embedding_neardup", spark).count()
+    assert row.n_pairs == n_d5
+    assert 0 <= row.n_same_cell <= row.n_pairs
+    if row.n_pairs:
+        assert abs(
+            row.cell_recall - round(row.n_same_cell / row.n_pairs, 4)
+        ) <= 1e-4
