@@ -74,6 +74,12 @@ EXTENDED = (
     # first recorded medians land in BENCH_r05)
     "a6b_cjk_keyword_count",
     "s12_label_partitioned_ann",
+    "d17_semantic_dedup",
+    "d17b_semdedup_recall_audit",
+    "t12_char_entropy",
+    "t13_zipf_slope",
+    "c13_cluster_weighted_sample",
+    "st1s_dedup_last_wins_replay",
 )
 
 # Headline set: the flagship + one representative per operator family.
