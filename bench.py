@@ -80,6 +80,7 @@ EXTENDED = (
     "t13_zipf_slope",
     "c13_cluster_weighted_sample",
     "st1s_dedup_last_wins_replay",
+    "d17c_semantic_dedup_multiprobe",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -223,6 +223,7 @@ MANIFEST: tuple[str, ...] = (
     "t13_zipf_slope",  # NEW r5
     "c13_cluster_weighted_sample",  # NEW r5
     "d17b_semdedup_recall_audit",  # NEW r5
+    "d17c_semantic_dedup_multiprobe",  # NEW r5
 )
 
 

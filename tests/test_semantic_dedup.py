@@ -66,3 +66,20 @@ def test_d17b_audit_is_internally_consistent(spark):
         assert abs(
             row.cell_recall - round(row.n_same_cell / row.n_pairs, 4)
         ) <= 1e-4
+
+
+def test_d17c_superset_of_d17_drops(spark):
+    """Multi-probe candidates strictly contain the primary-cell ones
+    (equal top-1 cells ⇒ overlapping top-k sets), so d17c's drop set
+    must contain every d17 drop — and each vec still appears once."""
+    base = {r.vec_id: r for r in q("d17_semantic_dedup", spark).collect()}
+    multi = {
+        r.vec_id: r
+        for r in q("d17c_semantic_dedup_multiprobe", spark).collect()
+    }
+    assert set(base) == set(multi)
+    for vid, r in base.items():
+        if r.kept == 0:
+            assert multi[vid].kept == 0, f"{vid} dropped by d17, kept by d17c"
+        assert multi[vid].n_dups >= r.n_dups
+        assert multi[vid].cell == r.cell  # primary assignment unchanged
