@@ -161,3 +161,40 @@ def test_join_and_distinct_batches_accept_empty_micro_batch(spark, tmp_path):
         ("2024-01-01", "click"): 2,
         ("2024-01-01", "purchase"): 1,
     }
+
+
+def test_char_entropy_on_empty_corpus(spark):
+    from real_time_data_warehouse_spark.operators.textanalysis import (
+        char_entropy_frame,
+    )
+
+    out = char_entropy_frame(_empty_docs(spark))
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_chars", "n_unique_chars", "char_entropy",
+    ]
+
+
+def test_last_wins_applier_on_empty_batch(spark, tmp_path):
+    """An empty micro-batch mid-stream must fold as a no-op: state
+    survives, the batch's output partition is empty, compaction still
+    returns the pre-gap winners."""
+    from real_time_data_warehouse_spark.streaming.last_wins import (
+        apply_last_wins_batch,
+        compact_last_wins_log,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a", None, 2.0)],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    empty = ev.where(F.lit(False))
+    state = str(tmp_path / "lw_state")
+    out = str(tmp_path / "lw_out")
+    apply_last_wins_batch(spark, ev, 0, state, out)
+    apply_last_wins_batch(spark, empty, 1, state, out)
+    rows = compact_last_wins_log(spark, out).collect()
+    assert [(r.user_id, r.event_type, r.last_event_id) for r in rows] == [
+        (1, "a", 1)
+    ]
