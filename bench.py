@@ -81,6 +81,7 @@ EXTENDED = (
     "c13_cluster_weighted_sample",
     "st1s_dedup_last_wins_replay",
     "d17c_semantic_dedup_multiprobe",
+    "a18_running_total",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -1153,3 +1153,85 @@ def u3_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wavg"),
     )
+
+
+# --- a18: global running total — distributed two-phase prefix sum ----------
+
+_PREFIX_BUCKETS = 32
+
+
+@register(
+    "a18_running_total",
+    survey="ext-scale,W9",
+    doc="Global running count + cumulative amount over the full event "
+        "stream in (ts, event_id) order — the ledger/balance query "
+        "whose naive form (SUM OVER an unpartitioned ORDER BY) funnels "
+        "100 TB through ONE sorted partition. Implemented as the "
+        f"classic two-phase prefix sum: {_PREFIX_BUCKETS} time-range "
+        "buckets each compute their LOCAL prefix in parallel "
+        "(partitionBy bucket), the per-bucket totals — a "
+        f"{_PREFIX_BUCKETS}-row frame — take the only unpartitioned "
+        "window, and the exclusive offsets broadcast back onto the "
+        "stream. Amounts accumulate in DECIMAL(18,2) (exact, "
+        "associative), so local-prefix + offset ≡ the oracle's "
+        "single-threaded running sum bit-for-bit. The bucket-bounds "
+        "fetch is one 2-value driver row (the offline-artifact "
+        "pattern); at 100 TB bucket count scales with cluster width "
+        "and a second phase level handles bucket-count overflow — "
+        "depth-2 scan tree, never a global sort.",
+    oracle="""
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cum_cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS cum_amount
+        FROM events
+        WINDOW w AS (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() + 1.0
+    sec = F.col("ts").cast("double") - F.lit(lo).cast("timestamp").cast(
+        "double"
+    )
+    bucket = F.least(
+        F.floor(sec / span * _PREFIX_BUCKETS),
+        F.lit(_PREFIX_BUCKETS - 1),
+    ).cast("int")
+    b = ev.withColumn("bucket", bucket)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "bucket",
+        "event_id",
+        F.count("*").over(w_in).alias("loc_cnt"),
+        F.sum(dec("value")).over(w_in).alias("loc_amt"),
+    )
+    totals = b.groupBy("bucket").agg(
+        F.count("*").alias("t_cnt"), F.sum(dec("value")).alias("t_amt")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "bucket",
+        F.coalesce(F.sum("t_cnt").over(w_off), F.lit(0)).alias("off_cnt"),
+        F.coalesce(
+            F.sum("t_amt").over(w_off), F.lit(0).cast("decimal(18,2)")
+        ).alias("off_amt"),
+    )
+    return local.join(F.broadcast(offs), "bucket").select(
+        "event_id",
+        (F.col("loc_cnt") + F.col("off_cnt")).cast("bigint").alias("cum_cnt"),
+        (F.col("loc_amt") + F.col("off_amt"))
+        .cast("double")
+        .alias("cum_amount"),
+    )

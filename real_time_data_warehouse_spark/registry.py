@@ -224,6 +224,7 @@ MANIFEST: tuple[str, ...] = (
     "c13_cluster_weighted_sample",  # NEW r5
     "d17b_semdedup_recall_audit",  # NEW r5
     "d17c_semantic_dedup_multiprobe",  # NEW r5
+    "a18_running_total",  # NEW r5
 )
 
 

@@ -513,3 +513,26 @@ def test_t13_head_is_take_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrdered" in plan, plan
     assert shuffle_count(df) <= 1, plan
+
+
+def test_a18_prefix_sum_is_two_phase(spark):
+    """a18: the event stream's running totals must compute under a
+    bucket-PARTITIONED window (parallel local prefixes) with the only
+    unpartitioned window over the 32-row bucket-totals frame, and the
+    offsets must broadcast back — a global ORDER BY window over the
+    events table is the single-reducer bug this operator exists to
+    avoid."""
+    df = q("a18_running_total", spark)
+    plan = formatted_plan(df)
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(" in line
+    ]
+    assert specs, plan
+    unpartitioned = [s for s in specs if "bucket" not in s]
+    partitioned = [s for s in specs if "bucket" in s]
+    assert partitioned, plan  # local prefixes keyed by bucket
+    # any unpartitioned window may touch only the bucket-totals columns
+    assert all("t_cnt" in s or "t_amt" in s for s in unpartitioned), specs
+    assert broadcast_join_count(df) >= 1, plan
