@@ -82,6 +82,7 @@ EXTENDED = (
     "st1s_dedup_last_wins_replay",
     "d17c_semantic_dedup_multiprobe",
     "a18_running_total",
+    "t14_vocab_growth",
 )
 
 # Headline set: the flagship + one representative per operator family.

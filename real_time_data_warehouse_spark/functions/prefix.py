@@ -1,0 +1,86 @@
+"""Distributed two-phase prefix sums.
+
+The naive global running total — ``SUM(x) OVER (ORDER BY k ROWS
+UNBOUNDED PRECEDING)`` — funnels the whole table through ONE sorted
+partition. This helper is the classic fix, shared by a18 (running
+ledger) and t14 (vocabulary growth): bucket the rows on a
+range-monotone key, compute LOCAL prefixes under a bucket-partitioned
+window (parallel), run the only unpartitioned window over the
+B-row bucket-totals frame, and broadcast the exclusive offsets back.
+
+Exactness contract: measures must be EXACT, ASSOCIATIVE types (bigint
+counts, DECIMAL amounts, never raw doubles) so local-prefix + offset
+equals a single-threaded running sum bit-for-bit under any
+partitioning — the same mergeable-partials discipline as the
+streaming appliers.
+
+At 100 TB: bucket count scales with cluster width; if per-bucket rows
+overflow one node the construction nests (apply it again inside each
+bucket) — a depth-2 scan tree, never a global sort. The plan shape is
+pinned by tests/test_plans.py::test_a18_prefix_sum_is_two_phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_prefix(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    measures: dict[str, tuple[Column, Column]],
+) -> DataFrame:
+    """Append inclusive running totals over ``order_cols`` order.
+
+    ``bucket`` must be monotone in ``order_cols`` order (a range
+    bucketing of the leading order key). ``measures`` maps output
+    column name → (aggregand, typed zero literal); the aggregand must
+    be an exact/associative type. Returns ``df``'s rows (plus the
+    ``__bucket`` column dropped) with one ``cum_<name>`` per measure.
+    """
+    b = df.withColumn("__bucket", bucket)
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "*",
+        *[
+            F.sum(expr).over(w_in).alias(f"__loc_{name}")
+            for name, (expr, _zero) in measures.items()
+        ],
+    )
+    totals = b.groupBy("__bucket").agg(
+        *[
+            F.sum(expr).alias(f"__t_{name}")
+            for name, (expr, _zero) in measures.items()
+        ]
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__t_{name}").over(w_off), zero).alias(
+                f"__off_{name}"
+            )
+            for name, (_expr, zero) in measures.items()
+        ],
+    )
+    out = local.join(F.broadcast(offs), "__bucket")
+    for name in measures:
+        out = out.withColumn(
+            f"cum_{name}",
+            F.col(f"__loc_{name}") + F.col(f"__off_{name}"),
+        )
+    drop = ["__bucket"] + [
+        c
+        for name in measures
+        for c in (f"__loc_{name}", f"__off_{name}")
+    ]
+    return out.drop(*drop)

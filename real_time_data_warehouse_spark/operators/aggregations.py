@@ -1190,7 +1190,9 @@ _PREFIX_BUCKETS = 32
     """,
 )
 def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
 
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_id", "ts", "value")
@@ -1203,35 +1205,17 @@ def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(sec / span * _PREFIX_BUCKETS),
         F.lit(_PREFIX_BUCKETS - 1),
     ).cast("int")
-    b = ev.withColumn("bucket", bucket)
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = bucketed_prefix(
+        ev,
+        bucket,
+        ["ts", "event_id"],
+        {
+            "cnt": (F.lit(1).cast("bigint"), F.lit(0).cast("bigint")),
+            "amt": (dec("value"), F.lit(0).cast("decimal(18,2)")),
+        },
     )
-    local = b.select(
-        "bucket",
+    return out.select(
         "event_id",
-        F.count("*").over(w_in).alias("loc_cnt"),
-        F.sum(dec("value")).over(w_in).alias("loc_amt"),
-    )
-    totals = b.groupBy("bucket").agg(
-        F.count("*").alias("t_cnt"), F.sum(dec("value")).alias("t_amt")
-    )
-    w_off = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = totals.select(
-        "bucket",
-        F.coalesce(F.sum("t_cnt").over(w_off), F.lit(0)).alias("off_cnt"),
-        F.coalesce(
-            F.sum("t_amt").over(w_off), F.lit(0).cast("decimal(18,2)")
-        ).alias("off_amt"),
-    )
-    return local.join(F.broadcast(offs), "bucket").select(
-        "event_id",
-        (F.col("loc_cnt") + F.col("off_cnt")).cast("bigint").alias("cum_cnt"),
-        (F.col("loc_amt") + F.col("off_amt"))
-        .cast("double")
-        .alias("cum_amount"),
+        F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+        F.col("cum_amt").cast("double").alias("cum_amount"),
     )

@@ -875,3 +875,81 @@ def t13_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.cast("double").alias("zipf_slope"),
         intercept.cast("double").alias("zipf_intercept"),
     )
+
+
+# --- t14: Heaps-law vocabulary growth curve -------------------------------
+
+_T14_BUCKETS = 32
+
+
+@register(
+    "t14_vocab_growth",
+    survey="ext-text,ext-curation,ext-scale",
+    doc="Vocabulary-growth (Heaps-law) curve in ingestion order: after "
+        "each document, the cumulative token count and cumulative "
+        "DISTINCT-type count — the datasheet curve that tells a corpus "
+        "builder whether new data still adds vocabulary or has gone "
+        "asymptotic (dedup/rebalance signal). Distinct-growth is made "
+        "prefix-summable by attributing each type to its FIRST document "
+        "(min doc_id per token — one shuffle), after which both curves "
+        "are exact bigint prefix sums under the shared two-phase "
+        "bucketed_prefix helper (a18's pattern: parallel local "
+        "prefixes, 32-row offsets frame, broadcast back — never a "
+        "global sort).",
+    oracle="""
+        WITH per_doc AS (
+            SELECT doc_id, CAST(len({t}) AS BIGINT) AS n FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest({t}) AS tok FROM documents),
+        firsts AS (
+            SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT tok, MIN(doc_id) AS first_doc FROM ex GROUP BY tok)
+            GROUP BY first_doc
+        )
+        SELECT d.doc_id,
+               CAST(SUM(d.n) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(f.c, 0)) OVER w AS BIGINT) AS cum_vocab
+        FROM per_doc d LEFT JOIN firsts f ON d.doc_id = f.first_doc
+        WINDOW w AS (ORDER BY d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.format(t=tokenize_sql("text")),
+)
+def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    per_doc = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    joined = per_doc.join(
+        firsts, per_doc.doc_id == firsts.first_doc, "left"
+    ).select(
+        "doc_id", "n", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    max_id = joined.agg(F.max("doc_id")).first()[0]
+    width = (int(max_id) + _T14_BUCKETS) // _T14_BUCKETS
+    bucket = (F.col("doc_id") / width).cast("int")
+    out = bucketed_prefix(
+        joined,
+        bucket,
+        ["doc_id"],
+        {
+            "tokens": (F.col("n"), F.lit(0).cast("bigint")),
+            "vocab": (F.col("c"), F.lit(0).cast("bigint")),
+        },
+    )
+    return out.select(
+        "doc_id",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+    )

@@ -225,6 +225,7 @@ MANIFEST: tuple[str, ...] = (
     "d17b_semdedup_recall_audit",  # NEW r5
     "d17c_semantic_dedup_multiprobe",  # NEW r5
     "a18_running_total",  # NEW r5
+    "t14_vocab_growth",  # NEW r5
 )
 
 

@@ -316,3 +316,25 @@ def test_c13_sublinear_keep_rule(spark):
         assert kept == math.ceil(math.sqrt(sz)), (cid, sz, kept)
         if sz == 1:
             assert members[0].kept == 1
+
+
+def test_t14_growth_curve_invariants(spark):
+    """Monotone nondecreasing curves, final totals equal the corpus's
+    token count and distinct-type count, and vocab never exceeds
+    tokens."""
+    rows = sorted(
+        q("t14_vocab_growth", spark).collect(), key=lambda r: r.doc_id
+    )
+    assert rows
+    prev_t = prev_v = 0
+    for r in rows:
+        assert r.cum_tokens >= prev_t and r.cum_vocab >= prev_v
+        assert r.cum_vocab <= r.cum_tokens
+        prev_t, prev_v = r.cum_tokens, r.cum_vocab
+    from real_time_data_warehouse_spark.functions.text import tokenize
+
+    toks = Tables(spark, SF_DIR).documents.select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    assert prev_t == toks.count()
+    assert prev_v == toks.distinct().count()
