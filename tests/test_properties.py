@@ -618,3 +618,42 @@ def test_u3_udaf_exact_integer_partials(spark):
         .collect()
     }
     assert got == {"a": (125 * 3 + 10 * 1, 4), "b": (1999 * 7 + 1 * 2, 9)}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9999),   # order key
+            st.integers(min_value=-100, max_value=100),  # int measure
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),  # bucket count
+)
+def test_bucketed_prefix_equals_sequential(spark, rows, n_buckets):
+    """functions/prefix.bucketed_prefix must equal the single-threaded
+    running sum for ANY range-monotone bucketing — the associativity
+    claim a18/t14 rest on."""
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
+    df = spark.createDataFrame(rows, "k long, x long")
+    span = max(k for k, _ in rows) + 1
+    bucket = F.least(
+        F.floor(F.col("k") / span * n_buckets), F.lit(n_buckets - 1)
+    ).cast("int")
+    got = {
+        r.k: r.cum_x
+        for r in bucketed_prefix(
+            df, bucket, ["k"], {"x": (F.col("x"), F.lit(0).cast("bigint"))}
+        ).collect()
+    }
+    acc = 0
+    for k, x in sorted(rows):
+        acc += x
+        assert got[k] == acc
