@@ -117,3 +117,54 @@ def test_planted_winners(spark, tmp_path):
         (2, "b", 21, 3.0),
         (3, "c", 30, 9.0),
     }
+
+
+def test_last_wins_readstream_matches_batch(spark, tmp_path):
+    """End-to-end Structured Streaming: a file-source stream (one file
+    per micro-batch) through run_last_wins_stream must compact to the
+    one-pass st1 result. Files are id-split — the order-free fold needs
+    no arrival-order contract."""
+    import os
+    import shutil
+
+    from real_time_data_warehouse_spark.streaming.last_wins import (
+        run_last_wins_stream,
+    )
+
+    ev = _events(spark)
+    span = ev.agg(F.max("event_id")).first()[0] + 1
+    src = str(tmp_path / "lw_src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        part = ev.where(
+            (F.col("event_id") >= span * i // 3)
+            & (F.col("event_id") < span * (i + 1) // 3)
+        )
+        stage = f"{src}_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, pf), os.path.join(src, f"b{i}.parquet"))
+    state, out, ckpt = (
+        str(tmp_path / "lw_state"),
+        str(tmp_path / "lw_out"),
+        str(tmp_path / "lw_ckpt"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = run_last_wins_stream(spark, stream, state, out, ckpt)
+    q2.awaitTermination(240)
+    from real_time_data_warehouse_spark.streaming.last_wins import (
+        compact_last_wins_log,
+    )
+
+    got = {
+        tuple(r[c] for c in _COLS)
+        for r in compact_last_wins_log(spark, out).collect()
+    }
+    assert got == _expected(spark)
