@@ -83,6 +83,7 @@ EXTENDED = (
     "d17c_semantic_dedup_multiprobe",
     "a18_running_total",
     "t14_vocab_growth",
+    "s13_rrf_fusion",
 )
 
 # Headline set: the flagship + one representative per operator family.

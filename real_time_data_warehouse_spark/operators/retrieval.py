@@ -855,3 +855,131 @@ def hard_negative_pairs(
         F.col("rn").cast("int").alias("rnk"),
         "sim",
     )
+
+
+# --- s13: reciprocal-rank fusion ------------------------------------------
+
+_RRF_K = 60  # the standard RRF dampening constant
+_RRF_LIST = 20  # per-modality candidate list length
+_RRF_OUT = 10
+
+
+@register(
+    "s13_rrf_fusion",
+    survey="ext-similarity,ext-text",
+    doc=f"Reciprocal-rank fusion of the lexical and dense retrieval "
+        f"lists: BM25 top-{_RRF_LIST} (s6) and exact-cosine "
+        f"top-{_RRF_LIST} against the fixed query-intent vector, fused "
+        f"by Σ 1/({_RRF_K}+rank) over the lists each doc appears in — "
+        "the score-free fusion that needs NO cross-modality score "
+        "calibration (the practical reason RRF beats weighted sums "
+        "when BM25 and cosine live on unrelated scales; s7 is the "
+        "score-rerank alternative). Ranks are integers, each RRF term "
+        "is one IEEE division, and the two-term sum is a fixed "
+        "expression — engine-exact without quantization. Cost: both "
+        "lists are top-K TakeOrdered pulls; the fusion joins two "
+        f"{_RRF_LIST}-row frames.",
+    oracle=None,  # attached below: composes the s6 oracle
+)
+def s13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.operators.similarity import cosine
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    w1 = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        QUERY_REGISTRY["s6_bm25_topk"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .withColumn("r_lex", F.row_number().over(w1).cast("int"))
+    )
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    topd = scored.orderBy(F.col("sim").desc(), "doc_id").limit(_RRF_LIST)
+    w2 = Window.orderBy(F.col("sim").desc(), "doc_id")
+    den = topd.withColumn("r_den", F.row_number().over(w2).cast("int"))
+    fused = lex.select("doc_id", "r_lex").join(
+        den.select("doc_id", "r_den"), "doc_id", "full"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_den")), F.lit(0.0)
+    )
+    w3 = Window.orderBy(F.col("rrf_raw").desc(), "doc_id")
+    return (
+        fused.withColumn("rrf_raw", rrf)
+        .withColumn("rnk", F.row_number().over(w3).cast("int"))
+        .where(F.col("rnk") <= _RRF_OUT)
+        .select(
+            "doc_id",
+            "rnk",
+            (F.floor(F.col("rrf_raw") * 1000000 + F.lit(0.5)) / 1000000)
+            .cast("double")
+            .alias("rrf"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_den").cast("int").alias("r_den"),
+        )
+    )
+
+
+_QRR["s13_rrf_fusion"] = _dcr.replace(
+    _QRR["s13_rrf_fusion"],
+    oracle=f"""
+        WITH s6 AS ({_QRR["s6_bm25_topk"].oracle}),
+        lex AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INT) AS r_lex
+            FROM s6
+        ),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+        den AS (
+            SELECT doc_id, CAST(rn AS INT) AS r_den FROM (
+                SELECT e.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_inner_product(q.qv, e.v) /
+                               (sqrt(list_inner_product(q.qv, q.qv)) *
+                                sqrt(list_inner_product(e.v, e.v))) DESC,
+                           e.vec_id) AS rn
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> {_QUERY_VEC_ID})
+            WHERE rn <= {_RRF_LIST}
+        ),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+                   lex.r_lex, den.r_den,
+                   COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex.r_lex), 0.0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + den.r_den),
+                              0.0) AS rrf_raw
+            FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+        )
+        SELECT doc_id, CAST(rnk AS INT) AS rnk,
+               CAST(floor(rrf_raw * 1000000 + 0.5) / 1000000 AS DOUBLE)
+                   AS rrf,
+               CAST(r_lex AS INT) AS r_lex,
+               CAST(r_den AS INT) AS r_den
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_raw DESC, doc_id)
+                       AS rnk
+            FROM fused
+        ) WHERE rnk <= {_RRF_OUT}
+    """,
+)

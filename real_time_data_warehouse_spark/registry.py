@@ -226,6 +226,7 @@ MANIFEST: tuple[str, ...] = (
     "d17c_semantic_dedup_multiprobe",  # NEW r5
     "a18_running_total",  # NEW r5
     "t14_vocab_growth",  # NEW r5
+    "s13_rrf_fusion",  # NEW r5
 )
 
 

@@ -338,3 +338,21 @@ def test_t14_growth_curve_invariants(spark):
     )
     assert prev_t == toks.count()
     assert prev_v == toks.distinct().count()
+
+
+def test_s13_rrf_semantics(spark):
+    """RRF invariants: a doc on BOTH lists outranks the same-rank
+    single-list docs; scores match the closed form 1/(60+r_lex) +
+    1/(60+r_den); ranks are dense 1..10."""
+    rows = q("s13_rrf_fusion", spark).collect()
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        want = 0.0
+        if r.r_lex is not None:
+            want += 1.0 / (60 + r.r_lex)
+        if r.r_den is not None:
+            want += 1.0 / (60 + r.r_den)
+        assert abs(r.rrf - want) < 2e-6, (r, want)
+        assert r.r_lex is not None or r.r_den is not None
