@@ -1197,6 +1197,10 @@ def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_id", "ts", "value")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:  # empty stream → empty ledger, correct schema
+        return spark.createDataFrame(
+            [], "event_id long, cum_cnt long, cum_amount double"
+        )
     span = (hi - lo).total_seconds() + 1.0
     sec = F.col("ts").cast("double") - F.lit(lo).cast("timestamp").cast(
         "double"

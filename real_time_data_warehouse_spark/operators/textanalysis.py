@@ -937,6 +937,10 @@ def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
     )
     max_id = joined.agg(F.max("doc_id")).first()[0]
+    if max_id is None:  # empty corpus → empty curve, correct schema
+        return spark.createDataFrame(
+            [], "doc_id long, cum_tokens long, cum_vocab long"
+        )
     width = (int(max_id) + _T14_BUCKETS) // _T14_BUCKETS
     bucket = (F.col("doc_id") / width).cast("int")
     out = bucketed_prefix(

@@ -198,3 +198,34 @@ def test_last_wins_applier_on_empty_batch(spark, tmp_path):
     assert [(r.user_id, r.event_type, r.last_event_id) for r in rows] == [
         (1, "a", 1)
     ]
+
+
+def test_prefix_sum_queries_on_empty_tables(spark, tmp_path):
+    """a18/t14 derive bucket bounds from a driver fetch — on an empty
+    table that fetch is NULL and must degrade to an empty result, not a
+    TypeError."""
+    import os
+
+    from real_time_data_warehouse_spark.registry import (
+        QUERY_REGISTRY,
+        query_map,
+    )
+
+    query_map()
+    sf = str(tmp_path / "sf_empty")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    a18 = QUERY_REGISTRY["a18_running_total"].fn(spark, sf)
+    assert a18.count() == 0
+    assert a18.columns == ["event_id", "cum_cnt", "cum_amount"]
+    t14 = QUERY_REGISTRY["t14_vocab_growth"].fn(spark, sf)
+    assert t14.count() == 0
+    assert t14.columns == ["doc_id", "cum_tokens", "cum_vocab"]
