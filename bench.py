@@ -84,6 +84,8 @@ EXTENDED = (
     "a18_running_total",
     "t14_vocab_growth",
     "s13_rrf_fusion",
+    "d19_chunk_dedup",
+    "t15_lang_confusion",
 )
 
 # Headline set: the flagship + one representative per operator family.

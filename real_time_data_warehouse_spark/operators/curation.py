@@ -1006,3 +1006,60 @@ import dataclasses as _dc13
 QUERY_REGISTRY["c13_cluster_weighted_sample"] = _dc13.replace(
     QUERY_REGISTRY["c13_cluster_weighted_sample"], oracle=_c13_oracle()
 )
+
+
+# --- d19: chunk-granularity exact dedup -----------------------------------
+
+
+@register(
+    "d19_chunk_dedup",
+    survey="ext-dedup,ext-curation",
+    doc="Paragraph/chunk-granularity exact dedup: the dedup unit drops "
+        "from the document (d1) to the c9 chunk — the granularity at "
+        "which boilerplate headers, license blocks and templated spans "
+        "actually repeat across otherwise-distinct documents (and the "
+        "granularity retrieval indexes ingest). Keep-first per content "
+        "hash under the (doc_id, chunk_id) total order; every chunk "
+        "reports its copy count. One shuffle on the chunk hash over "
+        "c9's map-side explode — at 100 TB this is the cheapest rung "
+        "of the dedup ladder and the one that usually removes the most "
+        "tokens per dollar.",
+    oracle=None,  # attached below from the c9 oracle
+)
+def d19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    chunks = QUERY_REGISTRY["c9_doc_chunks"].fn(spark, sf_dir).select(
+        "doc_id", "chunk_id", "chunk_hash"
+    )
+    wc = Window.partitionBy("chunk_hash")
+    wr = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_hash",
+        F.count("*").over(wc).cast("bigint").alias("n_copies"),
+        (F.row_number().over(wr) == 1).cast("int").alias("kept"),
+    )
+
+
+def _d19_oracle() -> str:
+    c9 = QUERY_REGISTRY["c9_doc_chunks"].oracle
+    return f"""
+        WITH c9 AS ({c9})
+        SELECT doc_id, chunk_id, chunk_hash,
+               CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+                   AS n_copies,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY chunk_hash
+                        ORDER BY doc_id, chunk_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM c9
+    """
+
+
+import dataclasses as _dc19c
+
+QUERY_REGISTRY["d19_chunk_dedup"] = _dc19c.replace(
+    QUERY_REGISTRY["d19_chunk_dedup"], oracle=_d19_oracle()
+)

@@ -957,3 +957,66 @@ def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
     )
+
+
+# --- t15: language-ID confusion matrix ------------------------------------
+
+
+@register(
+    "t15_lang_confusion",
+    survey="ext-text,ext-curation",
+    doc="Classifier-audit rollup for the t1 language-ID heuristic: the "
+        "labeled-vs-predicted confusion matrix with per-cell counts and "
+        "the cell's share of its labeled row (floor-rounded) — the "
+        "datasheet a lang-filtered training mix is signed off against "
+        "(which languages leak into which buckets, how much 'und' "
+        "fallback each label produces). Composes the t1 prediction "
+        "expression verbatim (predictions cannot drift between the "
+        "query and the audit); one (label, prediction) aggregation + a "
+        "broadcast of the per-label totals.",
+    oracle=None,  # attached below from the t1 oracle
+)
+def t15_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = _QRT["t1_lang_id"].fn(spark, sf_dir)
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    totals = preds.groupBy("labeled_lang").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    share = F.col("n_docs").cast("double") / F.col("n_label")
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.floor(share * 10000 + F.lit(0.5)) / 10000)
+        .cast("double")
+        .alias("row_share"),
+    )
+
+
+def _t15_oracle() -> str:
+    t1 = _QRT["t1_lang_id"].oracle
+    return f"""
+        WITH t1 AS ({t1}),
+        cells AS (
+            SELECT labeled_lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM t1 GROUP BY labeled_lang, predicted_lang
+        ),
+        totals AS (
+            SELECT labeled_lang, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM t1 GROUP BY labeled_lang
+        )
+        SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+               CAST(floor(CAST(c.n_docs AS DOUBLE) / t.n_label * 10000
+                          + 0.5) / 10000 AS DOUBLE) AS row_share
+        FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang
+    """
+
+
+import dataclasses as _dct15  # noqa: E402
+
+_QRT["t15_lang_confusion"] = _dct15.replace(
+    _QRT["t15_lang_confusion"], oracle=_t15_oracle()
+)

@@ -227,6 +227,8 @@ MANIFEST: tuple[str, ...] = (
     "a18_running_total",  # NEW r5
     "t14_vocab_growth",  # NEW r5
     "s13_rrf_fusion",  # NEW r5
+    "d19_chunk_dedup",  # NEW r5
+    "t15_lang_confusion",  # NEW r5
 )
 
 

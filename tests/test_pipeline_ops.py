@@ -356,3 +356,34 @@ def test_s13_rrf_semantics(spark):
             want += 1.0 / (60 + r.r_den)
         assert abs(r.rrf - want) < 2e-6, (r, want)
         assert r.r_lex is not None or r.r_den is not None
+
+
+def test_d19_keep_rule_and_copy_counts(spark):
+    """Every chunk appears once; per hash exactly one keeper — the
+    (doc_id, chunk_id)-min — and n_copies is the hash's row count."""
+    rows = q("d19_chunk_dedup", spark).collect()
+    n_chunks = q("c9_doc_chunks", spark).count()
+    assert len(rows) == n_chunks
+    by_hash: dict[str, list] = {}
+    for r in rows:
+        by_hash.setdefault(r.chunk_hash, []).append(r)
+    for h, members in by_hash.items():
+        assert all(m.n_copies == len(members) for m in members)
+        keepers = [m for m in members if m.kept == 1]
+        assert len(keepers) == 1
+        assert min((m.doc_id, m.chunk_id) for m in members) == (
+            keepers[0].doc_id,
+            keepers[0].chunk_id,
+        )
+
+
+def test_t15_matrix_totals(spark):
+    """Cell counts sum to the corpus; row shares sum to ~1 per label."""
+    rows = q("t15_lang_confusion", spark).collect()
+    n_docs = Tables(spark, SF_DIR).documents.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_label: dict[str, float] = {}
+    for r in rows:
+        by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0.0) + r.row_share
+    for lab, s in by_label.items():
+        assert abs(s - 1.0) < 1e-3, (lab, s)
