@@ -86,6 +86,8 @@ EXTENDED = (
     "s13_rrf_fusion",
     "d19_chunk_dedup",
     "t15_lang_confusion",
+    "st4s_daily_uv_replay",
+    "st6s_session_count_replay",
 )
 
 # Headline set: the flagship + one representative per operator family.
@@ -153,7 +155,8 @@ def main() -> None:
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     ext: dict[str, float] = {}
-    for name in (n for n in EXTENDED if n in QUERY_REGISTRY):
+    run_ext = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
+    for name in (n for n in EXTENDED if n in QUERY_REGISTRY) if run_ext else ():
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -637,3 +637,85 @@ QUERY_REGISTRY["st1s_dedup_last_wins_replay"] = _dc20.replace(
     QUERY_REGISTRY["st1s_dedup_last_wins_replay"],
     oracle=QUERY_REGISTRY["st1_dedup_last_wins"].oracle,
 )
+
+
+@register(
+    "st4s_daily_uv_replay",
+    survey="ST4,A4,ext-scale",
+    doc=f"Streaming daily-UV replay: the events table is split into "
+        f"{_N_BATCHES} ascending event_id batches and pushed through "
+        "streaming/visit_stats.apply_daily_uv_batch — keyed "
+        "(user, day) membership-set state (the reference's per-day "
+        "dedup ValueState, DwsTrafficVcChArIsNewPageViewWindow.java:"
+        "58-106), new pairs anti-joining in, touched days re-emitting "
+        "accumulated counts, the log compacting last-wins. Set union "
+        "is order-free, so the id-based split IS the claim: daily UV "
+        "is independent of where micro-batch boundaries fall. Checked "
+        "against the ONE-PASS st4 oracle.",
+    oracle=None,  # attached below: the st4 batch-form oracle, verbatim
+)
+def st4s_daily_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _st,
+    )
+    from real_time_data_warehouse_spark.streaming import visit_stats
+
+    t = Tables(spark, sf_dir)
+    rows = t.events.select("event_id", "user_id", "ts")
+    return _replay_batches(
+        spark,
+        rows,
+        "event_id",
+        visit_stats.apply_daily_uv_batch,
+        finalize=visit_stats.compact_daily_uv_log,
+    )
+
+
+@register(
+    "st6s_session_count_replay",
+    survey="ST6,ext-scale",
+    doc=f"Streaming session-count replay: the events table is split "
+        f"into {_N_BATCHES} ascending TIME-RANGE batches and pushed "
+        "through streaming/visit_stats.apply_session_count_batch — "
+        "keyed (last_ts, count) state implementing the reference's "
+        "30-min-gap session rule (DwsTrafficVcChArIsNewPageViewWindow."
+        "java:86-88): a batch's first event per user consults the "
+        "CARRIED last event time, touched users re-emit accumulated "
+        "counts, the log compacts last-wins. With st4s this completes "
+        "driver-checked batch ≡ stream twins for every §2.6 stateful "
+        "family. Checked against the ONE-PASS st6 oracle.",
+    oracle=None,  # attached below: the st6 batch-form oracle, verbatim
+)
+def st6s_session_count_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _st,
+    )
+    from real_time_data_warehouse_spark.streaming import visit_stats
+
+    t = Tables(spark, sf_dir)
+    rows = _with_tsec(t.events.select("event_id", "user_id", "ts"))
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        visit_stats.apply_session_count_batch,
+        finalize=visit_stats.compact_session_log,
+    )
+
+
+import dataclasses as _dc21  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    stateful as _stateful_for_oracle2,
+)
+
+QUERY_REGISTRY["st4s_daily_uv_replay"] = _dc21.replace(
+    QUERY_REGISTRY["st4s_daily_uv_replay"],
+    oracle=QUERY_REGISTRY["st4_first_per_day_uv"].oracle,
+)
+QUERY_REGISTRY["st6s_session_count_replay"] = _dc21.replace(
+    QUERY_REGISTRY["st6s_session_count_replay"],
+    oracle=QUERY_REGISTRY["st6_session_count"].oracle,
+)

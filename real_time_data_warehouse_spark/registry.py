@@ -229,6 +229,8 @@ MANIFEST: tuple[str, ...] = (
     "s13_rrf_fusion",  # NEW r5
     "d19_chunk_dedup",  # NEW r5
     "t15_lang_confusion",  # NEW r5
+    "st4s_daily_uv_replay",  # NEW r5
+    "st6s_session_count_replay",  # NEW r5
 )
 
 

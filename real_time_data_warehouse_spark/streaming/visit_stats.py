@@ -1,0 +1,180 @@
+"""Incremental traffic-stats state — streaming forms of ST4 and ST6,
+completing driver-checked batch ≡ stream twins for EVERY stateful
+operator family in SURVEY §2.6:
+
+- ST4 first-event-per-day daily UV
+  (``DwsTrafficVcChArIsNewPageViewWindow.java:58-106``): keyed state =
+  the set of (user, day) pairs already counted; a batch contributes a
+  day's count only for pairs not yet in the set. Set union is
+  COMMUTATIVE+ASSOCIATIVE, so there is NO batch ordering contract —
+  the replay splits on event_id like a5s/st1s.
+- ST6 session-visit count (``DwsTrafficVcChArIsNewPageViewWindow.java:
+  86-88`` generalized to the 30-min-gap rule): keyed state = the
+  user's last event time plus the accumulated session count. The gap
+  rule reads the carried last_ts, so batches MUST ascend in event time
+  (the carried-state contract; replay splits on a derived time key).
+
+Both emit CDC-style upsert logs (touched keys re-emit their full
+accumulated value; compact last-wins per key by emitting batch), and
+both follow the shared ``batch_id=N`` snapshot discipline
+(``state_store.py``) so a retried batch is idempotent. State bounds:
+ST4 is O(users × active days) — exactly the dedup set the reference
+keeps with per-day TTL; ST6 is O(users).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
+from real_time_data_warehouse_spark.streaming.state_store import (
+    read_snapshot,
+    write_snapshot,
+)
+
+# --- ST4: first-event-per-day daily UV ------------------------------------
+
+_SEEN_SCHEMA = "user_id long, d date"
+_DAY_SCHEMA = "d date, uv_ct long"
+
+
+def _seen_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "seen")
+
+
+def _days_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "days")
+
+
+def apply_daily_uv_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of daily-UV accumulation over (user_id, ts):
+    each (user, day) pair counts once ever; touched days re-emit their
+    accumulated count."""
+    pairs = (
+        batch.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = read_snapshot(spark, _seen_dir(state_dir), batch_id, _SEEN_SCHEMA)
+    new = pairs.join(seen, ["user_id", "d"], "left_anti").localCheckpoint(
+        eager=True
+    )
+    inc = new.groupBy("d").agg(F.count("*").cast("long").alias("uv_inc"))
+    dstate = read_snapshot(spark, _days_dir(state_dir), batch_id, _DAY_SCHEMA)
+    new_dstate = (
+        dstate.unionByName(inc.select("d", F.col("uv_inc").alias("uv_ct")))
+        .groupBy("d")
+        .agg(F.sum("uv_ct").cast("long").alias("uv_ct"))
+        .localCheckpoint(eager=True)
+    )
+    touched = inc.select("d")
+    out = new_dstate.join(F.broadcast(touched), "d", "leftsemi").select(
+        F.date_format("d", "yyyy-MM-dd").alias("cur_date"), "uv_ct"
+    )
+    if batch_id == 0:
+        assert_no_cartesian(out, "visit_stats.apply_daily_uv_batch")
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    write_snapshot(seen.unionByName(new), _seen_dir(state_dir), batch_id)
+    write_snapshot(new_dstate, _days_dir(state_dir), batch_id)
+
+
+def compact_daily_uv_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Last-wins per cur_date by emitting batch."""
+    log = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy("cur_date").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cur_date", F.col("uv_ct").cast("bigint").alias("uv_ct"))
+    )
+
+
+# --- ST6: session-visit count ---------------------------------------------
+
+_SESS_SCHEMA = "user_id long, last_ts timestamp, ct long"
+_GAP_S = 1800.0  # one source of truth with st6_session_count
+
+
+def apply_session_count_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of 30-min-gap session counting over
+    (user_id, ts, event_id): a batch's first event per user consults
+    the CARRIED last_ts (time-ascending contract), later events the
+    in-batch lag; touched users re-emit their accumulated count."""
+    ev = batch.select("user_id", "ts", "event_id").localCheckpoint(
+        eager=True
+    )
+    state = read_snapshot(spark, state_dir, batch_id, _SESS_SCHEMA)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_vs = lambda base: (  # noqa: E731
+        F.col("ts").cast("double") - base.cast("double")
+    ) > _GAP_S
+    marked = ev.withColumn("prev_ts", prev).join(
+        state.select("user_id", "last_ts"), "user_id", "left"
+    )
+    is_new = F.when(
+        F.col("prev_ts").isNotNull(), gap_vs(F.col("prev_ts")).cast("int")
+    ).otherwise(
+        (F.col("last_ts").isNull() | gap_vs(F.col("last_ts"))).cast("int")
+    )
+    per_user = marked.select("user_id", "ts", is_new.alias("n")).groupBy(
+        "user_id"
+    ).agg(
+        F.sum("n").cast("long").alias("batch_new"),
+        F.max("ts").alias("batch_last"),
+    ).localCheckpoint(eager=True)
+    new_state = (
+        state.join(per_user, "user_id", "full")
+        .select(
+            "user_id",
+            # time-ascending batches ⇒ batch ts >= carried last_ts
+            F.coalesce("batch_last", "last_ts").alias("last_ts"),
+            (F.coalesce("ct", F.lit(0)) + F.coalesce("batch_new", F.lit(0)))
+            .cast("long")
+            .alias("ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = per_user.select("user_id")
+    out = new_state.join(F.broadcast(touched), "user_id", "leftsemi").select(
+        "user_id", F.col("ct").cast("bigint").alias("session_ct")
+    )
+    if batch_id == 0:
+        assert_no_cartesian(out, "visit_stats.apply_session_count_batch")
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    write_snapshot(new_state, state_dir, batch_id)
+
+
+def compact_session_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Last-wins per user by emitting batch."""
+    log = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("session_ct").cast("bigint").alias("session_ct")
+        )
+    )
