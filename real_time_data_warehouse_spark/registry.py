@@ -63,13 +63,12 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Rotated for driver round 5 (tools/rotation.py freshness order):
-    # tier 1 = never driver-verified (w11/c12/a5s sat at slots 51-53
-    # last round; st3s/st5s/a6b are new this session); then the
-    # stalest hard signal first — the full r2-green cohort re-enters
-    # the cap after two rounds out, and the 8 oldest r3 rows fill the
-    # remaining slots. Everything below slot 50 is r3/r4-green and
-    # unchanged; it rotates back as the no-signal tier drains.
+    # Rotated mid-round-5 (tools/rotation.py freshness order): tier 1 =
+    # ALL 23 never-driver-verified queries (9 first-session + 14
+    # second-session additions) so every registry query has hard signal
+    # after this round's driver pass; tier 2 = the 27 stalest r2-green
+    # rows. The remaining r2 rows and the r3/r4 cohorts sit below the
+    # cap on past green signal and rotate back next round.
     "w11_cumulate_window",  # NEVER
     "c12_quality_weighted_sample",  # NEVER
     "a5s_windowed_uu_replay",  # NEVER
@@ -79,6 +78,20 @@ MANIFEST: tuple[str, ...] = (
     "s12_label_partitioned_ann",  # NEVER
     "u3_weighted_mean_udaf",  # NEVER
     "c10s_profile_replay",  # NEVER
+    "d17_semantic_dedup",  # NEVER
+    "st1s_dedup_last_wins_replay",  # NEVER
+    "t12_char_entropy",  # NEVER
+    "t13_zipf_slope",  # NEVER
+    "c13_cluster_weighted_sample",  # NEVER
+    "d17b_semdedup_recall_audit",  # NEVER
+    "d17c_semantic_dedup_multiprobe",  # NEVER
+    "a18_running_total",  # NEVER
+    "t14_vocab_growth",  # NEVER
+    "s13_rrf_fusion",  # NEVER
+    "d19_chunk_dedup",  # NEVER
+    "t15_lang_confusion",  # NEVER
+    "st4s_daily_uv_replay",  # NEVER
+    "st6s_session_count_replay",  # NEVER
     "p2_dirty_side_output",  # r2
     "j1_inner_equi_join",  # r2
     "j2_left_outer_join",  # r2
@@ -106,6 +119,7 @@ MANIFEST: tuple[str, ...] = (
     "m2_frame_sampling",  # r2
     "c2_stratified_sample",  # r2
     "c3_sequence_packing",  # r2
+    # ---- driver cap: slots below get no hard signal this round ----
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -120,7 +134,6 @@ MANIFEST: tuple[str, ...] = (
     "d9s_semantic_gate_replay",  # r3
     "f_scalar_suite",  # r3
     "a2b_approx_distinct",  # r3
-    # ---- driver cap: slots below get no hard signal this round ----
     "j9_salted_skew_join",  # r3
     "a12_salted_skew_agg",  # r3
     "a11b_approx_percentiles",  # r3
@@ -216,21 +229,6 @@ MANIFEST: tuple[str, ...] = (
     "j4s_interval_join_replay",  # r4
     "j2s_left_outer_join_replay",  # r4
     "a14_window_topn",  # r4
-    # Round-5 session additions — below the cap until the next rotation.
-    "d17_semantic_dedup",  # NEW r5
-    "st1s_dedup_last_wins_replay",  # NEW r5
-    "t12_char_entropy",  # NEW r5
-    "t13_zipf_slope",  # NEW r5
-    "c13_cluster_weighted_sample",  # NEW r5
-    "d17b_semdedup_recall_audit",  # NEW r5
-    "d17c_semantic_dedup_multiprobe",  # NEW r5
-    "a18_running_total",  # NEW r5
-    "t14_vocab_growth",  # NEW r5
-    "s13_rrf_fusion",  # NEW r5
-    "d19_chunk_dedup",  # NEW r5
-    "t15_lang_confusion",  # NEW r5
-    "st4s_daily_uv_replay",  # NEW r5
-    "st6s_session_count_replay",  # NEW r5
 )
 
 

@@ -2,13 +2,13 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-4 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-5 rotation
-(tools/rotation.py freshness order): tier 1 = the six never-verified
-queries (w11/c12/a5s were stranded at slots 51-53 last round;
-st3s/st5s/a6b are new); tier 2 = the stalest greens — the full
-r2-cohort (out of the cap for two rounds) plus the 8 oldest-r3 rows
-filling the cap. Everything below slot 50 is r3/r4-green and
-unchanged.
+manifest slots are the only hard-signal slots. Mid-round-5 rotation
+(tools/rotation.py freshness order): tier 1 = ALL 23 never-verified
+queries (the 9 first-session additions plus the 14 second-session
+ones), so every registry query has hard signal after this round's
+driver pass; tier 2 = the 27 stalest r2-green rows. The rest of the
+r2 cohort and the r3/r4 cohorts sit below the cap on past green
+signal and rotate back next round.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -37,6 +37,20 @@ TIER1 = (
     "s12_label_partitioned_ann",
     "u3_weighted_mean_udaf",
     "c10s_profile_replay",
+    "d17_semantic_dedup",
+    "st1s_dedup_last_wins_replay",
+    "t12_char_entropy",
+    "t13_zipf_slope",
+    "c13_cluster_weighted_sample",
+    "d17b_semdedup_recall_audit",
+    "d17c_semantic_dedup_multiprobe",
+    "a18_running_total",
+    "t14_vocab_growth",
+    "s13_rrf_fusion",
+    "d19_chunk_dedup",
+    "t15_lang_confusion",
+    "st4s_daily_uv_replay",
+    "st6s_session_count_replay",
 )
 # Stalest hard signal (r2 cohort + the 8 oldest r3 rows): must sit
 # inside the cap so their signal refreshes this round.
@@ -68,20 +82,6 @@ TIER2 = (
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",
-    "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
-    "f_scalar_suite",
-    "a2b_approx_distinct",
 )
 
 
