@@ -536,3 +536,36 @@ def test_a18_prefix_sum_is_two_phase(spark):
     # any unpartitioned window may touch only the bucket-totals columns
     assert all("t_cnt" in s or "t_amt" in s for s in unpartitioned), specs
     assert broadcast_join_count(df) >= 1, plan
+
+
+def test_d19_single_hash_shuffle(spark):
+    """d19: c9's explode is map-side and both windows share ONE
+    chunk_hash exchange — chunk dedup must stay the cheapest rung of
+    the ladder."""
+    df = q("d19_chunk_dedup", spark)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_t15_totals_broadcast(spark):
+    """t15: per-label totals broadcast onto the |langs|² cells; two
+    aggregations, no wide join."""
+    df = q("t15_lang_confusion", spark)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_s13_dense_list_is_take_ordered(spark):
+    """s13: the dense candidate list must arrive via TakeOrdered (a
+    global cosine sort of the corpus is the scale bug); the query
+    vector is a 1-row broadcast."""
+    df = q("s13_rrf_fusion", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_c13_single_cluster_shuffle(spark):
+    """c13: both windows (size count, hash rank) share ONE cluster_id
+    exchange on top of d6's cached artifact."""
+    df = q("c13_cluster_weighted_sample", spark)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
