@@ -29,6 +29,11 @@ SMOKE = (
     "d5_embedding_neardup",     # banded candidate volume grows ~10×
     "j10_asof_join",            # orders-per-customer history deepens
     "s5_pq_adc_topk",           # codebooks train on 10× vectors
+    # round-5 second-session additions whose shape scales
+    "d17c_semantic_dedup_multiprobe",  # probe-cell occupancy grows 10×
+    "t13_zipf_slope",           # frequency lattice exercises larger ln domain
+    "a18_running_total",        # all 32 prefix buckets populated
+    "st1s_dedup_last_wins_replay",  # state/batch winner overlap deepens
 )
 
 
