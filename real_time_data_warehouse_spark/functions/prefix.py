@@ -41,7 +41,10 @@ def bucketed_prefix(
     be an exact/associative type. Returns ``df``'s rows (plus the
     ``__bucket`` column dropped) with one ``cum_<name>`` per measure.
     """
-    b = df.withColumn("__bucket", bucket)
+    # one materialization serves both phases — the local-prefix window
+    # and the totals aggregation each read the (possibly expensive)
+    # upstream subtree, and Catalyst plans no reuse between branches
+    b = df.withColumn("__bucket", bucket).localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("__bucket")
         .orderBy(*order_cols)

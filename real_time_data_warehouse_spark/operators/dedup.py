@@ -642,7 +642,13 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels
 
 
-_D6_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Keyed by (applicationId, session identity, sf_dir): newSession()
+# shares an applicationId but must not be handed another session's
+# checkpointed frame. Bounded: oldest entry dropped past the cap so a
+# long-lived driver iterating many sf_dirs can't accumulate checkpoint
+# blocks without end.
+_D6_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+_D6_CACHE_MAX = 4
 
 
 @register(
@@ -667,7 +673,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative CC loop once, as a deployment would reuse one clustering
     # artifact. The loop already localCheckpoints per round, so caching
     # the final frame adds no new lineage semantics.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     cached = _D6_CACHE.get(key)
     if cached is not None:
         return cached
@@ -686,6 +692,8 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     ).localCheckpoint(eager=True)
+    while len(_D6_CACHE) >= _D6_CACHE_MAX:
+        _D6_CACHE.pop(next(iter(_D6_CACHE)))
     _D6_CACHE[key] = out
     return out
 

@@ -63,7 +63,11 @@ def _replay_batches(
     concatenated decisions detached from the scratch dirs. ``finalize``
     overrides the default read of out_dir (e.g. upsert-log compaction
     for the SCD2 stream)."""
-    span = int(rows.agg(F.max(id_col)).first()[0]) + 1
+    max_id = rows.agg(F.max(id_col)).first()[0]
+    # empty input: still drive the applier once with the empty batch —
+    # appliers are empty-batch-hardened (tests/test_empty_inputs.py) and
+    # write a correctly-schemaed empty partition for the final read
+    span = (int(max_id) if max_id is not None else 0) + 1
     tmp = tempfile.mkdtemp(prefix="rtdw_gate_replay_")
     store_dir = os.path.join(tmp, "store")
     out_dir = os.path.join(tmp, "out")
@@ -474,6 +478,8 @@ def _with_tsec(ev: DataFrame) -> DataFrame:
     the carried-state appliers' ordering contract (batches ascend in
     event time), independent of any id/ts correlation in the fixture."""
     t0 = ev.agg(F.min("ts")).first()[0]
+    if t0 is None:  # empty stream — any constant key splits it validly
+        return ev.withColumn("tsec", F.lit(0).cast("long"))
     return ev.withColumn(
         "tsec",
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),

@@ -981,8 +981,9 @@ def t15_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
-    totals = preds.groupBy("labeled_lang").agg(
-        F.count("*").cast("bigint").alias("n_label")
+    # totals fold from the cells — one documents scan, not two
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_label")
     )
     share = F.col("n_docs").cast("double") / F.col("n_label")
     return cells.join(F.broadcast(totals), "labeled_lang").select(

@@ -229,3 +229,30 @@ def test_prefix_sum_queries_on_empty_tables(spark, tmp_path):
     t14 = QUERY_REGISTRY["t14_vocab_growth"].fn(spark, sf)
     assert t14.count() == 0
     assert t14.columns == ["doc_id", "cum_tokens", "cum_vocab"]
+
+
+def test_replay_harness_on_empty_stream(spark, tmp_path, monkeypatch):
+    """The replay twins must degrade to empty results on an empty
+    events table (max(id) is NULL there), like every other operator."""
+    import os
+
+    from real_time_data_warehouse_spark.registry import (
+        QUERY_REGISTRY,
+        query_map,
+    )
+
+    query_map()
+    sf = str(tmp_path / "sf_empty_replay")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+    for name in (
+        "st1s_dedup_last_wins_replay",
+        "st4s_daily_uv_replay",
+        "st6s_session_count_replay",
+    ):
+        out = QUERY_REGISTRY[name].fn(spark, sf)
+        assert out.count() == 0, name

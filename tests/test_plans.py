@@ -522,6 +522,8 @@ def test_a18_prefix_sum_is_two_phase(spark):
     offsets must broadcast back — a global ORDER BY window over the
     events table is the single-reducer bug this operator exists to
     avoid."""
+    import re
+
     df = q("a18_running_total", spark)
     plan = formatted_plan(df)
     specs = [
@@ -530,11 +532,17 @@ def test_a18_prefix_sum_is_two_phase(spark):
         if "windowspecdefinition(" in line
     ]
     assert specs, plan
-    unpartitioned = [s for s in specs if "bucket" not in s]
-    partitioned = [s for s in specs if "bucket" in s]
+    # PARTITIONED = __bucket is a partition key: it appears as a bare
+    # first argument ("__bucket#N,"), not a sort column ("__bucket#N ASC").
+    # Substring presence is not enough — a regression to
+    # Window.orderBy("__bucket", ...) (global sort, one reducer) still
+    # mentions the column but renders it with a sort direction.
+    part_re = re.compile(r"windowspecdefinition\(__bucket#\d+,")
+    partitioned = [x for x in specs if part_re.search(x)]
+    unpartitioned = [x for x in specs if not part_re.search(x)]
     assert partitioned, plan  # local prefixes keyed by bucket
     # any unpartitioned window may touch only the bucket-totals columns
-    assert all("t_cnt" in s or "t_amt" in s for s in unpartitioned), specs
+    assert all("__t_" in x for x in unpartitioned), specs
     assert broadcast_join_count(df) >= 1, plan
 
 

@@ -52,8 +52,8 @@ TIER1 = (
     "st4s_daily_uv_replay",
     "st6s_session_count_replay",
 )
-# Stalest hard signal (r2 cohort + the 8 oldest r3 rows): must sit
-# inside the cap so their signal refreshes this round.
+# Stalest hard signal (the 27 oldest r2-green rows): must sit inside
+# the cap so their signal refreshes this round.
 TIER2 = (
     "p2_dirty_side_output",
     "j1_inner_equi_join",
