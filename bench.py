@@ -88,6 +88,7 @@ EXTENDED = (
     "t15_lang_confusion",
     "st4s_daily_uv_replay",
     "st6s_session_count_replay",
+    "z2_column_stats",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -135,3 +135,73 @@ def zorder_file_stats(
             F.max("day").cast("bigint").alias("max_day"),
         )
     )
+
+
+# --- z2: optimizer column statistics --------------------------------------
+
+_Z2_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "z2_column_stats",
+    survey="ext-scale,ext-curation",
+    doc="ANALYZE-TABLE statistics collection over the fact table's "
+        "measure columns — row count, null count, exact NDV, min/max "
+        "per column in ONE scan (the inputs a cost-based optimizer's "
+        "join-reorder/broadcast decisions and a lakehouse's pruning "
+        "stats both consume; z1 is the per-file layout half, z2 the "
+        "per-column catalog half). The multi-distinct aggregate runs "
+        "as Spark's expand + partial aggregation (map-side combine per "
+        "column); at 100 TB the documented swap is HLL partials per "
+        "column (the a2b/a2c machinery) — same shape, bounded state. "
+        "Min/max/ndv are over RAW parquet values (no computed floats), "
+        "so cross-engine equality is exact; the wide 1-row aggregate "
+        "unpivots map-side.",
+    oracle="""
+        WITH a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {metrics}
+            FROM lineitem
+        )
+        {selects}
+    """.format(
+        metrics=",\n                   ".join(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}_nulls,\n                   "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv,\n"
+            f"                   CAST(MIN({c}) AS DOUBLE) AS {c}_min,\n"
+            f"                   CAST(MAX({c}) AS DOUBLE) AS {c}_max"
+            for c in _Z2_COLS
+        ),
+        selects="\n        UNION ALL\n        ".join(
+            f"SELECT '{c}' AS col_name, n_rows, {c}_nulls AS n_nulls, "
+            f"{c}_ndv AS ndv, {c}_min AS min_v, {c}_max AS max_v FROM a"
+            for c in _Z2_COLS
+        ),
+    ),
+)
+def z2_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _Z2_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}_ndv"),
+            F.min(c).cast("double").alias(f"{c}_min"),
+            F.max(c).cast("double").alias(f"{c}_max"),
+        ]
+    wide = t.lineitem.select(*_Z2_COLS).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_ndv").alias("ndv"),
+                F.col(f"{c}_min").alias("min_v"),
+                F.col(f"{c}_max").alias("max_v"),
+            )
+            for c in _Z2_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")

@@ -387,3 +387,27 @@ def test_t15_matrix_totals(spark):
         by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0.0) + r.row_share
     for lab, s in by_label.items():
         assert abs(s - 1.0) < 1e-3, (lab, s)
+
+
+def test_z2_stats_match_direct_queries(spark):
+    """Each emitted row must equal the directly-computed statistics for
+    its column — and the single-scan unpivot must cover every profiled
+    column exactly once."""
+    from real_time_data_warehouse_spark.operators.layout import _Z2_COLS
+
+    rows = {r.col_name: r for r in q("z2_column_stats", spark).collect()}
+    assert set(rows) == set(_Z2_COLS)
+    li = Tables(spark, SF_DIR).lineitem
+    n = li.count()
+    for c in _Z2_COLS:
+        direct = li.agg(
+            F.sum(F.col(c).isNull().cast("int")).alias("nulls"),
+            F.count_distinct(F.col(c)).alias("ndv"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+        ).first()
+        r = rows[c]
+        assert r.n_rows == n
+        assert r.n_nulls == (direct.nulls or 0)
+        assert r.ndv == direct.ndv
+        assert r.min_v == float(direct.lo) and r.max_v == float(direct.hi)

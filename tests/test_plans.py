@@ -577,3 +577,16 @@ def test_c13_single_cluster_shuffle(spark):
     exchange on top of d6's cached artifact."""
     df = q("c13_cluster_weighted_sample", spark)
     assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_z2_single_scan_expand_aggregate(spark):
+    """z2: all per-column statistics come from ONE lineitem scan — the
+    multi-distinct runs as Expand + partial aggregation, not one scan
+    per column."""
+    import re
+
+    df = q("z2_column_stats", spark)
+    plan = formatted_plan(df)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "Expand" in plan, plan
