@@ -978,10 +978,14 @@ def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t15_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = _QRT["t1_lang_id"].fn(spark, sf_dir)
-    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    # the |langs|² cell table feeds BOTH the output and the row totals —
+    # checkpoint it so the documents scan runs once (tiny frame, the
+    # _assigned_cells discipline)
+    cells = (
+        preds.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)
     )
-    # totals fold from the cells — one documents scan, not two
     totals = cells.groupBy("labeled_lang").agg(
         F.sum("n_docs").cast("bigint").alias("n_label")
     )

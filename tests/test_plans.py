@@ -554,12 +554,18 @@ def test_d19_single_hash_shuffle(spark):
     assert shuffle_count(df) <= 1, formatted_plan(df)
 
 
-def test_t15_totals_broadcast(spark):
-    """t15: per-label totals broadcast onto the |langs|² cells; two
-    aggregations, no wide join."""
+def test_t15_single_scan_totals_broadcast(spark):
+    """t15: the documents scan runs ONCE (the checkpointed cell table
+    serves both the output and the row totals) and the per-label totals
+    come back as a broadcast onto the |langs|² cells."""
+    import re
+
     df = q("t15_lang_confusion", spark)
-    assert broadcast_join_count(df) >= 1, formatted_plan(df)
-    assert shuffle_count(df) <= 2, formatted_plan(df)
+    plan = formatted_plan(df)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) <= 1, plan  # 0 once the checkpoint hides the scan
+    assert broadcast_join_count(df) >= 1, plan
+    assert shuffle_count(df) <= 2, plan
 
 
 def test_s13_dense_list_is_take_ordered(spark):
