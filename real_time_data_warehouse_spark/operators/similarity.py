@@ -1482,34 +1482,53 @@ _QR["d17_semantic_dedup"] = _dc.replace(
 # --- d17b: SemDeDup cell-recall audit --------------------------------------
 
 
+_AUDIT_PROBES = 2  # probe tier measured alongside top-1 (d17c's k)
+
+
 def _d17b_oracle() -> str:
     csim = _IVF_CSIM_SQL
     ctes, trained = _ivf_training_ctes()
     d5 = _QR["d5_embedding_neardup"].oracle
+    k = _AUDIT_PROBES
     return f"""
         WITH {ctes},
-        asgn AS (
-            SELECT vec_id, cell FROM (
-                SELECT x.vec_id, c.cell,
-                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                           ORDER BY {csim} DESC, c.cell) AS rn
-                FROM e x, {trained} c)
-            WHERE rn = 1
+        ranked AS (
+            SELECT x.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {csim} DESC, c.cell) AS rn
+            FROM e x, {trained} c
+        ),
+        asgn AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT vec_id, cell FROM ranked WHERE rn <= {k}
+        ),
+        ov AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM probes a JOIN probes b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
         ),
         p AS ({d5}),
         j AS (
             SELECT p.vec_a, p.vec_b,
-                   CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END AS same
+                   CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END AS same,
+                   CASE WHEN ov.vec_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS probed
             FROM p
             JOIN asgn a ON p.vec_a = a.vec_id
             JOIN asgn b ON p.vec_b = b.vec_id
+            LEFT JOIN ov ON p.vec_a = ov.vec_a AND p.vec_b = ov.vec_b
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(COALESCE(SUM(same), 0) AS BIGINT) AS n_same_cell,
                CAST(CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE
                    floor(CAST(COALESCE(SUM(same), 0) AS DOUBLE)
                          / COUNT(*) * 10000 + 0.5) / 10000
-               END AS DOUBLE) AS cell_recall
+               END AS DOUBLE) AS cell_recall,
+               CAST(COALESCE(SUM(probed), 0) AS BIGINT) AS n_probe_pairs,
+               CAST(CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE
+                   floor(CAST(COALESCE(SUM(probed), 0) AS DOUBLE)
+                         / COUNT(*) * 10000 + 0.5) / 10000
+               END AS DOUBLE) AS probe_recall
         FROM j
     """
 
@@ -1538,26 +1557,55 @@ def d17b_semdedup_recall_audit(
     asgn = _assigned_cells(spark, sf_dir).select("vec_id", "cell")
     a = asgn.select(F.col("vec_id").alias("vec_a"), F.col("cell").alias("ca"))
     b = asgn.select(F.col("vec_id").alias("vec_b"), F.col("cell").alias("cb"))
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _trained_centroids(sf_dir, emb)
+    topk = _topcells_udf(cents, _AUDIT_PROBES)
+    probes = (
+        emb.select("vec_id", F.explode(topk(F.col("v"))).alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    pa = probes.select(F.col("vec_id").alias("vec_a"), "cell")
+    pb = probes.select(F.col("vec_id").alias("vec_b"), "cell")
+    ov = (
+        pa.join(pb, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .withColumn("probed", F.lit(1))
+    )
     j = (
         pairs.join(F.broadcast(a), "vec_a")
         .join(F.broadcast(b), "vec_b")
-        .select((F.col("ca") == F.col("cb")).cast("int").alias("same"))
+        .join(F.broadcast(ov), ["vec_a", "vec_b"], "left")
+        .select(
+            (F.col("ca") == F.col("cb")).cast("int").alias("same"),
+            F.coalesce("probed", F.lit(0)).alias("probed"),
+        )
     )
     agg = j.agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.coalesce(F.sum("same"), F.lit(0)).cast("bigint").alias("n_same_cell"),
+        F.coalesce(F.sum("probed"), F.lit(0))
+        .cast("bigint")
+        .alias("n_probe_pairs"),
     )
-    recall = F.when(F.col("n_pairs") == 0, F.lit(1.0)).otherwise(
-        F.floor(
-            F.col("n_same_cell").cast("double")
-            / F.col("n_pairs")
-            * 10000
-            + F.lit(0.5)
+
+    def _ratio(num: str) -> F.Column:
+        return F.when(F.col("n_pairs") == 0, F.lit(1.0)).otherwise(
+            F.floor(
+                F.col(num).cast("double") / F.col("n_pairs") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
         )
-        / 10000
-    )
+
     return agg.select(
-        "n_pairs", "n_same_cell", recall.cast("double").alias("cell_recall")
+        "n_pairs",
+        "n_same_cell",
+        _ratio("n_same_cell").cast("double").alias("cell_recall"),
+        "n_probe_pairs",
+        _ratio("n_probe_pairs").cast("double").alias("probe_recall"),
     )
 
 

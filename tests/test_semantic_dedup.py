@@ -61,10 +61,14 @@ def test_d17b_audit_is_internally_consistent(spark):
     row = q("d17b_semdedup_recall_audit", spark).collect()[0]
     n_d5 = q("d5_embedding_neardup", spark).count()
     assert row.n_pairs == n_d5
-    assert 0 <= row.n_same_cell <= row.n_pairs
+    assert 0 <= row.n_same_cell <= row.n_probe_pairs <= row.n_pairs
+    assert row.probe_recall >= row.cell_recall  # probe tier only widens
     if row.n_pairs:
         assert abs(
             row.cell_recall - round(row.n_same_cell / row.n_pairs, 4)
+        ) <= 1e-4
+        assert abs(
+            row.probe_recall - round(row.n_probe_pairs / row.n_pairs, 4)
         ) <= 1e-4
 
 
