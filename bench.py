@@ -89,6 +89,7 @@ EXTENDED = (
     "st4s_daily_uv_replay",
     "st6s_session_count_replay",
     "z2_column_stats",
+    "c15_curriculum_phases",
 )
 
 # Headline set: the flagship + one representative per operator family.

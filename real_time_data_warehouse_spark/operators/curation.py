@@ -1063,3 +1063,91 @@ import dataclasses as _dc19c
 QUERY_REGISTRY["d19_chunk_dedup"] = _dc19c.replace(
     QUERY_REGISTRY["d19_chunk_dedup"], oracle=_d19_oracle()
 )
+
+
+# --- c15: curriculum phases by quality rank -------------------------------
+
+_C15_PHASES = 10
+_C15_BUCKETS = 32
+
+
+@register(
+    "c15_curriculum_phases",
+    survey="ext-curation,ext-text,ext-scale",
+    doc=f"Curriculum ordering: every document ranked by its t2 quality "
+        f"score (composed verbatim — the audit-vs-query single-source "
+        f"rule) and assigned to one of {_C15_PHASES} equal-width rank "
+        "phases, the train-easy-first schedule curriculum-learning "
+        "recipes consume. The global rank is the scale problem — "
+        "NTILE/ROW_NUMBER over an unpartitioned ORDER BY is a "
+        "one-reducer sort — so the rank IS a bucketed_prefix cumulative "
+        "count over quality-range buckets (a18's two-phase machinery, "
+        "second consumer): parallel local ranks, 32-row offsets, "
+        "broadcast back. Quality sits on the 1e-4 lattice, so the "
+        "(quantized quality, doc_id) order and the phase arithmetic "
+        "are integer-exact cross-engine.",
+    oracle=None,  # attached below from the t2 oracle
+)
+def c15_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
+    q = QUERY_REGISTRY["t2_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    qm = F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
+    base = q.select("doc_id", "quality_score", qm.alias("qm"))
+    lo, hi = base.agg(F.min("qm"), F.max("qm")).first()
+    if lo is None:  # empty corpus
+        return spark.createDataFrame(
+            [], "doc_id long, quality_score double, q_rank long, phase int"
+        )
+    n = base.count()
+    span = int(hi) - int(lo) + 1
+    bucket = F.least(
+        F.floor((F.col("qm") - int(lo)) * _C15_BUCKETS / span),
+        F.lit(_C15_BUCKETS - 1),
+    ).cast("int")
+    ranked = bucketed_prefix(
+        base,
+        bucket,
+        ["qm", "doc_id"],
+        {"cnt": (F.lit(1).cast("bigint"), F.lit(0).cast("bigint"))},
+    )
+    phase = F.floor(
+        (F.col("cum_cnt") - 1).cast("double") * _C15_PHASES / n
+    ).cast("int")
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        F.col("cum_cnt").cast("bigint").alias("q_rank"),
+        phase.alias("phase"),
+    )
+
+
+def _c15_oracle() -> str:
+    t2 = QUERY_REGISTRY["t2_quality_score"].oracle
+    return f"""
+        WITH t2 AS ({t2}),
+        r AS (
+            SELECT doc_id, quality_score,
+                   ROW_NUMBER() OVER (
+                       ORDER BY floor(quality_score * 10000 + 0.5),
+                                doc_id) AS q_rank,
+                   COUNT(*) OVER () AS n
+            FROM t2
+        )
+        SELECT doc_id, quality_score,
+               CAST(q_rank AS BIGINT) AS q_rank,
+               CAST(floor(CAST((q_rank - 1) * {_C15_PHASES} AS DOUBLE) / n)
+                    AS INT) AS phase
+        FROM r
+    """
+
+
+import dataclasses as _dc15c
+
+QUERY_REGISTRY["c15_curriculum_phases"] = _dc15c.replace(
+    QUERY_REGISTRY["c15_curriculum_phases"], oracle=_c15_oracle()
+)

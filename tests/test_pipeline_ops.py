@@ -411,3 +411,25 @@ def test_z2_stats_match_direct_queries(spark):
         assert r.n_nulls == (direct.nulls or 0)
         assert r.ndv == direct.ndv
         assert r.min_v == float(direct.lo) and r.max_v == float(direct.hi)
+
+
+def test_c15_phase_invariants(spark):
+    """Ranks are a dense permutation 1..n, phases are nondecreasing in
+    rank with balanced equal-width sizes, and higher-quality docs never
+    land in an earlier phase than lower-quality ones."""
+    rows = sorted(
+        q("c15_curriculum_phases", spark).collect(), key=lambda r: r.q_rank
+    )
+    n = len(rows)
+    assert [r.q_rank for r in rows] == list(range(1, n + 1))
+    prev_phase, prev_q = 0, -1.0
+    from collections import Counter
+
+    sizes = Counter()
+    for r in rows:
+        assert r.phase >= prev_phase
+        assert r.quality_score >= prev_q or r.phase >= prev_phase
+        sizes[r.phase] += 1
+        prev_phase, prev_q = r.phase, max(prev_q, r.quality_score)
+    # equal-width rank phases: sizes differ by at most 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
