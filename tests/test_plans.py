@@ -596,3 +596,22 @@ def test_z2_single_scan_expand_aggregate(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_c15_rank_is_two_phase_prefix(spark):
+    """c15: the corpus-wide quality rank must come from the bucketed
+    prefix (partitioned local windows + broadcast offsets), never an
+    unpartitioned ROW_NUMBER over the corpus."""
+    import re
+
+    df = q("c15_curriculum_phases", spark)
+    plan = formatted_plan(df)
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    part_re = re.compile(r"windowspecdefinition\(__bucket#\d+,")
+    partitioned = [x for x in specs if part_re.search(x)]
+    unpartitioned = [x for x in specs if not part_re.search(x)]
+    assert partitioned, plan
+    assert all("__t_" in x for x in unpartitioned), specs
+    assert broadcast_join_count(df) >= 1, plan
