@@ -90,6 +90,7 @@ EXTENDED = (
     "st6s_session_count_replay",
     "z2_column_stats",
     "c15_curriculum_phases",
+    "d20_semantic_decontamination",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -1722,3 +1722,117 @@ def d17c_semantic_dedup_multiprobe(
 _QR["d17c_semantic_dedup_multiprobe"] = _dc.replace(
     _QR["d17c_semantic_dedup_multiprobe"], oracle=_d17c_oracle()
 )
+
+
+# --- d20: semantic decontamination -----------------------------------------
+
+_DECON_MOD = 20  # eval shard convention shared with d8 (dedup._EVAL_MOD)
+
+
+def _d20_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    pair = (
+        "list_inner_product(x.vq, y.vq) / "
+        "(sqrt(list_inner_product(x.vq, x.vq)) * "
+        "sqrt(list_inner_product(y.vq, y.vq)))"
+    )
+    return f"""
+        WITH {ctes},
+        ranked AS (
+            SELECT x.vec_id, x.vq, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {csim} DESC, c.cell) AS rn
+            FROM e x, {trained} c
+        ),
+        train AS (
+            SELECT vec_id, vq, cell FROM ranked
+            WHERE rn = 1 AND vec_id % {_DECON_MOD} <> 0
+        ),
+        evalp AS (
+            SELECT vec_id, cell FROM ranked
+            WHERE rn <= {_SEMDEDUP_PROBES} AND vec_id % {_DECON_MOD} = 0
+        ),
+        evalv AS (
+            SELECT vec_id, vq FROM ranked
+            WHERE rn = 1 AND vec_id % {_DECON_MOD} = 0
+        ),
+        cand AS (
+            SELECT DISTINCT t.vec_id AS train_id, p.vec_id AS eval_id
+            FROM evalp p JOIN train t ON p.cell = t.cell
+        )
+        SELECT c.train_id, c.eval_id,
+               CAST(ROUND({pair}, 6) AS DOUBLE) AS cos_sim
+        FROM cand c
+        JOIN train x ON c.train_id = x.vec_id
+        JOIN evalv y ON c.eval_id = y.vec_id
+        WHERE {pair} >= {_NEARDUP_COS}
+    """
+
+
+@register(
+    "d20_semantic_decontamination",
+    survey="ext-dedup,ext-similarity",
+    doc=f"Semantic eval-set decontamination — the embedding-space rung "
+        "of the ladder d8 starts lexically: every train vector whose "
+        f"cosine to an eval-shard vector (vec_id % {_DECON_MOD} = 0, "
+        "d8's shard convention) is ≥ the near-dup threshold is a "
+        "paraphrase-level leak a shingle overlap can miss. Candidates "
+        "come from the trained quantizer with the d17c multi-probe "
+        f"tier on the EVAL side (top-{_SEMDEDUP_PROBES} cells — the "
+        "small side probes wider, the standard asymmetric-recall "
+        "trick), so the pair space is Σ|cell|·|eval∩probe-cell|, never "
+        "train×eval; exact integer-quantized cosine verifies. At "
+        "100 TB the eval shard is tiny and its probe table broadcasts; "
+        "the train corpus streams through one cell-keyed join.",
+    oracle=None,  # attached below (training chain)
+)
+def d20_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _trained_centroids(sf_dir, emb)
+    topk = _topcells_udf(cents, _SEMDEDUP_PROBES)
+    vq = F.transform("v", lambda x: F.floor(x * _IVF_QUANT + F.lit(0.5)))
+    # one pandas pass over the corpus; both shards derive from it
+    asgn = emb.select(
+        "vec_id", topk(F.col("v")).alias("cells"), vq.alias("vq")
+    ).localCheckpoint(eager=True)
+    is_eval = F.col("vec_id") % _DECON_MOD == 0
+    train = asgn.where(~is_eval).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("cells")[0].alias("cell"),
+        F.col("vq").alias("xq"),
+    )
+    evalp = asgn.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.explode("cells").alias("cell")
+    )
+    evalv = asgn.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("vq").alias("yq")
+    )
+    cand = (
+        train.select("train_id", "cell")
+        .join(F.broadcast(evalp), "cell")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    pair_sim = dot(F.col("xq"), F.col("yq")) / (
+        F.sqrt(dot(F.col("xq"), F.col("xq")))
+        * F.sqrt(dot(F.col("yq"), F.col("yq")))
+    )
+    return (
+        cand.join(train.select("train_id", "xq"), "train_id")
+        .join(F.broadcast(evalv), "eval_id")
+        .where(pair_sim >= _NEARDUP_COS)
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(pair_sim, 6).cast("double").alias("cos_sim"),
+        )
+    )
+
+
+_QR["d20_semantic_decontamination"] = _dc.replace(
+    _QR["d20_semantic_decontamination"], oracle=_d20_oracle()
+)

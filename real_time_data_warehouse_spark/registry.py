@@ -181,6 +181,7 @@ MANIFEST: tuple[str, ...] = (
     "s1_cosine_topk",  # r3
     "z2_column_stats",  # NEW r5
     "c15_curriculum_phases",  # NEW r5
+    "d20_semantic_decontamination",  # NEW r5
     "j10_asof_join",  # r4
     "st8_scd2_intervals",  # r4
     "c7_quota_sample",  # r4

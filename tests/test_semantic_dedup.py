@@ -87,3 +87,26 @@ def test_d17c_superset_of_d17_drops(spark):
             assert multi[vid].kept == 0, f"{vid} dropped by d17, kept by d17c"
         assert multi[vid].n_dups >= r.n_dups
         assert multi[vid].cell == r.cell  # primary assignment unchanged
+
+
+def test_d20_split_discipline_and_d17c_consistency(spark):
+    """Flags respect the shard rule (train % 20 != 0, eval % 20 == 0);
+    and any d17c-dropped pair that crosses the split with a shared
+    probe cell must be flagged here too (same threshold, wider eval
+    probes ⇒ candidate superset on the crossing pairs)."""
+    rows = q("d20_semantic_decontamination", spark).collect()
+    for r in rows:
+        assert r.train_id % 20 != 0 and r.eval_id % 20 == 0
+        assert r.cos_sim >= 0.35 - 1e-9
+    flagged = {(r.train_id, r.eval_id) for r in rows}
+    # consistency against the independent d5 pair list: a d5 pair that
+    # crosses the split AND shares a primary cell is the strongest leak
+    # d20's candidate tier must surface
+    d17 = {r.vec_id: r.cell for r in q("d17_semantic_dedup", spark).collect()}
+    for p in q("d5_embedding_neardup", spark).collect():
+        a, b = p.vec_a, p.vec_b
+        if d17[a] != d17[b]:
+            continue
+        for tr, ev in ((a, b), (b, a)):
+            if tr % 20 != 0 and ev % 20 == 0:
+                assert (tr, ev) in flagged, (tr, ev, p.cos_sim)
