@@ -63,63 +63,19 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Rotated mid-round-5 (tools/rotation.py freshness order): tier 1 =
-    # ALL 23 never-driver-verified queries (9 first-session + 14
-    # second-session additions) so every registry query has hard signal
-    # after this round's driver pass; tier 2 = the 27 stalest r2-green
-    # rows. The remaining r2 rows and the r3/r4 cohorts sit below the
-    # cap on past green signal and rotate back next round.
-    "w11_cumulate_window",  # NEVER
-    "c12_quality_weighted_sample",  # NEVER
-    "a5s_windowed_uu_replay",  # NEVER
-    "st3s_visitor_fix_replay",  # NEVER
-    "st5s_returning_user_replay",  # NEVER
-    "a6b_cjk_keyword_count",  # NEVER
-    "s12_label_partitioned_ann",  # NEVER
-    "u3_weighted_mean_udaf",  # NEVER
-    "c10s_profile_replay",  # NEVER
-    "d17_semantic_dedup",  # NEVER
-    "st1s_dedup_last_wins_replay",  # NEVER
-    "t12_char_entropy",  # NEVER
-    "t13_zipf_slope",  # NEVER
-    "c13_cluster_weighted_sample",  # NEVER
-    "d17b_semdedup_recall_audit",  # NEVER
-    "d17c_semantic_dedup_multiprobe",  # NEVER
-    "a18_running_total",  # NEVER
-    "t14_vocab_growth",  # NEVER
-    "s13_rrf_fusion",  # NEVER
-    "d19_chunk_dedup",  # NEVER
-    "t15_lang_confusion",  # NEVER
-    "st4s_daily_uv_replay",  # NEVER
-    "st6s_session_count_replay",  # NEVER
-    "p2_dirty_side_output",  # r2
-    "j1_inner_equi_join",  # r2
-    "j2_left_outer_join",  # r2
-    "j3_filtered_inner_join",  # r2
-    "j4_interval_join",  # r2
-    "j5_lookup_dim_join",  # r2
-    "p3_bootstrap_exclusion",  # r2
-    "p4_map_access_projection",  # r2
-    "p11_null_tombstone_filter",  # r2
-    "t5_normalize",  # r2
-    "t6_repetition",  # r2
-    "c4_corpus_shuffle",  # r2
-    "c5_pseudonymize",  # r2
-    "c6_mixture_weights",  # r2
-    "c1_corpus_curation",  # r2
-    "m3_corrupt_quarantine",  # r2
-    "t1b_trigram_langid",  # r2
-    "s2_lsh_ann_topk",  # r2
-    "t3_token_count",  # r2
-    "t2_quality_score",  # r2
-    "t1_lang_id",  # r2
-    "t4_fingerprint",  # r2
-    "p1_cdc_etl_filter",  # r2
-    "m1_media_features",  # r2
-    "m2_frame_sampling",  # r2
-    "c2_stratified_sample",  # r2
-    "c3_sequence_packing",  # r2
-    # ---- driver cap: slots below get no hard signal this round ----
+    # Round-6 rotation (tools/rotation.py freshness order): tier 1 = the
+    # 3 queries added after the round-5 mid-round rotation (z2/c15/d20 —
+    # the only never-driver-verified rows) plus any NEW round-6 queries
+    # inserted directly below them; tier 2 = the stalest greens (the 9
+    # remaining r2-era rows, then the r3 cohort). Everything below the
+    # cap has green signal from r3-r5 and rotates back by freshness in
+    # later rounds. NOTE: queries added in a given round AFTER the
+    # driver's correctness pass (if any) are never-verified until the
+    # next rotation promotes them — the tier-1 rule above exists to
+    # clear that backlog every round.
+    "z2_column_stats",  # NEVER
+    "c15_curriculum_phases",  # NEVER
+    "d20_semantic_decontamination",  # NEVER
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -167,6 +123,7 @@ MANIFEST: tuple[str, ...] = (
     "x1_log_split",  # r3
     "x1b_explode_children",  # r3
     "x3_set_ops",  # r3
+    # ---- driver cap: slots below get no hard signal this round ----
     "s4_cluster_stats",  # r3
     "s2b_lsh_multiband_topk",  # r3
     "d7_dedup_gate",  # r3
@@ -179,9 +136,6 @@ MANIFEST: tuple[str, ...] = (
     "d6_dedup_clusters",  # r3
     "d8_decontamination",  # r3
     "s1_cosine_topk",  # r3
-    "z2_column_stats",  # NEW r5
-    "c15_curriculum_phases",  # NEW r5
-    "d20_semantic_decontamination",  # NEW r5
     "j10_asof_join",  # r4
     "st8_scd2_intervals",  # r4
     "c7_quota_sample",  # r4
@@ -232,6 +186,56 @@ MANIFEST: tuple[str, ...] = (
     "j4s_interval_join_replay",  # r4
     "j2s_left_outer_join_replay",  # r4
     "a14_window_topn",  # r4
+    "w11_cumulate_window",  # r5
+    "c12_quality_weighted_sample",  # r5
+    "a5s_windowed_uu_replay",  # r5
+    "st3s_visitor_fix_replay",  # r5
+    "st5s_returning_user_replay",  # r5
+    "a6b_cjk_keyword_count",  # r5
+    "s12_label_partitioned_ann",  # r5
+    "u3_weighted_mean_udaf",  # r5
+    "c10s_profile_replay",  # r5
+    "d17_semantic_dedup",  # r5
+    "st1s_dedup_last_wins_replay",  # r5
+    "t12_char_entropy",  # r5
+    "t13_zipf_slope",  # r5
+    "c13_cluster_weighted_sample",  # r5
+    "d17b_semdedup_recall_audit",  # r5
+    "d17c_semantic_dedup_multiprobe",  # r5
+    "a18_running_total",  # r5
+    "t14_vocab_growth",  # r5
+    "s13_rrf_fusion",  # r5
+    "d19_chunk_dedup",  # r5
+    "t15_lang_confusion",  # r5
+    "st4s_daily_uv_replay",  # r5
+    "st6s_session_count_replay",  # r5
+    "p2_dirty_side_output",  # r5
+    "j1_inner_equi_join",  # r5
+    "j2_left_outer_join",  # r5
+    "j3_filtered_inner_join",  # r5
+    "j4_interval_join",  # r5
+    "j5_lookup_dim_join",  # r5
+    "p3_bootstrap_exclusion",  # r5
+    "p4_map_access_projection",  # r5
+    "p11_null_tombstone_filter",  # r5
+    "t5_normalize",  # r5
+    "t6_repetition",  # r5
+    "c4_corpus_shuffle",  # r5
+    "c5_pseudonymize",  # r5
+    "c6_mixture_weights",  # r5
+    "c1_corpus_curation",  # r5
+    "m3_corrupt_quarantine",  # r5
+    "t1b_trigram_langid",  # r5
+    "s2_lsh_ann_topk",  # r5
+    "t3_token_count",  # r5
+    "t2_quality_score",  # r5
+    "t1_lang_id",  # r5
+    "t4_fingerprint",  # r5
+    "p1_cdc_etl_filter",  # r5
+    "m1_media_features",  # r5
+    "m2_frame_sampling",  # r5
+    "c2_stratified_sample",  # r5
+    "c3_sequence_packing",  # r5
 )
 
 

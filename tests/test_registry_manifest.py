@@ -1,14 +1,13 @@
 """Driver visit-order contract: the explicit MANIFEST in registry.py.
 
 The external correctness driver truncates at 50 queries per round
-(observed rounds 1-4 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Mid-round-5 rotation
-(tools/rotation.py freshness order): tier 1 = ALL 23 never-verified
-queries (the 9 first-session additions plus the 14 second-session
-ones), so every registry query has hard signal after this round's
-driver pass; tier 2 = the 27 stalest r2-green rows. The rest of the
-r2 cohort and the r3/r4 cohorts sit below the cap on past green
-signal and rotate back next round.
+(observed rounds 1-5 — documented in BASELINE.md), so the first 50
+manifest slots are the only hard-signal slots. Round-6 rotation
+(tools/rotation.py freshness order): tier 1 = the never-driver-verified
+queries (z2/c15/d20, added after round 5's mid-round rotation) plus any
+new round-6 queries promoted as they land; tier 2 = the stalest greens
+(9 r2-era rows, then the r3 cohort up to the cap). Slots below the cap
+all carry r3-r5 green signal and rotate back by freshness later.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -26,63 +25,62 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified: lead the manifest unconditionally.
+# Never driver-verified (plus new round-6 queries as they land): lead
+# the manifest unconditionally.
 TIER1 = (
-    "w11_cumulate_window",
-    "c12_quality_weighted_sample",
-    "a5s_windowed_uu_replay",
-    "st3s_visitor_fix_replay",
-    "st5s_returning_user_replay",
-    "a6b_cjk_keyword_count",
-    "s12_label_partitioned_ann",
-    "u3_weighted_mean_udaf",
-    "c10s_profile_replay",
-    "d17_semantic_dedup",
-    "st1s_dedup_last_wins_replay",
-    "t12_char_entropy",
-    "t13_zipf_slope",
-    "c13_cluster_weighted_sample",
-    "d17b_semdedup_recall_audit",
-    "d17c_semantic_dedup_multiprobe",
-    "a18_running_total",
-    "t14_vocab_growth",
-    "s13_rrf_fusion",
-    "d19_chunk_dedup",
-    "t15_lang_confusion",
-    "st4s_daily_uv_replay",
-    "st6s_session_count_replay",
-)
-# Stalest hard signal (the 27 oldest r2-green rows): must sit inside
-# the cap so their signal refreshes this round.
+    "z2_column_stats",
+    "c15_curriculum_phases",
+    "d20_semantic_decontamination",)
+# Stalest hard signal: must sit inside the cap so their signal
+# refreshes this round.
 TIER2 = (
-    "p2_dirty_side_output",
-    "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_filtered_inner_join",
-    "j4_interval_join",
-    "j5_lookup_dim_join",
-    "p3_bootstrap_exclusion",
-    "p4_map_access_projection",
-    "p11_null_tombstone_filter",
-    "t5_normalize",
-    "t6_repetition",
-    "c4_corpus_shuffle",
-    "c5_pseudonymize",
-    "c6_mixture_weights",
-    "c1_corpus_curation",
-    "m3_corrupt_quarantine",
-    "t1b_trigram_langid",
-    "s2_lsh_ann_topk",
-    "t3_token_count",
-    "t2_quality_score",
-    "t1_lang_id",
-    "t4_fingerprint",
-    "p1_cdc_etl_filter",
-    "m1_media_features",
-    "m2_frame_sampling",
-    "c2_stratified_sample",
-    "c3_sequence_packing",
-)
+    "p5_cdc_state_transition",
+    "p6_cart_delta",
+    "p7_dynamic_column_pruning",
+    "p8_page_filter",
+    "p9_login_filter",
+    "p10_search_filter",
+    "sql1_order_detail_app",
+    "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
+    "f_scalar_suite",
+    "a2b_approx_distinct",
+    "j9_salted_skew_join",
+    "a12_salted_skew_agg",
+    "a11b_approx_percentiles",
+    "d7s_dedup_gate_replay",
+    "q0_flagship_trade_summary",
+    "f_json_roundtrip",
+    "j6_dim_chain_join",
+    "j7_broadcast_config_join",
+    "j8_semi_anti_join",
+    "j8b_full_outer_join",
+    "a1_windowed_sum",
+    "a2_distinct_count",
+    "a3_multikey_window",
+    "a4_global_window",
+    "a5_windowed_uu",
+    "a6_keyword_count",
+    "a7_daily_gmv",
+    "a8_province_amount",
+    "a9_topk_channel",
+    "a10_rollup",
+    "a10b_cube",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",)
 
 
 def test_manifest_matches_registrations():
