@@ -11,6 +11,7 @@ independent — the property that makes a custom aggregate oracle-
 checkable bit-for-bit (see operators/aggregations.py::u3).
 """
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
@@ -18,10 +19,15 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("long")
 def weighted_cents_sum(v: pd.Series, w: pd.Series) -> int:
-    """Exact integer partial: sum(w * round(v*100)) — the fixture's
-    values are 2-decimal, so round(v*100) is the exact cent count in
-    every engine."""
-    return int((v.mul(100).round().astype("int64") * w).sum())
+    """Exact integer partial: sum(w * floor(v*100 + 0.5)).
+
+    floor(x+0.5) is the repo's quantization idiom (half-UP, identical
+    in numpy, Spark and DuckDB) — pandas ``Series.round`` would be
+    half-to-EVEN, which agrees with DuckDB ROUND only when the input
+    is exactly 2-decimal; a true half-cent value would diverge
+    silently, so the lattice op is made explicit on both sides."""
+    cents = np.floor(v.mul(100).add(0.5)).astype("int64")
+    return int((cents * w).sum())
 
 
 @pandas_udf("long")

@@ -1114,17 +1114,20 @@ def w11_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semantics compile to builtins (see the oracle), and SCALE.md "
         "documents when a real UDAF is actually warranted.",
     oracle="""
-        SELECT event_type,
-               CAST(SUM((event_id % 7 + 1) *
-                        CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                   AS wsum_cents,
-               CAST(SUM(event_id % 7 + 1) AS BIGINT) AS w_sum,
-               CAST(ROUND(CAST(SUM((event_id % 7 + 1) *
-                        CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
-                    / 100.0 / SUM(event_id % 7 + 1), 4) AS DOUBLE)
-                   AS wavg
-        FROM events
-        GROUP BY event_type
+        WITH partials AS (
+            SELECT event_type,
+                   CAST(SUM((event_id % 7 + 1) *
+                            CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS wsum_cents,
+                   CAST(SUM(event_id % 7 + 1) AS BIGINT) AS w_sum
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, wsum_cents, w_sum,
+               CAST(CAST((wsum_cents * 200 + w_sum) // (2 * w_sum)
+                         AS DOUBLE)
+                    / CAST(10000 AS DOUBLE) AS DOUBLE) AS wavg
+        FROM partials
     """,
 )
 def u3_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,12 +1146,18 @@ def u3_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_cents_sum("value", "w").alias("wsum_cents"),
         weight_sum("w").alias("w_sum"),
     )
+    # wavg at 4 dp on the integer lattice: round-half-up(n/d) over
+    # BIGINTs is (n*2 + d) div (2*d) — no double division, so the
+    # result is bit-identical to the oracle even at true half-ties
+    # (value weights are positive, so truncating div == floor).
     return agg.select(
         "event_type",
         "wsum_cents",
         "w_sum",
-        F.round(
-            F.col("wsum_cents").cast("double") / 100.0 / F.col("w_sum"), 4
+        (
+            F.expr("(wsum_cents * 200 + w_sum) div (2 * w_sum)")
+            .cast("double")
+            / F.lit(10000.0)
         )
         .cast("double")
         .alias("wavg"),

@@ -22,6 +22,8 @@ results.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -642,13 +644,34 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels
 
 
-# Keyed by (applicationId, session identity, sf_dir): newSession()
-# shares an applicationId but must not be handed another session's
-# checkpointed frame. Bounded: oldest entry dropped past the cap so a
-# long-lived driver iterating many sf_dirs can't accumulate checkpoint
-# blocks without end.
-_D6_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+# Keyed by (applicationId, sf_dir) with the owning session held by
+# weakref in the value: newSession() shares an applicationId but must
+# not be handed another session's checkpointed frame, and a CPython
+# id() can be reused after GC, so identity is validated against the
+# live object on every hit instead of being baked into the key.
+# Bounded: oldest entry dropped past the cap — and its checkpoint
+# blocks unpersisted — so a long-lived driver iterating many sf_dirs
+# can't accumulate checkpoint storage without end.
+_D6_CACHE: dict[
+    tuple[str, str], tuple["weakref.ref[SparkSession]", DataFrame]
+] = {}
 _D6_CACHE_MAX = 4
+
+
+def _d6_cache_evict(key: tuple[str, str]) -> None:
+    """Drop a cache entry AND release its localCheckpoint blocks.
+
+    A checkpointed frame's analyzed plan IS a LogicalRDD holding the
+    persisted internal RDD — ``analyzed().rdd()`` is that RDD (NOT
+    ``toRdd()``, which wraps it in a fresh unpersisted MapPartitionsRDD
+    per call). Best effort — a stopped context just means the blocks
+    are already gone.
+    """
+    _ref, df = _D6_CACHE.pop(key)
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 @register(
@@ -673,10 +696,13 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative CC loop once, as a deployment would reuse one clustering
     # artifact. The loop already localCheckpoints per round, so caching
     # the final frame adds no new lineage semantics.
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
-    cached = _D6_CACHE.get(key)
-    if cached is not None:
-        return cached
+    key = (spark.sparkContext.applicationId, sf_dir)
+    entry = _D6_CACHE.get(key)
+    if entry is not None:
+        owner, cached = entry
+        if owner() is spark:
+            return cached
+        _d6_cache_evict(key)  # dead or different session: rebuild
     t = Tables(spark, sf_dir)
     pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = min_label_propagation(pairs)
@@ -693,8 +719,8 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_canonical"),
     ).localCheckpoint(eager=True)
     while len(_D6_CACHE) >= _D6_CACHE_MAX:
-        _D6_CACHE.pop(next(iter(_D6_CACHE)))
-    _D6_CACHE[key] = out
+        _d6_cache_evict(next(iter(_D6_CACHE)))
+    _D6_CACHE[key] = (weakref.ref(spark), out)
     return out
 
 

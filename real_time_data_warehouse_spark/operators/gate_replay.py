@@ -265,13 +265,9 @@ def st13s_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t.events.select("user_id", "ts", "value", "event_id")
     # sessionize's carried-state contract is batches ascending in EVENT
     # TIME (the open session's last_ts must precede every batch ts), so
-    # split on a derived 0-based time key like j4s/j2s — not event_id,
-    # whose monotonicity in ts is a fixture accident
-    t0 = ev.agg(F.min("ts")).first()[0]
-    rows = ev.withColumn(
-        "tsec",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
-    )
+    # split on the shared derived 0-based time key like j4s/j2s — not
+    # event_id, whose monotonicity in ts is a fixture accident
+    rows = _with_tsec(ev)
     return _replay_batches(
         spark,
         rows,

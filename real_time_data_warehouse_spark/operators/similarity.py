@@ -1545,7 +1545,10 @@ def _d17b_oracle() -> str:
         "it as a query keeps the limitation measured instead of "
         "footnoted (SemDeDup raises it by raising k and/or multi-probe "
         "assignment — both knobs exist in s3). Cost: d5's candidate "
-        "pairs joined twice against the 500-row assignment table.",
+        "pairs broadcast-joined twice against the bounded assignment "
+        "table, plus a SHUFFLE left-join against the multi-probe "
+        "candidate-pair set (its size is the sum of squared probe-cell "
+        "sizes — unbounded under skew, hence never broadcast).",
     oracle=None,  # attached below (training chain + d5 oracle)
 )
 def d17b_semdedup_recall_audit(
@@ -1574,10 +1577,14 @@ def d17b_semdedup_recall_audit(
         .distinct()
         .withColumn("probed", F.lit(1))
     )
+    # a/b are |embeddings|-bounded assignment tables (broadcast-safe);
+    # ov is the multi-probe candidate PAIR set, which scales as the sum
+    # of squared probe-cell sizes — unbounded under skew, so it goes
+    # through a regular shuffle join, not a broadcast.
     j = (
         pairs.join(F.broadcast(a), "vec_a")
         .join(F.broadcast(b), "vec_b")
-        .join(F.broadcast(ov), ["vec_a", "vec_b"], "left")
+        .join(ov, ["vec_a", "vec_b"], "left")
         .select(
             (F.col("ca") == F.col("cb")).cast("int").alias("same"),
             F.coalesce("probed", F.lit(0)).alias("probed"),

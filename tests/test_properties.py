@@ -374,6 +374,48 @@ def test_label_propagation_long_chain_within_default_bound(spark):
     assert got == {i: 0 for i in range(1000)}
 
 
+def test_d6_cache_hit_eviction_and_dead_session_guard(spark):
+    """The d6 artifact cache must (a) return the same checkpointed
+    frame on a same-session hit, (b) unpersist evicted entries'
+    checkpoint blocks instead of leaking them, and (c) treat an entry
+    whose owning session is gone (weakref dead / different object) as
+    a miss — the id()-reuse hazard a raw id(spark) key had."""
+    from real_time_data_warehouse_spark.operators import dedup
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    dedup._D6_CACHE.pop(key, None)
+    df1 = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, SF_DIR)
+    assert key in dedup._D6_CACHE
+    df2 = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, SF_DIR)
+    assert df2 is df1  # same-session hit
+
+    # (b) eviction releases the checkpoint's storage blocks (the
+    # persisted RDD is the LogicalRDD's, not the per-call toRdd wrapper)
+    rdd_id = df1._jdf.queryExecution().analyzed().rdd().id()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().contains(rdd_id)
+    dedup._d6_cache_evict(key)
+    assert key not in dedup._D6_CACHE
+    assert not jsc.getPersistentRDDs().contains(rdd_id)
+
+    # (c) a dead/foreign owner is a miss, evicted on probe, and the
+    # query transparently rebuilds
+    class _Ghost:
+        pass
+
+    import weakref as _wr
+
+    ghost = _Ghost()
+    df3 = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, SF_DIR)
+    dedup._D6_CACHE[key] = (_wr.ref(ghost), df3)
+    del ghost  # ref now dead
+    df4 = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, SF_DIR)
+    assert df4 is not df3
+    owner, cached = dedup._D6_CACHE[key]
+    assert owner() is spark and cached is df4
+
+
 def test_chunking_covers_every_token_with_overlap(spark):
     """c9 invariants on the fixture: chunk 0 starts at 0; consecutive
     chunk starts differ by exactly the stride; the last chunk reaches
