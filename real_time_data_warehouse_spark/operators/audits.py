@@ -112,3 +112,47 @@ QUERY_REGISTRY["d14_minhash_recall_audit"] = _dca.replace(
         FROM d2_pairs
     """,
 )
+
+
+_SQ8_FLOOR_X100 = 80
+
+
+@register(
+    "s14b_sq8_recall_audit",
+    survey="ext-similarity",
+    doc="Driver-checked SQ8 quality gate: recall@5 of the int8 "
+        "uniform-symmetric code search (s14) against the exact "
+        "brute-force top-5 (s1), asserted >= 0.80 (measured 0.98 at "
+        "sf0.01, 0.94 at sf0.1 — the floor absorbs fixture noise, not "
+        "real regressions; the rejected per-dim-offset scheme scored "
+        "0.04 and would trip it instantly). Same contract shape as s9: "
+        "exactly-recomputable counts ride along, the boolean is the "
+        "gate.",
+    oracle=f"""
+        SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_queries,
+               CAST(LEAST(10, COUNT(*)) * 5 AS BIGINT) AS n_truth,
+               TRUE AS above_floor
+        FROM embeddings WHERE vec_id < 10
+    """,
+)
+def s14b_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = QUERY_REGISTRY["s1_cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERY_REGISTRY["s14_sq8_ann_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    stats = truth.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_truth"),
+    ).crossJoin(
+        F.broadcast(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return stats.select(
+        "n_queries",
+        "n_truth",
+        (F.col("n_hit") * 100 >= F.col("n_truth") * _SQ8_FLOOR_X100).alias(
+            "above_floor"
+        ),
+    )

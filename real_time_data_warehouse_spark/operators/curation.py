@@ -1151,3 +1151,112 @@ import dataclasses as _dc15c
 QUERY_REGISTRY["c15_curriculum_phases"] = _dc15c.replace(
     QUERY_REGISTRY["c15_curriculum_phases"], oracle=_c15_oracle()
 )
+
+
+# --- c16: dedup-adjusted mixture shares ------------------------------------
+
+
+@register(
+    "c16_dedup_adjusted_mixture",
+    survey="ext-curation,ext-dedup",
+    doc="Mixture-share drift under deduplication: per-source document "
+        "and token mass BEFORE dedup vs AFTER keeping only each "
+        "near-dup cluster's canonical doc (d6 is_canonical) — the "
+        "report a mixture designer reads before reweighting, because "
+        "near-dup removal hits sources unevenly (a crawl-heavy source "
+        "loses far more mass than a curated one) and c6-style target "
+        "weights tuned on RAW counts silently drift after the dedup "
+        "pass runs. Shares are floor(x*1e4+0.5)/1e4 lattice doubles "
+        "(t2's discipline). Composes the cached d6 cluster artifact: "
+        "cost on top of it is one doc_id join (corpus-keyed shuffle, "
+        "AQE-broadcastable when the cluster table is small) and a "
+        "#sources-row aggregate; token counts are map-side "
+        "size(tokenize(text)).",
+    oracle=None,  # attached below (d6 + tokenizer composition)
+)
+def c16_dedup_adjusted_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    clusters = QUERY_REGISTRY["d6_dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("toks"),
+    )
+    agg = (
+        docs.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("raw_docs"),
+            F.sum("toks").cast("bigint").alias("raw_tokens"),
+            F.sum("is_canonical").cast("bigint").alias("dedup_docs"),
+            F.sum(F.when(F.col("is_canonical") == 1, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_tokens"),
+        )
+    )
+    totals = agg.agg(
+        F.sum("raw_tokens").alias("tr"), F.sum("dedup_tokens").alias("td")
+    )
+    share = lambda num, den: (  # noqa: E731
+        F.floor(F.col(num).cast("double") / F.col(den) * 10000 + F.lit(0.5))
+        / 10000
+    ).cast("double")
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "raw_docs",
+        "raw_tokens",
+        "dedup_docs",
+        "dedup_tokens",
+        share("raw_tokens", "tr").alias("raw_share"),
+        share("dedup_tokens", "td").alias("dedup_share"),
+    )
+
+
+def _c16_oracle() -> str:
+    from real_time_data_warehouse_spark.functions.text import tokenize_sql
+
+    d6 = QUERY_REGISTRY["d6_dedup_clusters"].oracle
+    return f"""
+        WITH d6 AS ({d6}),
+        docs AS (
+            SELECT doc_id, source,
+                   CAST(len({tokenize_sql("text")}) AS BIGINT) AS toks
+            FROM documents
+        ),
+        agg AS (
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS raw_docs,
+                   CAST(SUM(d.toks) AS BIGINT) AS raw_tokens,
+                   CAST(SUM(c.is_canonical) AS BIGINT) AS dedup_docs,
+                   CAST(SUM(CASE WHEN c.is_canonical = 1 THEN d.toks
+                            ELSE 0 END) AS BIGINT) AS dedup_tokens
+            FROM docs d JOIN d6 c ON d.doc_id = c.doc_id
+            GROUP BY d.source
+        ),
+        tot AS (
+            SELECT CAST(SUM(raw_tokens) AS BIGINT) AS tr,
+                   CAST(SUM(dedup_tokens) AS BIGINT) AS td
+            FROM agg
+        )
+        SELECT a.source, a.raw_docs, a.raw_tokens, a.dedup_docs,
+               a.dedup_tokens,
+               CAST(floor(CAST(a.raw_tokens AS DOUBLE) / t.tr * 10000
+                          + 0.5) / 10000 AS DOUBLE) AS raw_share,
+               CAST(floor(CAST(a.dedup_tokens AS DOUBLE) / t.td * 10000
+                          + 0.5) / 10000 AS DOUBLE) AS dedup_share
+        FROM agg a CROSS JOIN tot t
+    """
+
+
+import dataclasses as _dc16  # noqa: E402
+
+QUERY_REGISTRY["c16_dedup_adjusted_mixture"] = _dc16.replace(
+    QUERY_REGISTRY["c16_dedup_adjusted_mixture"], oracle=_c16_oracle()
+)

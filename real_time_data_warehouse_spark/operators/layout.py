@@ -205,3 +205,86 @@ def z2_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+# --- z3: compaction / file-coalescing planner ------------------------------
+
+_Z3_TARGET = 262_144  # target bin size: 256 KiB of payload per output file
+_Z3_ROW_OVERHEAD = 32  # per-row storage overhead added to the payload proxy
+
+
+@register(
+    "z3_compaction_plan",
+    survey="ext-scale",
+    doc="Small-file compaction planner (the OPTIMIZE/bin-packing half "
+        "that z1's clustering rewrite runs on top of): summarize the "
+        "event log into per-(day, hour) micro-files with exact byte "
+        "sizes (octet_length payload + fixed row overhead), then "
+        "assign each file to an output bin by EXCLUSIVE running bytes "
+        f"DIV {_Z3_TARGET} — consecutive files coalesce into "
+        "~target-sized writes, a bin never splits a file, and bin "
+        "boundaries are a pure function of the ordered prefix sum. "
+        "The prefix runs as functions/prefix.py's two-phase form "
+        "(local prefixes under a day-bucketed window + one B-row "
+        "offset pass) — NO global single-partition sort, the shape "
+        "that survives a billion-file catalog where `SUM OVER (ORDER "
+        "BY)` funnels everything through one task. All-integer "
+        "arithmetic; a real compactor then shuffles by bin_id and "
+        "writes one file per bin.",
+    oracle=f"""
+        WITH files AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(hour(ts) AS INT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(octet_length(encode(props))
+                            + {_Z3_ROW_OVERHEAD}) AS BIGINT) AS bytes
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT *,
+                   CAST(SUM(bytes) OVER (ORDER BY day, hour
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_bytes
+            FROM files
+        )
+        SELECT day, hour, n_rows, bytes, cum_bytes,
+               CAST((cum_bytes - bytes) // {_Z3_TARGET} AS BIGINT) AS bin_id
+        FROM c
+    """,
+)
+def z3_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
+    t = Tables(spark, sf_dir)
+    files = (
+        t.events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.hour("ts").cast("int").alias("hour"),
+            (F.octet_length("props") + F.lit(_Z3_ROW_OVERHEAD)).alias("b"),
+        )
+        .groupBy("day", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("b").cast("bigint").alias("bytes"),
+        )
+    )
+    cum = bucketed_prefix(
+        files,
+        F.col("day"),
+        ["day", "hour"],
+        {"bytes": (F.col("bytes"), F.lit(0).cast("bigint"))},
+    )
+    return cum.select(
+        "day",
+        "hour",
+        "n_rows",
+        "bytes",
+        F.col("cum_bytes").cast("bigint").alias("cum_bytes"),
+        F.expr(f"CAST((cum_bytes - bytes) DIV {_Z3_TARGET} AS BIGINT)").alias(
+            "bin_id"
+        ),
+    )

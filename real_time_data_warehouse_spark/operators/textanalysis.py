@@ -1025,3 +1025,172 @@ import dataclasses as _dct15  # noqa: E402
 _QRT["t15_lang_confusion"] = _dct15.replace(
     _QRT["t15_lang_confusion"], oracle=_t15_oracle()
 )
+
+
+# --- t16: bigram-LM perplexity quality filter -------------------------------
+# CCNet/RedPajama-style LM quality signal (Wenzek et al. 2020, public):
+# train an n-gram LM on the corpus itself and score every document by
+# mean per-bigram negative log-likelihood. Docs far below the corpus
+# mean are boilerplate; far above are rare-token soup. The reference
+# has no LM surface; this extends t9's unigram degenerate case to the
+# first real conditional model.
+
+_T16_Q = 1_000_000  # ln-lattice quantum (micro-nats, t9's discipline)
+
+
+@register(
+    "t16_bigram_perplexity",
+    survey="ext-text",
+    doc="Bigram-LM mean negative log-likelihood per document — the "
+        "KenLM-style perplexity quality filter, trained on the corpus "
+        "itself with add-one smoothing: p(w2|w1) = (c(w1,w2)+1) / "
+        "(c(w1)+V). Exactness: each distinct bigram's NLL is "
+        "ln-quantized ONCE to integer micro-nats (floor(ln(num/den)"
+        "*1e6+0.5) — the t9/s6 lattice, engine-exact), docs fold "
+        "tf-weighted integer sums (associative, partitioning-"
+        "independent), one final double division. Scale: tokens "
+        "explode map-side and collapse to per-(doc,bigram) tf before "
+        "any shuffle; the two count tables shuffle keyed by gram "
+        "(Zipf-skew bounded: the count side of the scoring join is "
+        "one row per gram, so hot grams fan out only on the doc side, "
+        "which AQE splits); V and the model tables are corpus "
+        "artifacts a deployment would persist once per snapshot. "
+        "Docs with <2 tokens carry no bigram evidence and emit NULL "
+        "score with n_bigrams=0 — unratable, not 'perfect'.",
+    oracle=None,  # attached below (token-expression composition)
+)
+def t16_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokenize("text")
+    # bigram stream: map-side transform over the token array, exploded,
+    # then collapsed to per-(doc, w1, w2) tf BEFORE the shuffle — the
+    # t9 discipline one order up
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = t.documents.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    tf = (
+        base.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds model AND scoring
+    )
+    bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    hist = bg.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    # V = |vocabulary| over the full token stream (last tokens of docs
+    # included): distinct w1 ∪ final w2 — equivalently distinct tokens
+    vocab = t.documents.select(
+        F.explode(toks).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    nll = (
+        bg.join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("cu") + F.col("v")).cast("double")
+                    / (F.col("cb") + F.lit(1)).cast("double")
+                )
+                * _T16_Q
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    scored = (
+        tf.join(nll, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf") * F.col("nll_micro")).cast("double")
+                / F.sum("tf")
+                / _T16_Q
+            )
+            .cast("double")
+            .alias("mean_nll"),
+        )
+    )
+    # re-attach bigram-free docs (n_tokens < 2): NULL score, zero count
+    return (
+        t.documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.col("mean_nll").cast("double").alias("mean_nll"),
+        )
+    )
+
+
+def _t16_oracle() -> str:
+    tok = tokenize_sql("text")
+    return f"""
+        WITH toked AS (SELECT doc_id, {tok} AS toks FROM documents),
+        grams AS (
+            SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> struct_pack(w1 := toks[i],
+                                                w2 := toks[i + 1]))
+                           ELSE [] END) AS g
+                FROM toked
+            )
+        ),
+        tf AS (
+            SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM grams GROUP BY doc_id, w1, w2
+        ),
+        bg AS (
+            SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+            FROM tf GROUP BY w1, w2
+        ),
+        hist AS (
+            SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM bg GROUP BY w1
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+            FROM (SELECT unnest(toks) AS w FROM toked)
+        ),
+        nll AS (
+            SELECT b.w1, b.w2,
+                   CAST(floor(ln(CAST(h.cu + vb.v AS DOUBLE)
+                                 / CAST(b.cb + 1 AS DOUBLE))
+                              * {_T16_Q} + 0.5) AS BIGINT) AS nll_micro
+            FROM bg b JOIN hist h ON b.w1 = h.w1 CROSS JOIN vocab vb
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                   CAST(CAST(SUM(tf.tf * n.nll_micro) AS DOUBLE)
+                        / SUM(tf.tf) / {_T16_Q} AS DOUBLE) AS mean_nll
+            FROM tf JOIN nll n ON tf.w1 = n.w1 AND tf.w2 = n.w2
+            GROUP BY tf.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(s.mean_nll AS DOUBLE) AS mean_nll
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+import dataclasses as _dct16  # noqa: E402
+
+_QRT["t16_bigram_perplexity"] = _dct16.replace(
+    _QRT["t16_bigram_perplexity"], oracle=_t16_oracle()
+)

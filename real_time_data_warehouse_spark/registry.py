@@ -76,6 +76,11 @@ MANIFEST: tuple[str, ...] = (
     "z2_column_stats",  # NEVER
     "c15_curriculum_phases",  # NEVER
     "d20_semantic_decontamination",  # NEVER
+    "t16_bigram_perplexity",  # NEW r6
+    "s14_sq8_ann_topk",  # NEW r6
+    "s14b_sq8_recall_audit",  # NEW r6
+    "z3_compaction_plan",  # NEW r6
+    "c16_dedup_adjusted_mixture",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -118,12 +123,12 @@ MANIFEST: tuple[str, ...] = (
     "st1_dedup_last_wins",  # r3
     "st3_visitor_state_fix",  # r3
     "st4_first_per_day_uv",  # r3
+    # ---- driver cap: slots below get no hard signal this round ----
     "st5_returning_user",  # r3
     "st6_session_count",  # r3
     "x1_log_split",  # r3
     "x1b_explode_children",  # r3
     "x3_set_ops",  # r3
-    # ---- driver cap: slots below get no hard signal this round ----
     "s4_cluster_stats",  # r3
     "s2b_lsh_multiband_topk",  # r3
     "d7_dedup_gate",  # r3

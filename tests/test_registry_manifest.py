@@ -30,7 +30,13 @@ DRIVER_CAP = 50
 TIER1 = (
     "z2_column_stats",
     "c15_curriculum_phases",
-    "d20_semantic_decontamination",)
+    "d20_semantic_decontamination",
+    "t16_bigram_perplexity",
+    "s14_sq8_ann_topk",
+    "s14b_sq8_recall_audit",
+    "z3_compaction_plan",
+    "c16_dedup_adjusted_mixture",
+)
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
@@ -76,11 +82,7 @@ TIER2 = (
     "st1_dedup_last_wins",
     "st3_visitor_state_fix",
     "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",)
+)
 
 
 def test_manifest_matches_registrations():
