@@ -91,6 +91,12 @@ EXTENDED = (
     "z2_column_stats",
     "c15_curriculum_phases",
     "d20_semantic_decontamination",
+    # driver-round-6 additions (first recorded medians land in BENCH_r06)
+    "t16_bigram_perplexity",
+    "s14_sq8_ann_topk",
+    "s14b_sq8_recall_audit",
+    "z3_compaction_plan",
+    "c16_dedup_adjusted_mixture",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -253,10 +253,6 @@ _Z3_ROW_OVERHEAD = 32  # per-row storage overhead added to the payload proxy
     """,
 )
 def z3_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from real_time_data_warehouse_spark.functions.prefix import (
-        bucketed_prefix,
-    )
-
     t = Tables(spark, sf_dir)
     files = (
         t.events.select(
@@ -272,6 +268,18 @@ def z3_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").cast("bigint").alias("bytes"),
         )
     )
+    return compaction_bins(files)
+
+
+def compaction_bins(
+    files: DataFrame, target: int = _Z3_TARGET
+) -> DataFrame:
+    """Bin assignment over any (day, hour, n_rows, bytes) file frame —
+    the planted-fixture seam (tests/test_pipeline_ops.py)."""
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
     cum = bucketed_prefix(
         files,
         F.col("day"),
@@ -284,7 +292,7 @@ def z3_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "bytes",
         F.col("cum_bytes").cast("bigint").alias("cum_bytes"),
-        F.expr(f"CAST((cum_bytes - bytes) DIV {_Z3_TARGET} AS BIGINT)").alias(
+        F.expr(f"CAST((cum_bytes - bytes) DIV {target} AS BIGINT)").alias(
             "bin_id"
         ),
     )

@@ -1061,6 +1061,12 @@ _T16_Q = 1_000_000  # ln-lattice quantum (micro-nats, t9's discipline)
 )
 def t16_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    return bigram_nll_frame(t.documents)
+
+
+def bigram_nll_frame(documents: DataFrame) -> DataFrame:
+    """t16's body over any (doc_id, text) frame — the planted-fixture
+    seam (tests/test_pipeline_ops.py)."""
     toks = tokenize("text")
     # bigram stream: map-side transform over the token array, exploded,
     # then collapsed to per-(doc, w1, w2) tf BEFORE the shuffle — the
@@ -1075,7 +1081,7 @@ def t16_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    base = t.documents.select(
+    base = documents.select(
         "doc_id", F.explode(grams).alias("g")
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     tf = (
@@ -1087,7 +1093,7 @@ def t16_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = bg.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # V = |vocabulary| over the full token stream (last tokens of docs
     # included): distinct w1 ∪ final w2 — equivalently distinct tokens
-    vocab = t.documents.select(
+    vocab = documents.select(
         F.explode(toks).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
     nll = (
@@ -1124,7 +1130,7 @@ def t16_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # re-attach bigram-free docs (n_tokens < 2): NULL score, zero count
     return (
-        t.documents.select("doc_id")
+        documents.select("doc_id")
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",

@@ -433,3 +433,125 @@ def test_c15_phase_invariants(spark):
         prev_phase, prev_q = r.phase, max(prev_q, r.quality_score)
     # equal-width rank phases: sizes differ by at most 1
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_t16_planted_bigram_lm(spark):
+    """Closed-form add-one-smoothed bigram LM on a 3-doc corpus:
+    corpus counts cb(a,b)=3, cb(b,a)=1, histories cu(a)=3, cu(b)=1,
+    V=3 ({a,b,x}) — every doc's mean NLL is recomputed in the test
+    from math.log on the same integer lattice. Bigram-free docs emit
+    NULL with n_bigrams=0 (unratable, not 'perfect')."""
+    import math
+
+    from real_time_data_warehouse_spark.operators.textanalysis import (
+        _T16_Q,
+        bigram_nll_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_nll_frame(docs).collect()}
+
+    def iln(num, den):
+        return math.floor(math.log(num / den) * _T16_Q + 0.5)
+
+    nll_ab = iln(3 + 3, 3 + 1)  # p(b|a) = (3+1)/(3+3)
+    nll_ba = iln(1 + 3, 1 + 1)  # p(a|b) = (1+1)/(1+3)
+    assert got[1].n_bigrams == 3
+    assert got[1].mean_nll == (2 * nll_ab + nll_ba) / 3 / _T16_Q
+    assert got[2].n_bigrams == 1
+    assert got[2].mean_nll == nll_ab / _T16_Q
+    assert got[3].n_bigrams == 0 and got[3].mean_nll is None
+    # the smoothed model must score the corpus-frequent transition as
+    # more likely than the rare one
+    assert nll_ab < nll_ba
+
+
+def test_s14_code_lattice_and_symmetry(spark):
+    """SQ8 planted checks: [3,4] normalizes to [0.6,0.8] → codes
+    [76,102] (floor(127·u+0.5)); sign symmetry holds; the code dot of
+    a vector with itself dominates the code dot with an orthogonal
+    vector (rank sanity for the integer ADC)."""
+    from real_time_data_warehouse_spark.operators.similarity import (
+        _normalized,
+        _sq8_codes,
+        int_dot,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [-3.0, 4.0]), (2, [4.0, -3.0])],
+        "vec_id long, v array<double>",
+    )
+    codes = {
+        r.vec_id: r.qc for r in _sq8_codes(_normalized(emb)).collect()
+    }
+    assert codes[0] == [76, 102]
+    assert codes[1] == [-76, 102]
+    assert codes[2] == [102, -76]
+    pairs = spark.createDataFrame(
+        [(codes[0], codes[0]), (codes[0], codes[1]), (codes[0], codes[2])],
+        "a array<bigint>, b array<bigint>",
+    )
+    dots = [
+        r.d for r in pairs.select(
+            int_dot(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    ]
+    assert dots[0] == 76 * 76 + 102 * 102
+    assert dots[0] > dots[1] > dots[2]
+
+
+def test_z3_bins_never_split_and_stay_near_target(spark):
+    """Compaction-plan invariants on a planted file list: bin ids are
+    non-decreasing in (day, hour) order; no file is split; every bin
+    except possibly the last closes at/above the target only via its
+    LAST file straddling the boundary (exclusive-prefix rule); and the
+    cumulative column is an exact running sum."""
+    from real_time_data_warehouse_spark.operators.layout import (
+        compaction_bins,
+    )
+
+    target = 100
+    rows = [
+        ("d1", h, 1, b)
+        for h, b in enumerate([40, 40, 40, 90, 10, 150, 5, 30, 80, 20])
+    ]
+    files = spark.createDataFrame(
+        rows, "day string, hour int, n_rows long, bytes long"
+    )
+    got = sorted(
+        compaction_bins(files, target=target).collect(),
+        key=lambda r: (r.day, r.hour),
+    )
+    cum = 0
+    prev_bin = 0
+    for r in got:
+        assert r.bin_id == cum // target  # exclusive-prefix assignment
+        cum += r.bytes
+        assert r.cum_bytes == cum
+        assert r.bin_id >= prev_bin
+        prev_bin = r.bin_id
+    # the 150-byte file exceeds the target alone: it still lands in
+    # exactly one bin (bin boundaries never split a file)
+    big = [r for r in got if r.bytes == 150]
+    assert len(big) == 1
+
+
+def test_c16_mass_conservation_and_canonical_consistency(spark):
+    """c16 invariants on the fixture: dedup mass never exceeds raw mass
+    per source; global raw/dedup totals match d6's canonical count; and
+    shares sum to 1 within the 1e-4 lattice slack per source count."""
+    c16 = {r.source: r for r in q("c16_dedup_adjusted_mixture", spark).collect()}
+    d6 = q("d6_dedup_clusters", spark).agg(
+        F.count("*").alias("n"), F.sum("is_canonical").alias("n_canon")
+    ).first()
+    assert sum(r.raw_docs for r in c16.values()) == d6.n
+    assert sum(r.dedup_docs for r in c16.values()) == d6.n_canon
+    for r in c16.values():
+        assert 0 < r.dedup_docs <= r.raw_docs
+        assert 0 < r.dedup_tokens <= r.raw_tokens
+    for fld in ("raw_share", "dedup_share"):
+        tot = sum(getattr(r, fld) for r in c16.values())
+        assert abs(tot - 1.0) <= 1e-4 * len(c16)

@@ -615,3 +615,69 @@ def test_c15_rank_is_two_phase_prefix(spark):
     assert partitioned, plan
     assert all("__t_" in x for x in unpartitioned), specs
     assert broadcast_join_count(df) >= 1, plan
+
+
+def test_t16_model_joins_and_vocab_broadcast(spark):
+    """t16: the 1-row vocab aggregate must broadcast onto the bigram
+    model (V is a scalar artifact, never a shuffle key), the bigram
+    stream must collapse to per-(doc,gram) tf before the scoring join,
+    and no plan node may be a cartesian product."""
+    df = q("t16_bigram_perplexity", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan  # vocab scalar
+    assert "CartesianProduct" not in plan, plan
+    # the gram-keyed model/scoring exchanges plus the doc aggregates:
+    # anything past 8 means a rewrite duplicated a corpus pass
+    assert shuffle_count(df) <= 8, plan
+
+
+def test_s14_broadcast_queries_and_topk(spark):
+    """s14: the 10-row quantized query side must broadcast (the s1
+    shape) — a sort-merge join over the code scan would shuffle the
+    whole corpus; ranking must stay a windowed TopN, not a global
+    sort-limit."""
+    df = q("s14_sq8_ann_topk", spark)
+    plan = formatted_plan(df)
+    # 10 quantized queries × corpus: broadcast nested loop is the
+    # intended flat-scan shape (the s1 brute-force contract)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert sort_merge_join_count(df) == 0, plan
+    # per-partition TopN pushdown before the final window (rank never
+    # becomes a global sort of all scored pairs)
+    assert "WindowGroupLimit" in plan, plan
+    assert "row_number" in plan, plan
+
+
+def test_z3_prefix_is_two_phase(spark):
+    """z3: the compaction plan's running-bytes prefix must be the
+    two-phase form — day-partitioned local prefixes, with the only
+    unpartitioned window over the bucket-totals frame, offsets
+    broadcast back (a18's contract applied to the file catalog)."""
+    import re
+
+    df = q("z3_compaction_plan", spark)
+    plan = formatted_plan(df)
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert specs, plan
+    part_re = re.compile(r"windowspecdefinition\(__bucket#\d+,")
+    assert [x for x in specs if part_re.search(x)], plan
+    assert all(
+        "__t_" in x for x in specs if not part_re.search(x)
+    ), specs
+    assert broadcast_join_count(df) >= 1, plan
+
+
+def test_c16_totals_broadcast_single_cluster_pass(spark):
+    """c16: the 2-value totals frame must broadcast back onto the
+    per-source aggregate, and composing d6 must not re-run label
+    propagation (the cluster table arrives via the checkpointed
+    artifact, so the plan contains no iterative-join tower)."""
+    df = q("c16_dedup_adjusted_mixture", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # doc join + source agg + totals: the d6 side is a scan of the
+    # checkpointed cluster table, not a recomputation
+    assert plan.count("Scan ExistingRDD") >= 1, plan

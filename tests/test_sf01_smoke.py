@@ -34,6 +34,11 @@ SMOKE = (
     "t13_zipf_slope",           # frequency lattice exercises larger ln domain
     "a18_running_total",        # all 32 prefix buckets populated
     "st1s_dedup_last_wins_replay",  # state/batch winner overlap deepens
+    # round-6 additions whose shape scales
+    "t16_bigram_perplexity",    # bigram model 10×; ln domain widens
+    "s14_sq8_ann_topk",         # code-dot ties deepen with 4× corpus
+    "z3_compaction_plan",       # multiple bins per day appear
+    "c16_dedup_adjusted_mixture",  # cluster mass per source shifts
 )
 
 
