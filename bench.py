@@ -97,6 +97,7 @@ EXTENDED = (
     "s14b_sq8_recall_audit",
     "z3_compaction_plan",
     "c16_dedup_adjusted_mixture",
+    "z3s_compaction_replay",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -721,3 +721,48 @@ QUERY_REGISTRY["st6s_session_count_replay"] = _dc21.replace(
     QUERY_REGISTRY["st6s_session_count_replay"],
     oracle=QUERY_REGISTRY["st6_session_count"].oracle,
 )
+
+
+@register(
+    "z3s_compaction_replay",
+    survey="ext-scale",
+    doc=f"Incremental compaction-planning replay: the events table is "
+        f"split into {_N_BATCHES} ascending event-time batches and "
+        "pushed through streaming/compaction.apply_compaction_batch — "
+        "each batch folds its rows into the carried per-(day,hour) "
+        "file catalog (hours straddling batch boundaries accumulate "
+        "correctly; the merge is order-free) and re-plans the bin "
+        "assignment over the bounded catalog, the way a real lakehouse "
+        "compactor re-plans per commit. Checked against the ONE-PASS "
+        "z3 oracle: a green row is the driver verifying that the "
+        "incrementally maintained catalog + final re-plan equals the "
+        "batch query regardless of boundary placement.",
+    oracle=None,  # attached below: the z3 batch-form oracle, verbatim
+)
+def z3s_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import compaction
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("ts", "props")
+    rows = _with_tsec(ev)
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        compaction.apply_compaction_batch,
+        finalize=compaction.compact_plan_log,
+    )
+
+
+import dataclasses as _dcz3  # noqa: E402
+
+# direct import so the z3 batch-form oracle exists no matter how this
+# module is reached (the d7/d9 pattern at the top of the file)
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    layout as _layout,
+)
+
+QUERY_REGISTRY["z3s_compaction_replay"] = _dcz3.replace(
+    QUERY_REGISTRY["z3s_compaction_replay"],
+    oracle=QUERY_REGISTRY["z3_compaction_plan"].oracle,
+)

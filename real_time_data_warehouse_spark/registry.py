@@ -81,6 +81,7 @@ MANIFEST: tuple[str, ...] = (
     "s14b_sq8_recall_audit",  # NEW r6
     "z3_compaction_plan",  # NEW r6
     "c16_dedup_adjusted_mixture",  # NEW r6
+    "z3s_compaction_replay",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -122,8 +123,8 @@ MANIFEST: tuple[str, ...] = (
     "w9_over_analytics",  # r3
     "st1_dedup_last_wins",  # r3
     "st3_visitor_state_fix",  # r3
-    "st4_first_per_day_uv",  # r3
     # ---- driver cap: slots below get no hard signal this round ----
+    "st4_first_per_day_uv",  # r3
     "st5_returning_user",  # r3
     "st6_session_count",  # r3
     "x1_log_split",  # r3

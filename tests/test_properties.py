@@ -699,3 +699,89 @@ def test_bucketed_prefix_equals_sequential(spark, rows, n_buckets):
     for k, x in sorted(rows):
         acc += x
         assert got[k] == acc
+
+
+def test_u3_half_cent_lattice_cross_engine(spark, duck):
+    """The advice-flagged divergence: pandas Series.round is
+    half-to-EVEN while DuckDB ROUND is half-away — a true half-cent
+    value (e.g. 1.115 ≈ 1.1150000000000002, 2.125 exactly) silently
+    diverged under the old UDAF. Both sides now use
+    floor(v*100 + 0.5); this pins the agreement ON half-cent values,
+    where the binary double sits exactly at or next to the tie."""
+    from real_time_data_warehouse_spark.functions.udaf import (
+        weighted_cents_sum,
+    )
+
+    vals = [1.115, 2.125, 0.005, 3.335, 0.985, 7.625, -0.0, 0.995]
+    df = spark.createDataFrame(
+        [("k", v, 1) for v in vals], "k string, v double, w long"
+    )
+    got = (
+        df.groupBy("k")
+        .agg(weighted_cents_sum("v", "w").alias("c"))
+        .first()["c"]
+    )
+    placeholders = ", ".join(f"({v!r})" for v in vals)
+    exp = duck.execute(
+        "SELECT CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM (VALUES {placeholders}) t(v)"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_s14_code_lattice_cross_engine(spark, duck):
+    """s14's contract: floor(127·u + 0.5) must agree bigint-exactly
+    between engines over the full normalized domain, including the
+    negative half and values that land exactly on code boundaries
+    (k+0.5)/127. 2001 evenly spaced u in [-1, 1] plus the exact
+    boundary rationals cover every code transition."""
+    from real_time_data_warehouse_spark.operators.similarity import (
+        _SQ8_SCALE,
+    )
+
+    sp = {
+        r.i: r.c
+        for r in spark.range(0, 2001)
+        .select(
+            F.col("id").alias("i"),
+            F.floor(
+                (F.col("id") / 1000.0 - 1.0) * _SQ8_SCALE + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    du = dict(
+        duck.execute(
+            f"SELECT i, CAST(floor((CAST(i AS DOUBLE) / CAST(1000 AS "
+            f"DOUBLE) - CAST(1 AS DOUBLE)) * {_SQ8_SCALE} + 0.5) AS "
+            "BIGINT) FROM range(0, 2001) t(i)"
+        ).fetchall()
+    )
+    assert sp == du
+    # exact half-code boundaries: u = (2k+1)/(2·127)
+    bounds = [(2 * k + 1) / (2 * _SQ8_SCALE) for k in range(-127, 127)]
+    bdf = spark.createDataFrame([(b,) for b in bounds], "u double")
+    spb = [
+        r.c
+        for r in bdf.select(
+            F.floor(F.col("u") * _SQ8_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("c")
+        ).collect()
+    ]
+    # NB: doubles must be BOUND as parameters, not spliced into SQL
+    # text — DuckDB parses a bare decimal literal as DECIMAL and its
+    # DECIMAL→DOUBLE cast can land 1 ulp off Python/Spark's strtod.
+    # The real oracle never takes that path (values arrive from
+    # parquet as FLOAT→DOUBLE), so the test binds the same way.
+    dub = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT CAST(floor(u * {_SQ8_SCALE} + 0.5) AS BIGINT) "
+            "FROM unnest(?::DOUBLE[]) t(u)",
+            [bounds],
+        ).fetchall()
+    ]
+    assert spb == dub

@@ -36,6 +36,7 @@ TIER1 = (
     "s14b_sq8_recall_audit",
     "z3_compaction_plan",
     "c16_dedup_adjusted_mixture",
+    "z3s_compaction_replay",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "w9_over_analytics",
     "st1_dedup_last_wins",
     "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
 )
 
 
