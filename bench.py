@@ -98,6 +98,8 @@ EXTENDED = (
     "z3_compaction_plan",
     "c16_dedup_adjusted_mixture",
     "z3s_compaction_replay",
+    "s15_ivf_sq8_topk",
+    "j12_bucketed_join",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -46,7 +46,16 @@ def write_bucketed(
     if overwrite and spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE {name}")
     (
-        df.write.format("parquet")
+        # repartition on the key into exactly `buckets` tasks: Spark's
+        # repartition hash == the bucketing hash, so every bucket lands
+        # in ONE file — the precondition for the read side to trust the
+        # write-time sort (multiple files per bucket silently degrade
+        # the scan to unsorted and a per-query Sort reappears under
+        # SortMergeJoin). At 100 TB "one file per bucket" is per
+        # partition of a partitioned table, with the bucket count
+        # sized to the target file size.
+        df.repartition(buckets, df[key])
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, key)
         .sortBy(key)

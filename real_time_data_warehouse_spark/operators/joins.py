@@ -534,3 +534,89 @@ def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_amount"),
     )
+
+
+# --- j12: bucketed co-located fact⋈fact join -------------------------------
+# bucketing.py's zero-shuffle claim as a DRIVER-VERIFIED row (previously
+# pytest-only): the one-time bucketed write is a session artifact cached
+# per (applicationId, sf_dir) — exactly a deployment's amortization
+# model, where many queries read one bucketed table.
+
+_J12_BUCKETS = 8
+_J12_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _j12_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import tempfile
+
+    from real_time_data_warehouse_spark.bucketing import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _J12_CACHE.get(key)
+    if cached is not None and all(
+        spark.catalog.tableExists(n) for n in cached
+    ):
+        return cached
+    t = Tables(spark, sf_dir)
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"j12_orders_{sfx}", f"j12_lineitem_{sfx}")
+    base = tempfile.mkdtemp(prefix="rtdw_j12_")
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        names[0],
+        "o_orderkey",
+        _J12_BUCKETS,
+        f"{base}/orders",
+    )
+    write_bucketed(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        names[1],
+        "l_orderkey",
+        _J12_BUCKETS,
+        f"{base}/lineitem",
+    )
+    _J12_CACHE[key] = names
+    return names
+
+
+@register(
+    "j12_bucketed_join",
+    survey="J1,ext-scale",
+    doc=f"Bucketed co-located fact⋈fact join: orders and lineitem are "
+        f"written ONCE as {_J12_BUCKETS}-bucket sorted tables on their "
+        "order keys (the session-cached artifact; at 100 TB that write "
+        "is the single shuffle every later same-key query skips), then "
+        "the revenue-by-priority join plans a SortMergeJoin with NO "
+        "exchange and NO per-query sort on either side — "
+        "tests/test_plans.py asserts the shape, the driver checks the "
+        "values. This is the Spark answer to Flink's per-job keyBy "
+        "re-shuffle: co-location amortized into the table layout, the "
+        "DWD→DWS fan-out economics of the reference warehouse "
+        "(SURVEY §2.3). Revenue folds in DECIMAL(18,4) (exact, "
+        "associative) before the final double cast.",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def j12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.bucketing import read_bucketed
+
+    on, ln = _j12_tables(spark, sf_dir)
+    orders = read_bucketed(spark, on)
+    lineitem = read_bucketed(spark, ln)
+    joined = orders.join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )

@@ -1972,3 +1972,129 @@ def _s14_oracle() -> str:
 _QR["s14_sq8_ann_topk"] = _dc.replace(
     _QR["s14_sq8_ann_topk"], oracle=_s14_oracle()
 )
+
+
+# --- s15: two-stage IVF + SQ8 search ---------------------------------------
+
+
+@register(
+    "s15_ivf_sq8_topk",
+    survey="ext-similarity",
+    doc=f"Two-stage ANN — the architecture SCALE.md names for 100 TB: "
+        f"the trained {_IVF_CELLS}-cell IVF quantizer PRUNES (each "
+        f"query probes its top-{_IVF_PROBES} cells; the corpus is "
+        "sharded by top-1 cell) and the uniform-symmetric SQ8 codes "
+        "SCORE (all-integer code dot, s14's ADC, 1/4 the scan bytes). "
+        "Pair space is sum over probed cells of |cell| — never "
+        "corpus x queries — and the per-cell scan touches int8 codes, "
+        "not doubles: FAISS IVF+SQ re-expressed as a broadcast of "
+        "~20 (query, cell, code) probe rows against a cell-keyed "
+        "equi-join on the inverted list. Integer scores keep the "
+        "rank contract engine-exact; cell assignment and probe ties "
+        "replay s3's quantized-cosine discipline (d17c-validated).",
+    oracle=None,  # attached below (training chain + codes composition)
+)
+def s15_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    codes = _sq8_codes(_normalized(emb)).localCheckpoint(eager=True)
+    # inverted list: every corpus vector under its top-1 trained cell,
+    # carrying only its int8 code
+    inv = (
+        _assigned_cells(spark, sf_dir)
+        .select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.col("qc").alias("ncode"),
+        )
+    )
+    cents = _trained_centroids(sf_dir, emb)
+    topcells = _topcells_udf(cents, _IVF_PROBES)
+    probes = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(topcells(F.col("v"))).alias("cell"),
+        )
+        .join(
+            codes.select(
+                F.col("vec_id").alias("query_id"), F.col("qc").alias("qcode")
+            ),
+            "query_id",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "cell")  # each neighbor has ONE cell → no dup pairs
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qcode"), F.col("ncode")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+def _s15_oracle() -> str:
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    return f"""
+        WITH {ctes},
+        ranked AS (
+            SELECT x.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {csim} DESC, c.cell) AS rn
+            FROM e x, {trained} c
+        ),
+        asgn AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE rn <= {_IVF_PROBES} AND vec_id < {_N_QUERIES}
+        ),
+        codes AS (
+            SELECT vec_id,
+                   list_transform(v,
+                       x -> CAST(floor(x / sqrt(list_inner_product(v, v))
+                                       * {_SQ8_SCALE} + 0.5) AS BIGINT))
+                       AS qc
+            FROM e
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   CAST(list_inner_product(cq.qc, cn.qc) AS BIGINT) AS score
+            FROM probes p
+            JOIN asgn a ON p.cell = a.cell AND a.vec_id <> p.query_id
+            JOIN codes cq ON cq.vec_id = p.query_id
+            JOIN codes cn ON cn.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+               CAST(score AS BIGINT) AS score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """
+
+
+_QR["s15_ivf_sq8_topk"] = _dc.replace(
+    _QR["s15_ivf_sq8_topk"], oracle=_s15_oracle()
+)

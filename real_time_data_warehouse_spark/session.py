@@ -33,6 +33,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS); read as long and normalize in
     # tables.load (Spark has no nanos timestamp type).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Propagate bucketed tables' write-time sortBy into the scan's output
+    # ordering (off by default since 3.0) so the co-located SortMergeJoin
+    # needs neither Exchange nor per-query Sort. Safe: Spark trusts the
+    # order only when a bucket is a single file, and bucketing.py's
+    # write repartitions to guarantee exactly that; it falls back to
+    # sorting otherwise. The planning-time file listing this costs is
+    # amortized by the FileIndex cache.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

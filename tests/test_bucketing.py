@@ -65,7 +65,10 @@ def test_bucketed_join_has_zero_shuffles(bucketed):
         assert shuffle_count(df) == 0, formatted_plan(df)
         plan = formatted_plan(df)
         tree = plan.split("\n\n")[0]
-        assert "+- Sort" not in tree, plan
+        # codegen renders sort nodes as "* Sort" — match the node name
+        # with its id suffix so the assert can't pass vacuously (it did,
+        # pre-round-6, when written as "+- Sort")
+        assert " Sort (" not in tree, plan
 
 
 def test_bucketed_join_matches_shuffled_join(bucketed):

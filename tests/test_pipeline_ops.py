@@ -555,3 +555,51 @@ def test_c16_mass_conservation_and_canonical_consistency(spark):
     for fld in ("raw_share", "dedup_share"):
         tot = sum(getattr(r, fld) for r in c16.values())
         assert abs(tot - 1.0) <= 1e-4 * len(c16)
+
+
+def test_s15_prune_and_score_consistency(spark):
+    """Two-stage invariants: every s15 (query, neighbor) pair must
+    share one of the query's probed cells with the neighbor's top-1
+    cell (the IVF prune, checked against the independently computed
+    assignment), and on pairs both searches return, s15's integer
+    score must equal s14's (same SQ8 ADC — pruning changes the
+    candidate set, never the metric)."""
+    from real_time_data_warehouse_spark.operators.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _as_double,
+        _assigned_cells,
+        _topcells_udf,
+        _trained_centroids,
+    )
+
+    t = Tables(spark, SF_DIR)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _trained_centroids(SF_DIR, emb)
+    topcells = _topcells_udf(cents, _IVF_PROBES)
+    probed = {
+        r.vec_id: set(r.cells)
+        for r in emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", topcells(F.col("v")).alias("cells"))
+        .collect()
+    }
+    cell_of = {
+        r.vec_id: r.cell
+        for r in _assigned_cells(spark, SF_DIR).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    s15 = q("s15_ivf_sq8_topk", spark).collect()
+    assert s15, "two-stage search returned nothing"
+    for r in s15:
+        assert cell_of[r.neighbor_id] in probed[r.query_id]
+    s14 = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in q("s14_sq8_ann_topk", spark).collect()
+    }
+    overlap = [
+        r for r in s15 if (r.query_id, r.neighbor_id) in s14
+    ]
+    assert overlap, "searches share no pairs — prune broken"
+    for r in overlap:
+        assert r.score == s14[(r.query_id, r.neighbor_id)]

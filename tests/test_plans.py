@@ -681,3 +681,57 @@ def test_c16_totals_broadcast_single_cluster_pass(spark):
     # doc join + source agg + totals: the d6 side is a scan of the
     # checkpointed cluster table, not a recomputation
     assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_s15_broadcast_probes_over_cell_join(spark):
+    """s15: the ~20-row (query, cell, code) probe frame must broadcast
+    onto the cell-keyed inverted list (the IVF prune as an equi-join),
+    with per-partition TopN before the final window — a shuffle of the
+    corpus side on anything but nothing (map-side broadcast probe)
+    would defeat the two-stage design."""
+    df = q("s15_ivf_sq8_topk", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_j12_bucketed_join_no_exchange_no_sort(spark):
+    """j12: the co-located join must plan a SortMergeJoin with ZERO
+    shuffle exchanges on the join path and no per-query sort of either
+    bucketed side (sortBy at write time) — the only exchange allowed
+    is the final priority aggregation. A regression here means the
+    bucket metadata stopped reaching the planner (e.g. someone swapped
+    the catalog read for a path read)."""
+    df = q("j12_bucketed_join", spark)
+    plan = formatted_plan(df)
+    # both scans must carry bucket metadata (a path read loses it)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert shuffle_count(df) <= 1, plan  # the final agg only
+    # at fixture scale Catalyst may pick a broadcast over the co-located
+    # SMJ (both are exchange-free); disabling autoBroadcast exposes the
+    # claim this operator exists for — SortMergeJoin with NO exchange
+    # and NO per-query sort on either bucketed+sorted side
+    # NB: build the frame FIRST — the query fn's Tables() re-applies
+    # session.tune(), resetting these confs; physical planning is lazy,
+    # so the conf override lands if set before the first explain
+    df2 = q("j12_bucketed_join", spark)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan2 = formatted_plan(df2)
+        assert sort_merge_join_count(df2) == 1, plan2
+        assert shuffle_count(df2) <= 1, plan2
+        import re
+
+        join_input_sorts = [
+            line
+            for line in plan2.splitlines()
+            if re.match(r"\(\d+\) Sort(\s|$)", line.strip())
+        ]
+        assert len(join_input_sorts) == 0, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -37,6 +37,8 @@ TIER1 = (
     "z3_compaction_plan",
     "c16_dedup_adjusted_mixture",
     "z3s_compaction_replay",
+    "s15_ivf_sq8_topk",
+    "j12_bucketed_join",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -80,8 +82,6 @@ TIER2 = (
     "w8_sliding_window",
     "w8b_session_window",
     "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
 )
 
 
