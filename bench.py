@@ -100,6 +100,7 @@ EXTENDED = (
     "z3s_compaction_replay",
     "s15_ivf_sq8_topk",
     "j12_bucketed_join",
+    "s15s_ivf_ingest_replay",
 )
 
 # Headline set: the flagship + one representative per operator family.

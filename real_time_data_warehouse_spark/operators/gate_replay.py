@@ -766,3 +766,71 @@ QUERY_REGISTRY["z3s_compaction_replay"] = _dcz3.replace(
     QUERY_REGISTRY["z3s_compaction_replay"],
     oracle=QUERY_REGISTRY["z3_compaction_plan"].oracle,
 )
+
+
+@register(
+    "s15s_ivf_ingest_replay",
+    survey="ext-similarity,ext-scale",
+    doc=f"Incremental vector-index ingestion replay: the embeddings "
+        f"table is split into {_N_BATCHES} ascending-vec_id batches "
+        "and pushed through streaming/ivf_index.apply_ingest_batch — "
+        "each batch assigns its vectors to their cell under the "
+        "FROZEN trained quantizer (the offline artifact a production "
+        "index re-trains only on drift) and appends (cell, vec_id, "
+        "int8 code) rows to the inverted-list store; the s15 search "
+        "then runs against the ingested list. Checked against the "
+        "verbatim s15 oracle: a green row is the driver verifying "
+        "that index INGESTION commutes with index BUILD — appends "
+        "are order-free, so batch boundaries cannot change the "
+        "search result.",
+    oracle=None,  # attached below: the s15 batch-form oracle, verbatim
+)
+def s15s_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _as_double,
+        _normalized,
+        _sq8_codes,
+        _topcells_udf,
+        _trained_centroids,
+    )
+    from real_time_data_warehouse_spark.streaming import ivf_index
+
+    t = Tables(spark, sf_dir)
+    emb_full = t.embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = _trained_centroids(sf_dir, emb_full)  # frozen artifact
+    topcells = _topcells_udf(cents, _IVF_PROBES)
+    probes = (
+        emb_full.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(topcells(F.col("v"))).alias("cell"),
+        )
+        .join(
+            _sq8_codes(_normalized(emb_full)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qc").alias("qcode"),
+            ),
+            "query_id",
+        )
+        .localCheckpoint(eager=True)  # detach from the scratch dirs
+    )
+    rows = t.embeddings.select("vec_id", "embedding")
+    return _replay_batches(
+        spark,
+        rows,
+        "vec_id",
+        ivf_index.make_ingest_applier(cents),
+        finalize=ivf_index.make_searcher(probes),
+    )
+
+
+import dataclasses as _dcs15  # noqa: E402
+
+QUERY_REGISTRY["s15s_ivf_ingest_replay"] = _dcs15.replace(
+    QUERY_REGISTRY["s15s_ivf_ingest_replay"],
+    oracle=QUERY_REGISTRY["s15_ivf_sq8_topk"].oracle,
+)

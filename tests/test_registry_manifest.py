@@ -39,6 +39,7 @@ TIER1 = (
     "z3s_compaction_replay",
     "s15_ivf_sq8_topk",
     "j12_bucketed_join",
+    "s15s_ivf_ingest_replay",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a11_percentiles",
     "w8_sliding_window",
     "w8b_session_window",
-    "w9_over_analytics",
 )
 
 
