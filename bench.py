@@ -101,6 +101,7 @@ EXTENDED = (
     "s15_ivf_sq8_topk",
     "j12_bucketed_join",
     "s15s_ivf_ingest_replay",
+    "m6_keyframe_dedup",
 )
 
 # Headline set: the flagship + one representative per operator family.

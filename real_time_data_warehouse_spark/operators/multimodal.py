@@ -532,3 +532,152 @@ def audio_energy_stats(audio: DataFrame) -> DataFrame:
 def m5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return audio_energy_stats(synthesize_audio(t))
+
+
+# --- m6: keyframe selection / within-video frame dedup ---------------------
+
+_KEYFRAME_CUT = 6  # hamming ≤ cut ⇒ frame is redundant with its predecessor
+
+
+def frame_phash(frames: DataFrame) -> DataFrame:
+    """Decode-stage signature worker at FRAME granularity: (doc_id,
+    frame_idx, payload) → 60-bit perceptual hash per frame, one
+    ``mapInPandas`` pass — media_phash's bit-plane stand-in with the
+    frame index carried through (a real DCT pHash drops in per frame
+    the same way)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                content = bytes(p)[16 : 16 + PHASH_BYTES]
+                h = 0
+                for i, b in enumerate(content):
+                    h |= (b & 1) << i
+                    h |= ((b >> 1) & 1) << (PHASH_BYTES + i)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash": hashes,
+                }
+            )
+
+    return frames.mapInPandas(run, "doc_id long, frame_idx long, phash long")
+
+
+@register(
+    "m6_keyframe_dedup",
+    survey="ext-multimodal,ext-dedup",
+    doc="Within-video keyframe selection — the frame-level dedup every "
+        "video ingest runs so a static shot doesn't flood training with "
+        "near-identical frames: sample frames (m2's stride), pHash each "
+        "(frame-granular mapInPandas decode worker), then keep a frame "
+        "iff it is the first of its video OR its Hamming distance to "
+        f"the PREVIOUS sampled frame exceeds {_KEYFRAME_CUT} (a scene "
+        "change). The fixture plants both classes deterministically: "
+        "even-doc_id videos are static shots (every frame decodes the "
+        "same content → distance 0, frames dropped), odd ones pan "
+        "(sliding content → distance ≥ 19, frames kept). The lag "
+        "comparison is ONE window over (video, frame order) — state is "
+        "a single previous-hash row per video at 100 TB, and the "
+        "decode/hash stage stays map-side Arrow batches.",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(t.fi AS BIGINT) AS frame_idx,
+                   substr(text,
+                          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                               ELSE t.fi END + 1 AS INT), 32) AS ctext
+            FROM v, LATERAL (SELECT unnest(range(0, 24, 8)) AS fi) t
+        ),
+        h AS (
+            SELECT doc_id, frame_idx,
+                   CAST(list_sum(list_transform(range(0, {PHASH_BYTES}), i ->
+                       (CASE WHEN length(ctext) > i
+                             THEN ascii(substr(ctext, CAST(i + 1 AS INT), 1))
+                             ELSE 0 END % 2) * (CAST(1 AS BIGINT) << i)
+                     + ((CASE WHEN length(ctext) > i
+                             THEN ascii(substr(ctext, CAST(i + 1 AS INT), 1))
+                             ELSE 0 END // 2) % 2)
+                         * (CAST(1 AS BIGINT) << ({PHASH_BYTES} + i))
+                   )) AS BIGINT) AS phash
+            FROM f
+        ),
+        d AS (
+            SELECT doc_id, frame_idx, phash,
+                   bit_count(xor(phash, lag(phash) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx)))
+                       AS hamming_prev
+            FROM h
+        )
+        SELECT doc_id, frame_idx,
+               CAST(phash AS BIGINT) AS phash,
+               CAST(hamming_prev AS INT) AS hamming_prev,
+               CAST(CASE WHEN hamming_prev IS NULL
+                         OR hamming_prev > {_KEYFRAME_CUT}
+                    THEN 1 ELSE 0 END AS INT) AS is_keyframe
+        FROM d
+    """,
+)
+def m6_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    videos = synthesize_media(t).where(
+        F.col("media_type") == "video"
+    ).join(t.documents.select("doc_id", "text"), "doc_id")
+    # per-frame payload: header + the frame's decoded content window
+    # (static shot for even videos, panning for odd — planted classes)
+    off = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("frame_idx")
+    )
+    frames = videos.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.concat(
+            _int32_bytes(F.lit(_MAGIC)),
+            _int32_bytes(F.col("width")),
+            _int32_bytes(F.col("height")),
+            _int32_bytes(F.col("n_frames")),
+            F.encode(
+                F.substring(
+                    "text", (off + 1).cast("int"), 32
+                ),
+                "utf-8",
+            ),
+        ).alias("payload"),
+    )
+    hashed = frame_phash(frames)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    hd = F.bit_count(
+        F.col("phash").bitwiseXOR(F.lag("phash").over(w))
+    )
+    return (
+        hashed.withColumn("hamming_prev", hd)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.col("phash").cast("bigint").alias("phash"),
+            F.col("hamming_prev").cast("int").alias("hamming_prev"),
+            (
+                F.col("hamming_prev").isNull()
+                | (F.col("hamming_prev") > _KEYFRAME_CUT)
+            )
+            .cast("int")
+            .alias("is_keyframe"),
+        )
+    )

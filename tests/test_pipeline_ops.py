@@ -603,3 +603,24 @@ def test_s15_prune_and_score_consistency(spark):
     assert overlap, "searches share no pairs — prune broken"
     for r in overlap:
         assert r.score == s14[(r.query_id, r.neighbor_id)]
+
+
+def test_m6_planted_scene_classes(spark):
+    """m6's planted classes must both fire: static (even doc_id) videos
+    repeat content, so every non-first frame has hamming 0 and is
+    dropped; panning (odd) videos slide content, so every frame is a
+    keyframe. First frames are always keyframes (NULL distance)."""
+    rows = q("m6_keyframe_dedup", spark).collect()
+    assert rows
+    statics = [r for r in rows if r.doc_id % 2 == 0]
+    pans = [r for r in rows if r.doc_id % 2 == 1]
+    assert statics and pans
+    for r in statics:
+        if r.frame_idx == 0:
+            assert r.hamming_prev is None and r.is_keyframe == 1
+        else:
+            assert r.hamming_prev == 0 and r.is_keyframe == 0
+    for r in pans:
+        assert r.is_keyframe == 1
+        if r.frame_idx > 0:
+            assert r.hamming_prev > 6

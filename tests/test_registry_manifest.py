@@ -40,6 +40,7 @@ TIER1 = (
     "s15_ivf_sq8_topk",
     "j12_bucketed_join",
     "s15s_ivf_ingest_replay",
+    "m6_keyframe_dedup",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a10b_cube",
     "a11_percentiles",
     "w8_sliding_window",
-    "w8b_session_window",
 )
 
 
