@@ -39,6 +39,8 @@ SMOKE = (
     "s14_sq8_ann_topk",         # code-dot ties deepen with 4× corpus
     "z3_compaction_plan",       # multiple bins per day appear
     "c16_dedup_adjusted_mixture",  # cluster mass per source shifts
+    "s15_ivf_sq8_topk",         # probe-cell occupancy grows 4×
+    "j12_bucketed_join",        # multi-row-group bucketed scans
 )
 
 
