@@ -102,6 +102,8 @@ EXTENDED = (
     "j12_bucketed_join",
     "s15s_ivf_ingest_replay",
     "m6_keyframe_dedup",
+    "g1_pagerank",
+    "d22_fuzzy_entity_match",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -22,7 +22,9 @@ _MODULES = (
     "joins",
     "aggregations",
     "stateful",
+    "entity",
     "fanout",
+    "graph",
     "scalar",
     "serving",
     "layout",

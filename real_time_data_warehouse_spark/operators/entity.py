@@ -1,0 +1,218 @@
+"""Entity resolution — blocked fuzzy record matching (dedup for
+STRUCTURED records, the sibling of the document-granularity d-family).
+
+A training-data pipeline that joins catalog/metadata feeds needs
+record linkage: probe records whose keys were lost or corrupted must be
+matched back to a master table without an equi-join key. The public
+shape (Fellegi-Sunter / Magellan / dedupe.io lineage) is always the
+same three stages, and each stage here is the Spark-native form:
+
+1. **Blocking** — never all-pairs. Candidates must agree on a hard
+   blocking key (brand) AND share at least one *discriminative*
+   character 3-gram, where discriminative = master document frequency
+   ≤ 1/5 of the master table (the d2b frequency-cap pattern: stopword
+   grams like the shared adjective of a product family are dropped
+   from the index, exactly like hot shingles in document dedup). The
+   compound key bounds every block: |brand block| x |rare-gram
+   posting list|, both sub-linear in the master table.
+2. **Verify** — exact Levenshtein on the candidate pairs only
+   (JVM `levenshtein`, no Python). Threshold 2 edits.
+3. **Resolve** — best match per probe by (distance, master_id), a
+   per-probe window top-1; unmatched probes survive with NULL match
+   (left join), so downstream sees blocking recall honestly instead
+   of silently losing rows.
+
+The probe set is self-derived (masters with ``partkey % 7 == 3``,
+one deterministic character deletion inside the name) so the query is
+closed over the test tables and the oracle can mirror it; a real
+deployment feeds an external probe table into ``fuzzy_match_frame``.
+
+Scale: gram index build is one scan + one groupBy of the master table;
+the candidate join shuffles posting lists keyed by (gram, brand) —
+frequency-capped, so no hot key; verify/resolve touch candidates only.
+All string ops are engine-exact (integer edit distance, no float), so
+Spark ≡ DuckDB row-for-row with no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+GRAM_N = 3
+MAX_EDITS = 2
+# gram survives the blocking index iff DF_CAP_DEN * df <= |master|
+# (df ≤ 20% — the d2b stop-gram cap, relative so it holds at any SF)
+DF_CAP_DEN = 5
+
+
+def _grams(name_col: str, id_cols: list[str], df: DataFrame) -> DataFrame:
+    """Distinct character 3-grams per record → (*id_cols, gram)."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.length(name_col) - (GRAM_N - 1)),
+        lambda i: F.substring(F.col(name_col), i, F.lit(GRAM_N)),
+    )
+    return (
+        df.where(F.length(name_col) >= GRAM_N)
+        .select(*id_cols, F.explode(g).alias("gram"))
+        .distinct()
+    )
+
+
+def fuzzy_match_frame(
+    masters: DataFrame, probes: DataFrame, max_edits: int = MAX_EDITS
+) -> DataFrame:
+    """Blocked fuzzy match probes→masters.
+
+    masters: (master_id, name, brand); probes: (probe_id, qname, brand).
+    Returns every probe row with its best match or NULL:
+    (probe_id, matched_id, dist).
+    """
+    masters = masters.localCheckpoint(eager=True)  # scanned 3x below
+    mg = _grams("name", ["master_id", "brand"], masters)
+    # master-side document frequency + relative stop-gram cap
+    n_master = masters.agg(F.count("*").cast("bigint").alias("n"))
+    gram_df = mg.groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
+    kept = gram_df.crossJoin(F.broadcast(n_master)).where(
+        F.lit(DF_CAP_DEN) * F.col("df") <= F.col("n")
+    )
+    mg_kept = mg.join(kept.select("gram"), "gram")
+    pg = _grams("qname", ["probe_id", "brand"], probes)
+    cand = (
+        pg.join(mg_kept, ["gram", "brand"])
+        .select("probe_id", "master_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(probes.select("probe_id", "qname"), "probe_id")
+        .join(masters.select("master_id", "name"), "master_id")
+        .select(
+            "probe_id",
+            "master_id",
+            F.levenshtein("qname", "name").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_edits)
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("dist", "master_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("probe_id", F.col("master_id").alias("matched_id"), "dist")
+    )
+    return probes.select("probe_id").join(best, "probe_id", "left").select(
+        "probe_id",
+        F.col("matched_id").cast("bigint").alias("matched_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def _corrupted_probes(part: DataFrame) -> DataFrame:
+    """Deterministic probe set: every 7th part, one char deleted at
+    position 2 + (partkey % 4) (1-based, always inside the name)."""
+    pos = (F.col("p_partkey") % 4 + 2).cast("int")
+    return part.where(F.col("p_partkey") % 7 == 3).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), pos - 1),
+            F.substring(F.col("p_name"), pos + 1, F.length("p_name")),
+        ).alias("qname"),
+        F.col("p_brand").alias("brand"),
+    )
+
+
+_D22_ORACLE = f"""
+    WITH masters AS (
+        SELECT p_partkey AS master_id, p_name AS name, p_brand AS brand
+        FROM part
+    ),
+    probes AS (
+        SELECT p_partkey AS probe_id,
+               substr(p_name, 1, CAST(p_partkey % 4 + 2 AS INT) - 1)
+               || substr(p_name, CAST(p_partkey % 4 + 2 AS INT) + 1,
+                         length(p_name)) AS qname,
+               p_brand AS brand
+        FROM part WHERE p_partkey % 7 = 3
+    ),
+    mg AS (
+        SELECT DISTINCT master_id, brand, gram FROM (
+            SELECT master_id, brand,
+                   unnest(list_transform(
+                       range(1, length(name) - {GRAM_N - 2}),
+                       i -> substr(name, i, {GRAM_N}))) AS gram
+            FROM masters WHERE length(name) >= {GRAM_N}
+        )
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM masters),
+    kept AS (
+        SELECT gram FROM (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+            FROM mg GROUP BY gram
+        ) g CROSS JOIN nm WHERE {DF_CAP_DEN} * g.df <= nm.n
+    ),
+    pg AS (
+        SELECT DISTINCT probe_id, brand, gram FROM (
+            SELECT probe_id, brand,
+                   unnest(list_transform(
+                       range(1, length(qname) - {GRAM_N - 2}),
+                       i -> substr(qname, i, {GRAM_N}))) AS gram
+            FROM probes WHERE length(qname) >= {GRAM_N}
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT pg.probe_id, m.master_id
+        FROM pg
+        JOIN (SELECT mk.master_id, mk.brand, mk.gram
+              FROM mg mk JOIN kept k ON mk.gram = k.gram) m
+          ON pg.gram = m.gram AND pg.brand = m.brand
+    ),
+    scored AS (
+        SELECT c.probe_id, c.master_id,
+               CAST(levenshtein(p.qname, ms.name) AS INT) AS dist
+        FROM cand c
+        JOIN probes p ON c.probe_id = p.probe_id
+        JOIN masters ms ON c.master_id = ms.master_id
+        WHERE levenshtein(p.qname, ms.name) <= {MAX_EDITS}
+    ),
+    best AS (
+        SELECT probe_id, master_id AS matched_id, dist FROM (
+            SELECT probe_id, master_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY dist, master_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT pr.probe_id,
+           CAST(b.matched_id AS BIGINT) AS matched_id,
+           CAST(b.dist AS INT) AS dist
+    FROM probes pr LEFT JOIN best b ON pr.probe_id = b.probe_id
+"""
+
+
+@register(
+    "d22_fuzzy_entity_match",
+    survey="ext-dedup,ext-scale",
+    doc="Blocked fuzzy entity resolution on the part catalog: "
+        "deterministically corrupted probe names matched back to the "
+        "master via compound blocking (brand equality AND a shared "
+        "frequency-capped 3-gram), Levenshtein ≤ 2 verify, best match "
+        "per probe by (distance, master_id); unmatched probes kept "
+        "with NULL. The d2b stop-gram cap applied to record linkage — "
+        "never all-pairs.",
+    oracle=_D22_ORACLE,
+)
+def d22_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    masters = t.part.select(
+        F.col("p_partkey").alias("master_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return fuzzy_match_frame(masters, _corrupted_probes(t.part))

@@ -1,0 +1,264 @@
+"""Iterative graph analytics — PageRank over the clickstream page graph.
+
+The reference has no graph surface (its closest shape is the keyed
+per-user ordering that feeds the ST6 session operators,
+DwsTrafficVcChArIsNewPageViewWindow.java:80-110); a training-data
+pipeline at crawl scale needs exactly one more step on top of that
+ordering: centrality over the page/domain transition graph
+(PageRank-style authority is the standard quality prior for crawl
+curation — the public Common Crawl ranking releases are this
+computation). The edge set here is st12's per-user ordered transition
+derivation re-keyed to the page id; the iteration is the classic
+power-method PageRank with damping d = 0.85.
+
+Exactness (the repo's integer-lattice discipline): rank mass lives on
+an integer nano-rank lattice (``SCALE`` units = 1.0). Every iteration
+maps integers to integers with floor() over IEEE-double divisions whose
+operands stay far below 2^53, and sums integers (associative, so
+partitioning/order independent) — Spark and DuckDB run the *identical*
+sequence of integer/IEEE ops, so the fixpoint-after-K-iterations is
+engine-exact, not approximately-equal. Damping is the exact rational
+17/20; the teleport and dangling-mass shares use the same floor rule.
+Floor leaks rank mass (sub-lattice crumbs are dropped, not
+redistributed), which is deterministic and identical in both engines —
+documented, not hidden.
+
+Scale shape (100 TB): edges collapse to one row per (src, dst) with a
+count weight before any iteration (the transition aggregation is the
+only scan of the raw events); the loop then shuffles |edges| keyed by
+src each round and |nodes| for the re-aggregate — the standard
+distributed power-iteration cost, O(K) rounds with localCheckpoint
+per round so lineage stays flat (the d6 discipline). The dangling-mass
+scalar is a one-row aggregate broadcast per round, never a driver
+collect. Fixed K keeps the plan deterministic and oracle-expressible;
+a convergence-driven variant would stop on max |Δrank| — at K = 10 on
+a damped walk the residual is d^K ≈ 0.20 of a hop, plenty for a
+quality prior.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+SCALE = 1_000_000_000  # nano-rank lattice: SCALE units == rank 1.0
+DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85 as an exact rational
+PR_ITERS = 10
+
+_PAGE_SQL = (
+    "TRY_CAST(CASE WHEN json_valid(props) THEN "
+    "json_extract_string(props, '$.k') END AS BIGINT)"
+)
+
+
+def transition_page_edges(events: DataFrame) -> DataFrame:
+    """(src, dst, w): per-user consecutive page transitions, weighted by
+    count — st12's derivation keyed on the page id instead of the event
+    type. Unparseable/missing pages are dropped BEFORE the ordering, so
+    transitions connect consecutive *valid* pages."""
+    page = F.get_json_object("props", "$.k").try_cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", page.alias("page"))
+        .where(F.col("page").isNotNull())
+        .select(
+            F.col("page").alias("src"),
+            F.lead("page").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+def pagerank_frame(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
+    """Damped power-method PageRank on a weighted edge list →
+    (node, rank_unit, rank).
+
+    rank'(v) = floor(3·SCALE/(20·N))                      # teleport
+             + floor(17·(S(v) + floor(D/N))/20)           # damped mass
+    with S(v) = Σ_{u→v} floor(rank(u)·w(u,v)/out(u)) and D the summed
+    rank of dangling (no-outlink) nodes. All-integer state; see module
+    docstring for the exactness argument.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("outw")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # (node, outw|null): joined every round for the dangling set — one
+    # small artifact, materialized once
+    meta = nodes.join(outd, "node", "left").localCheckpoint(eager=True)
+    n = meta.count()  # distributed count; one scalar back to the driver
+    if n == 0:
+        return meta.select(
+            F.col("node"),
+            F.lit(None).cast("bigint").alias("rank_unit"),
+            F.lit(None).cast("double").alias("rank"),
+        )
+    # out-weight folded onto the edges once — the per-round join then
+    # touches only (edges ⋈ ranks), never a third table
+    ew = edges.join(
+        outd.withColumnRenamed("node", "src"), "src"
+    ).localCheckpoint(eager=True)
+    dang = meta.where(F.col("outw").isNull()).select("node")
+    # Python float division mirrors the engines' int/int → IEEE-double
+    # exactly (operands < 2^53), so these two driver-side constants are
+    # lattice-exact against the oracle's in-SQL forms
+    r0 = math.floor(SCALE / n)
+    base = math.floor((3 * SCALE) / (20 * n))
+    ranks = meta.select(
+        "node", F.lit(r0).cast("bigint").alias("rank_unit")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("cnode"),
+                F.floor(
+                    F.col("rank_unit") * F.col("w") / F.col("outw")
+                ).alias("c"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        dmass = ranks.join(dang, "node").agg(
+            F.coalesce(F.sum("rank_unit"), F.lit(0)).cast("bigint").alias("d")
+        )
+        ranks = (
+            meta.select("node")
+            .join(contrib, F.col("node") == F.col("cnode"), "left")
+            .crossJoin(F.broadcast(dmass))  # one-row dangling scalar
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(DAMP_NUM)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0))
+                            + F.floor(F.col("d") / F.lit(n))
+                        )
+                        / F.lit(DAMP_DEN)
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_unit"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        "rank_unit",
+        (F.col("rank_unit").cast("double") / F.lit(SCALE).cast("double"))
+        .cast("double")
+        .alias("rank"),
+    )
+
+
+def _g1_oracle(n_iters: int = PR_ITERS) -> str:
+    head = f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, {_PAGE_SQL} AS page
+            FROM events
+        ),
+        hop AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM seq WHERE page IS NOT NULL
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM hop WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst AS node FROM edges
+        ),
+        outd AS MATERIALIZED (
+            SELECT src AS node, CAST(SUM(w) AS BIGINT) AS outw
+            FROM edges GROUP BY src
+        ),
+        meta AS MATERIALIZED (
+            SELECT n.node, o.outw
+            FROM nodes n LEFT JOIN outd o ON n.node = o.node
+        ),
+        ew AS MATERIALIZED (
+            SELECT e.src, e.dst, e.w, o.outw
+            FROM edges e JOIN outd o ON e.src = o.node
+        ),
+        cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT node,
+                   CAST(floor({SCALE} / cnt.n) AS BIGINT) AS rank_unit
+            FROM nodes CROSS JOIN cnt
+        )"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT ew.dst AS node,
+                   CAST(SUM(CAST(floor(r.rank_unit * ew.w / ew.outw)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM ew JOIN {p} r ON ew.src = r.node GROUP BY ew.dst
+        ),
+        d{i} AS MATERIALIZED (
+            SELECT CAST(COALESCE(SUM(r.rank_unit), 0) AS BIGINT) AS d
+            FROM {p} r JOIN meta m ON r.node = m.node
+            WHERE m.outw IS NULL
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT m.node,
+                   CAST(CAST(floor({3 * SCALE} / (20 * cnt.n)) AS BIGINT)
+                        + CAST(floor({DAMP_NUM}
+                                     * (COALESCE(c.s, 0)
+                                        + CAST(floor(d.d / cnt.n)
+                                               AS BIGINT))
+                                     / {DAMP_DEN}) AS BIGINT)
+                        AS BIGINT) AS rank_unit
+            FROM meta m
+            LEFT JOIN c{i} c ON m.node = c.node
+            CROSS JOIN d{i} d CROSS JOIN cnt
+        )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+        SELECT node, rank_unit,
+               CAST(CAST(rank_unit AS DOUBLE)
+                    / CAST({SCALE} AS DOUBLE) AS DOUBLE) AS rank
+        FROM r{n_iters}
+    """
+    )
+
+
+@register(
+    "g1_pagerank",
+    survey="ST6,ext-scale",
+    doc="Damped integer-lattice PageRank over the per-user page "
+        "transition graph (d = 17/20, K = 10 power iterations, "
+        "dangling mass redistributed uniformly) — the crawl-curation "
+        "authority prior, built on st12's ST6 ordered-transition "
+        "derivation. Engine-exact by the nano-rank integer lattice: "
+        "both engines run identical int/IEEE floor steps, so ranks "
+        "match to the last unit, not to a tolerance.",
+    oracle=_g1_oracle(),
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return pagerank_frame(transition_page_edges(t.events), PR_ITERS)

@@ -86,6 +86,8 @@ MANIFEST: tuple[str, ...] = (
     "j12_bucketed_join",  # NEW r6
     "s15s_ivf_ingest_replay",  # NEW r6
     "m6_keyframe_dedup",  # NEW r6
+    "g1_pagerank",  # NEW r6
+    "d22_fuzzy_entity_match",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -121,9 +123,9 @@ MANIFEST: tuple[str, ...] = (
     "a9_topk_channel",  # r3
     "a10_rollup",  # r3
     "a10b_cube",  # r3
+    # ---- driver cap: slots below get no hard signal this round ----
     "a11_percentiles",  # r3
     "w8_sliding_window",  # r3
-    # ---- driver cap: slots below get no hard signal this round ----
     "w8b_session_window",  # r3
     "w9_over_analytics",  # r3
     "st1_dedup_last_wins",  # r3

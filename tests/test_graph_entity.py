@@ -1,0 +1,197 @@
+"""Planted-fixture tests for g1 (integer-lattice PageRank) and d22
+(blocked fuzzy entity matching)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.operators.entity import fuzzy_match_frame
+from real_time_data_warehouse_spark.operators.graph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    SCALE,
+    pagerank_frame,
+    transition_page_edges,
+)
+from real_time_data_warehouse_spark.plans.audit import formatted_plan
+
+
+def _py_pagerank(edges: list[tuple[int, int, int]], iters: int) -> dict[int, int]:
+    """Pure-Python mirror of the exact lattice recurrence — same
+    int/IEEE-double ops as both engines."""
+    out: dict[int, int] = defaultdict(int)
+    for s, _, w in edges:
+        out[s] += w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    r = {v: math.floor(SCALE / n) for v in nodes}
+    base = math.floor((3 * SCALE) / (20 * n))
+    for _ in range(iters):
+        contrib: dict[int, int] = defaultdict(int)
+        for s, d, w in edges:
+            contrib[d] += math.floor(r[s] * w / out[s])
+        dang = sum(r[v] for v in nodes if v not in out)
+        share = math.floor(dang / n)
+        r = {
+            v: base
+            + math.floor(DAMP_NUM * (contrib.get(v, 0) + share) / DAMP_DEN)
+            for v in nodes
+        }
+    return r
+
+
+# hub-and-spoke with a dangling sink: 1..3 all point at 4 (the hub),
+# 4 points at 5, and 5 has NO outlinks — exercises the dangling-mass
+# redistribution path, which the synthetic events graph never does
+_PLANTED_EDGES = [(1, 4, 3), (2, 4, 1), (3, 4, 2), (4, 5, 4), (5, None, 0)]
+_EDGE_ROWS = [(s, d, w) for s, d, w in _PLANTED_EDGES if d is not None]
+
+
+def test_g1_planted_lattice_parity(spark):
+    edges = spark.createDataFrame(_EDGE_ROWS, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_unit"]
+        for r in pagerank_frame(edges, n_iters=10).collect()
+    }
+    want = _py_pagerank(_EDGE_ROWS, 10)
+    assert got == want
+    # node 5 exists only as a dst (dangling) and must still be ranked
+    assert 5 in got
+    # the spokes' mass flows 1/2/3 -> 4 -> 5, so the hub outranks every
+    # spoke and the sink (fed the hub's entire mass) outranks the hub
+    assert got[4] > got[1]
+    assert got[5] == max(got.values())
+
+
+def test_g1_mass_conservation_bound(spark):
+    edges = spark.createDataFrame(_EDGE_ROWS, "src long, dst long, w long")
+    ranks = pagerank_frame(edges, n_iters=10).collect()
+    total = sum(r["rank_unit"] for r in ranks)
+    # floor() leaks sub-unit crumbs each round (per edge, per node, and
+    # the two global shares) but never creates mass
+    assert total <= SCALE
+    assert total >= int(0.95 * SCALE)
+    # rank column is exactly rank_unit / SCALE
+    for r in ranks:
+        assert r["rank"] == r["rank_unit"] / float(SCALE)
+
+
+def test_g1_transition_edges_derivation(spark):
+    events = spark.createDataFrame(
+        [
+            # user 7 visits pages 1 -> 2 -> 2 -> 3
+            (1, "2024-01-01 00:00:01", 7, '{"k": 1}'),
+            (2, "2024-01-01 00:00:02", 7, '{"k": 2}'),
+            (3, "2024-01-01 00:00:03", 7, '{"k": 2}'),
+            (4, "2024-01-01 00:00:04", 7, '{"k": 3}'),
+            # unparseable props: dropped BEFORE ordering, so user 8's
+            # transition 5 -> 6 survives the bad row between them
+            (5, "2024-01-01 00:00:01", 8, '{"k": 5}'),
+            (6, "2024-01-01 00:00:02", 8, "not json"),
+            (7, "2024-01-01 00:00:03", 8, '{"k": 6}'),
+        ],
+        "event_id long, ts string, user_id long, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in transition_page_edges(events).collect()
+    }
+    assert got == {(1, 2): 1, (2, 2): 1, (2, 3): 1, (5, 6): 1}
+
+
+def test_g1_iteration_plan_shape(spark):
+    edges = spark.createDataFrame(_EDGE_ROWS, "src long, dst long, w long")
+    plan = formatted_plan(pagerank_frame(edges, n_iters=2))
+    # the dangling-mass scalar joins as a broadcast of a 1-row frame,
+    # never a true cartesian
+    assert "CartesianProduct" not in plan
+
+
+# --- d22 ---------------------------------------------------------------
+
+_MASTERS = [
+    (1, "alpha widget", "B1"),
+    (2, "omega gadget", "B1"),
+    (3, "brick house", "B1"),
+    (4, "crane tower", "B1"),
+    (5, "delta rocket", "B1"),
+    (6, "ember stove", "B2"),
+    (7, "flint knife", "B2"),
+    (8, "grove basket", "B2"),
+    (9, "haven lamp", "B2"),
+    (10, "alpha widget", "B2"),  # same name, other brand
+]
+
+
+def _masters_df(spark):
+    return spark.createDataFrame(
+        _MASTERS, "master_id long, name string, brand string"
+    )
+
+
+def test_d22_matches_corrupted_probe_within_brand(spark):
+    probes = spark.createDataFrame(
+        [
+            (101, "alpha widgt", "B1"),  # 1 deletion of master 1
+            (102, "alpha widgt", "B2"),  # same qname, brand routes to 10
+            (103, "zzzzzzzz", "B1"),  # nothing shared: NULL
+        ],
+        "probe_id long, qname string, brand string",
+    )
+    got = {
+        r["probe_id"]: (r["matched_id"], r["dist"])
+        for r in fuzzy_match_frame(_masters_df(spark), probes).collect()
+    }
+    assert got[101] == (1, 1)
+    assert got[102] == (10, 1)
+    assert got[103] == (None, None)
+
+
+def test_d22_stop_gram_cap_blocks_common_only_probes(spark):
+    # every master shares the "prefix0x" shape; all grams except the
+    # final-digit ones hit df = 10 > 20% of 10 masters, so a probe
+    # sharing ONLY the common grams gets no candidates — even though
+    # its edit distance to several masters is 1. The cap (blocking
+    # recall), not the verifier, must be what excludes it.
+    masters = spark.createDataFrame(
+        [(i, f"prefix0{i}", "B") for i in range(10)],
+        "master_id long, name string, brand string",
+    )
+    probes = spark.createDataFrame(
+        [(201, "prefix0", "B"), (202, "prefix03x", "B")],
+        "probe_id long, qname string, brand string",
+    )
+    got = {
+        r["probe_id"]: (r["matched_id"], r["dist"])
+        for r in fuzzy_match_frame(masters, probes).collect()
+    }
+    # 201 shares only capped grams -> unmatched despite dist 1
+    assert got[201] == (None, None)
+    # 202 carries the discriminative gram "03x"? no — "x03"/"03x" never
+    # occur in masters; but "x03" is not a master gram either. It DOES
+    # share master 3's kept gram "x03"? master 3 is "prefix03": grams
+    # include "x03" (df=1, kept) -> candidate -> dist("prefix03x",
+    # "prefix03") = 1 -> matched to 3.
+    assert got[202] == (3, 1)
+
+
+def test_d22_brand_block_is_hard(spark):
+    # identical rare name, wrong brand: never a candidate
+    probes = spark.createDataFrame(
+        [(301, "brick house", "B2")],
+        "probe_id long, qname string, brand string",
+    )
+    got = fuzzy_match_frame(_masters_df(spark), probes).collect()
+    assert got[0]["matched_id"] is None
+
+
+def test_d22_plan_no_cartesian(spark):
+    probes = spark.createDataFrame(
+        [(101, "alpha widgt", "B1")],
+        "probe_id long, qname string, brand string",
+    )
+    plan = formatted_plan(fuzzy_match_frame(_masters_df(spark), probes))
+    assert "CartesianProduct" not in plan

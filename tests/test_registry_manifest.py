@@ -41,6 +41,8 @@ TIER1 = (
     "j12_bucketed_join",
     "s15s_ivf_ingest_replay",
     "m6_keyframe_dedup",
+    "g1_pagerank",
+    "d22_fuzzy_entity_match",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -80,8 +82,6 @@ TIER2 = (
     "a9_topk_channel",
     "a10_rollup",
     "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
 )
 
 

@@ -41,6 +41,8 @@ SMOKE = (
     "c16_dedup_adjusted_mixture",  # cluster mass per source shifts
     "s15_ivf_sq8_topk",         # probe-cell occupancy grows 4×
     "j12_bucketed_join",        # multi-row-group bucketed scans
+    "g1_pagerank",              # 10× edge weights; dangling set may appear
+    "d22_fuzzy_entity_match",   # gram df cap binds against 10× masters
 )
 
 
