@@ -104,6 +104,7 @@ EXTENDED = (
     "m6_keyframe_dedup",
     "g1_pagerank",
     "d22_fuzzy_entity_match",
+    "t17_bpe_merges",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -14,6 +14,7 @@ _MODULES = (
     "similarity",
     "gate_replay",  # reuses the d7/d9 oracles — after dedup/similarity
     "textanalysis",
+    "bpe",
     "multimodal",
     "sql_apps",
     "curation",  # composes d7/t1/t2/t3 — must load after them

@@ -43,6 +43,7 @@ TIER1 = (
     "m6_keyframe_dedup",
     "g1_pagerank",
     "d22_fuzzy_entity_match",
+    "t17_bpe_merges",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a8_province_amount",
     "a9_topk_channel",
     "a10_rollup",
-    "a10b_cube",
 )
 
 

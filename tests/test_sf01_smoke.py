@@ -43,6 +43,7 @@ SMOKE = (
     "j12_bucketed_join",        # multi-row-group bucketed scans
     "g1_pagerank",              # 10× edge weights; dangling set may appear
     "d22_fuzzy_entity_match",   # gram df cap binds against 10× masters
+    "t17_bpe_merges",           # merge ranks can reorder on 10× counts
 )
 
 
