@@ -105,6 +105,7 @@ EXTENDED = (
     "g1_pagerank",
     "d22_fuzzy_entity_match",
     "t17_bpe_merges",
+    "t17b_bpe_encode",
 )
 
 # Headline set: the flagship + one representative per operator family.

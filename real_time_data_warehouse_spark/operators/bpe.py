@@ -113,20 +113,25 @@ def _apply_merge(syms: str, left: str, right: str) -> F.Column:
     )
 
 
-def bpe_train_frame(
-    spark: SparkSession, documents: DataFrame, n_rounds: int = BPE_ROUNDS
-) -> DataFrame:
-    """Train the first *n_rounds* BPE merges →
-    (merge_rank, left, right, merged, pair_count)."""
+def _char_dictionary(documents: DataFrame) -> DataFrame:
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.substring(F.col("word"), i, F.lit(1)),
     )
-    dictionary = (
+    return (
         word_dictionary(documents)
         .select("word", "freq", chars.alias("syms"))
         .localCheckpoint(eager=True)
     )
+
+
+def train_merges(
+    documents: DataFrame, n_rounds: int = BPE_ROUNDS
+) -> list[tuple]:
+    """Run the merge loop → [(rank, left, right, merged, count)] — the
+    plain-Python training artifact (no Spark objects, so it is safe to
+    cache across calls within a session)."""
+    dictionary = _char_dictionary(documents)
     merges: list[tuple] = []
     for rank in range(1, n_rounds + 1):
         best = (
@@ -144,10 +149,43 @@ def bpe_train_frame(
         dictionary = dictionary.select(
             "word", "freq", _apply_merge("syms", left, right).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+    return merges
 
 
-def _t17_oracle(n_rounds: int = BPE_ROUNDS) -> str:
+# Trained-merge cache: ONE training run per (session, sf_dir) feeds both
+# t17 (the merge table) and t17b (corpus encoding) — the artifact-reuse
+# pattern of the IVF centroids. Values are plain tuples, never Spark
+# objects, so stale sessions cannot leak through it.
+_MERGE_CACHE: dict[tuple, list[tuple]] = {}
+_MERGE_CACHE_MAX = 8
+
+
+def trained_merges(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
+) -> list[tuple]:
+    key = (spark.sparkContext.applicationId, sf_dir, n_rounds)
+    if key not in _MERGE_CACHE:
+        while len(_MERGE_CACHE) >= _MERGE_CACHE_MAX:
+            _MERGE_CACHE.pop(next(iter(_MERGE_CACHE)))
+        t = Tables(spark, sf_dir)
+        _MERGE_CACHE[key] = train_merges(t.documents, n_rounds)
+    return _MERGE_CACHE[key]
+
+
+def bpe_train_frame(
+    spark: SparkSession, documents: DataFrame, n_rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Train the first *n_rounds* BPE merges →
+    (merge_rank, left, right, merged, pair_count)."""
+    return spark.createDataFrame(
+        train_merges(documents, n_rounds), _MERGE_SCHEMA
+    )
+
+
+def _bpe_cte_chain(n_rounds: int = BPE_ROUNDS) -> str:
+    """The shared WITH-chain: words → sym0 → (pc/best/mt/ks/sym)×K.
+    ``best{k}`` left-joins into the symbol stream (ON TRUE), so an
+    exhausted dictionary carries sym{k} = sym{k-1} forward unchanged."""
     tok = tokenize_sql("text")
     head = f"""
         WITH toked AS (SELECT {tok} AS toks FROM documents),
@@ -198,7 +236,7 @@ def _t17_oracle(n_rounds: int = BPE_ROUNDS) -> str:
                                      PARTITION BY s.word ORDER BY s.pos
                                  ) = b.r
                                 THEN 1 ELSE 0 END AS mt
-                    FROM {p} s CROSS JOIN best{k} b
+                    FROM {p} s LEFT JOIN best{k} b ON TRUE
                 )
             )
         ),
@@ -218,13 +256,17 @@ def _t17_oracle(n_rounds: int = BPE_ROUNDS) -> str:
             FROM ks{k} WHERE NOT consumed
         )"""
         )
+    return head + "," + ",".join(steps)
+
+
+def _t17_oracle(n_rounds: int = BPE_ROUNDS) -> str:
     finals = "\n            UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_rank, l AS merge_left,"
         f" r AS merge_right, l || r AS merged, cnt AS pair_count"
         f" FROM best{k}"
         for k in range(1, n_rounds + 1)
     )
-    return head + "," + ",".join(steps) + f"""
+    return _bpe_cte_chain(n_rounds) + f"""
         {finals}
     """
 
@@ -243,5 +285,85 @@ def _t17_oracle(n_rounds: int = BPE_ROUNDS) -> str:
     oracle=_t17_oracle(),
 )
 def t17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        trained_merges(spark, sf_dir, BPE_ROUNDS), _MERGE_SCHEMA
+    )
+
+
+def bpe_encode_frame(
+    documents: DataFrame, merges: list[tuple]
+) -> DataFrame:
+    """Encode the corpus under a trained merge list →
+    (doc_id, n_words, n_bpe_tokens).
+
+    Applies the merges in rank order to the word DICTIONARY (map-side
+    folds over |vocab| rows — the corpus is never re-segmented row by
+    row), then joins each document's words against the per-word symbol
+    count. Token-free documents survive with zero counts."""
+    dictionary = _char_dictionary(documents)
+    for _, left, right, _, _ in merges:
+        dictionary = dictionary.select(
+            "word", "freq", _apply_merge("syms", left, right).alias("syms")
+        )
+    seg = dictionary.select("word", F.size("syms").cast("bigint").alias("n_sym"))
+    words = documents.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    )
+    agg = (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return documents.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def _t17b_oracle(n_rounds: int = BPE_ROUNDS) -> str:
+    tok = tokenize_sql("text")
+    return _bpe_cte_chain(n_rounds) + f""",
+        wl AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+            FROM sym{n_rounds} GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id, w AS word
+            FROM (SELECT doc_id, unnest({tok}) AS w FROM documents)
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+            FROM dw JOIN wl USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@register(
+    "t17b_bpe_encode",
+    survey="U1,ext-text",
+    doc="Corpus encoding under the t17-trained merges — the tokenizer "
+        "lifecycle's second half (train → encode), and the real "
+        "token-count a data-mixture budget should use instead of the "
+        "t3 whitespace proxy. Per doc: word count and BPE token count "
+        "after the K merges, computed by segmenting the word "
+        "DICTIONARY once (map-side folds over |vocab| rows) and "
+        "joining doc words against it — the corpus is never "
+        "re-segmented row by row.",
+    oracle=_t17b_oracle(),
+)
+def t17b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return bpe_train_frame(spark, t.documents, BPE_ROUNDS)
+    return bpe_encode_frame(
+        t.documents, trained_merges(spark, sf_dir, BPE_ROUNDS)
+    )

@@ -95,3 +95,47 @@ def test_bpe_exhaustion_stops_early(spark):
 
 def test_bpe_empty_corpus(spark):
     assert _train(spark, [""], 3) == []
+
+
+def _py_encode(words_freq, texts, k):
+    """Reference encode: per-doc (n_words, n_bpe_tokens) under _py_bpe
+    merges applied left-greedily."""
+    merges = _py_bpe(words_freq, k)
+    seg = {w: list(w) for w in words_freq}
+    for _, left, right, _, _ in merges:
+        for w, s in seg.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seg[w] = out
+    res = {}
+    for doc_id, t in enumerate(texts):
+        ws = t.split()
+        res[doc_id] = (len(ws), sum(len(seg[w]) for w in ws))
+    return res
+
+
+def test_bpe_encode_counts_match_reference(spark):
+    from real_time_data_warehouse_spark.operators.bpe import (
+        bpe_encode_frame,
+        train_merges,
+    )
+
+    texts = ["lower lower lowest low", "newer newest new", ""]
+    docs = _docs(spark, texts)
+    merges = train_merges(docs, 8)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_frame(docs, merges).collect()
+    }
+    assert got == _py_encode(_freqs(texts), texts, 8)
+    # the empty doc survives with zero counts
+    assert got[2] == (0, 0)
+    # merges strictly compress: fewer BPE tokens than characters
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    assert sum(v[1] for v in got.values()) < n_chars

@@ -44,6 +44,7 @@ SMOKE = (
     "g1_pagerank",              # 10× edge weights; dangling set may appear
     "d22_fuzzy_entity_match",   # gram df cap binds against 10× masters
     "t17_bpe_merges",           # merge ranks can reorder on 10× counts
+    "t17b_bpe_encode",          # encode under the 10×-trained merges
 )
 
 
