@@ -106,6 +106,7 @@ EXTENDED = (
     "d22_fuzzy_entity_match",
     "t17_bpe_merges",
     "t17b_bpe_encode",
+    "c17_perceptron_quality",
 )
 
 # Headline set: the flagship + one representative per operator family.

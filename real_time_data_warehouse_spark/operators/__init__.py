@@ -15,6 +15,7 @@ _MODULES = (
     "gate_replay",  # reuses the d7/d9 oracles — after dedup/similarity
     "textanalysis",
     "bpe",
+    "classifier",
     "multimodal",
     "sql_apps",
     "curation",  # composes d7/t1/t2/t3 — must load after them

@@ -45,6 +45,7 @@ TIER1 = (
     "d22_fuzzy_entity_match",
     "t17_bpe_merges",
     "t17b_bpe_encode",
+    "c17_perceptron_quality",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a6_keyword_count",
     "a7_daily_gmv",
     "a8_province_amount",
-    "a9_topk_channel",
 )
 
 

@@ -45,6 +45,7 @@ SMOKE = (
     "d22_fuzzy_entity_match",   # gram df cap binds against 10× masters
     "t17_bpe_merges",           # merge ranks can reorder on 10× counts
     "t17b_bpe_encode",          # encode under the 10×-trained merges
+    "c17_perceptron_quality",   # margins/updates on 10× feature mass
 )
 
 
