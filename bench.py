@@ -107,6 +107,7 @@ EXTENDED = (
     "t17_bpe_merges",
     "t17b_bpe_encode",
     "c17_perceptron_quality",
+    "c19_dsir_importance",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -16,6 +16,7 @@ _MODULES = (
     "textanalysis",
     "bpe",
     "classifier",
+    "importance",
     "multimodal",
     "sql_apps",
     "curation",  # composes d7/t1/t2/t3 — must load after them

@@ -1070,20 +1070,30 @@ def bigram_nll_frame(documents: DataFrame) -> DataFrame:
     toks = tokenize("text")
     # bigram stream: map-side transform over the token array, exploded,
     # then collapsed to per-(doc, w1, w2) tf BEFORE the shuffle — the
-    # t9 discipline one order up
+    # t9 discipline one order up. The token array is PROJECTED first and
+    # the gram lambda references the column: lambdas defeat common-
+    # subexpression elimination, so element_at(tokenize(...), i) inline
+    # would re-run the split per gram element — O(len²) per doc, a
+    # measured 5× slowdown at sf0.1. The Generate (explode) boundary
+    # keeps CollapseProject from re-inlining it (t1b documents the same
+    # trap; there a repartition barrier is needed because no Generate
+    # intervenes).
+    tcol = F.col("toks")
     grams = F.when(
-        F.size(toks) >= 2,
+        F.size(tcol) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), F.size(tcol) - 2),
             lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.element_at(toks, i + 2).alias("w2"),
+                F.element_at(tcol, i + 1).alias("w1"),
+                F.element_at(tcol, i + 2).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    base = documents.select(
-        "doc_id", F.explode(grams).alias("g")
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    base = (
+        documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
     tf = (
         base.groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("tf"))

@@ -91,6 +91,7 @@ MANIFEST: tuple[str, ...] = (
     "t17_bpe_merges",  # NEW r6
     "t17b_bpe_encode",  # NEW r6
     "c17_perceptron_quality",  # NEW r6
+    "c19_dsir_importance",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -122,8 +123,8 @@ MANIFEST: tuple[str, ...] = (
     "a5_windowed_uu",  # r3
     "a6_keyword_count",  # r3
     "a7_daily_gmv",  # r3
-    "a8_province_amount",  # r3
     # ---- driver cap: slots below get no hard signal this round ----
+    "a8_province_amount",  # r3
     "a9_topk_channel",  # r3
     "a10_rollup",  # r3
     "a10b_cube",  # r3

@@ -46,6 +46,7 @@ TIER1 = (
     "t17_bpe_merges",
     "t17b_bpe_encode",
     "c17_perceptron_quality",
+    "c19_dsir_importance",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a5_windowed_uu",
     "a6_keyword_count",
     "a7_daily_gmv",
-    "a8_province_amount",
 )
 
 

@@ -46,6 +46,7 @@ SMOKE = (
     "t17_bpe_merges",           # merge ranks can reorder on 10× counts
     "t17b_bpe_encode",          # encode under the 10×-trained merges
     "c17_perceptron_quality",   # margins/updates on 10× feature mass
+    "c19_dsir_importance",      # target-OOV mass shifts with 10× vocab
 )
 
 
