@@ -108,6 +108,7 @@ EXTENDED = (
     "t17b_bpe_encode",
     "c17_perceptron_quality",
     "c19_dsir_importance",
+    "c18_k_anonymity_audit",
 )
 
 # Headline set: the flagship + one representative per operator family.

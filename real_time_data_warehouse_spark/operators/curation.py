@@ -1260,3 +1260,53 @@ import dataclasses as _dc16  # noqa: E402
 QUERY_REGISTRY["c16_dedup_adjusted_mixture"] = _dc16.replace(
     QUERY_REGISTRY["c16_dedup_adjusted_mixture"], oracle=_c16_oracle()
 )
+
+
+# --- c18: k-anonymity audit over quasi-identifiers ------------------------
+
+K_ANON = 5
+_QI_BUCKET = 100  # n_chars coarsening step
+
+
+@register(
+    "c18_k_anonymity_audit",
+    survey="ext-curation",
+    doc=f"k-anonymity audit of the release metadata: group docs by the "
+        "quasi-identifier tuple (lang, source, n_chars div "
+        f"{_QI_BUCKET}) and flag equivalence classes smaller than "
+        f"k = {K_ANON} — the classes where published metadata alone "
+        "could re-identify a contributor, the governance sibling of "
+        "the t11 PII audit and the c5 pseudonymizer (which removes "
+        "direct identifiers but not quasi-identifier joins). One "
+        "groupBy; the full class profile is emitted (not only "
+        "violations) so the datasheet shows the anonymity "
+        "distribution, and suppression/coarsening decisions can be "
+        "made downstream without a second scan.",
+    oracle=f"""
+        SELECT lang, source,
+               CAST(floor(n_chars / {_QI_BUCKET}) AS INT) AS size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(CASE WHEN COUNT(*) < {K_ANON} THEN 1 ELSE 0 END
+                    AS INT) AS is_risky
+        FROM documents
+        GROUP BY lang, source, CAST(floor(n_chars / {_QI_BUCKET}) AS INT)
+    """,
+)
+def c18_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    n = F.count("*")
+    return (
+        t.documents.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _QI_BUCKET)
+            .cast("int")
+            .alias("size_bucket"),
+        )
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.when(n < K_ANON, 1).otherwise(0).cast("int").alias("is_risky"),
+        )
+    )

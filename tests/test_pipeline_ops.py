@@ -624,3 +624,22 @@ def test_m6_planted_scene_classes(spark):
         assert r.is_keyframe == 1
         if r.frame_idx > 0:
             assert r.hamming_prev > 6
+
+
+def test_c18_k_anonymity_flags(spark):
+    from real_time_data_warehouse_spark.operators.curation import (
+        K_ANON,
+        c18_k_anonymity_audit,
+    )
+
+    rows = c18_k_anonymity_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["is_risky"] == (1 if r["n_docs"] < K_ANON else 0)
+    # the class profile partitions the corpus exactly
+    from real_time_data_warehouse_spark.tables import Tables
+
+    assert (
+        sum(r["n_docs"] for r in rows)
+        == Tables(spark, SF_DIR).documents.count()
+    )

@@ -47,6 +47,7 @@ TIER1 = (
     "t17b_bpe_encode",
     "c17_perceptron_quality",
     "c19_dsir_importance",
+    "c18_k_anonymity_audit",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a4_global_window",
     "a5_windowed_uu",
     "a6_keyword_count",
-    "a7_daily_gmv",
 )
 
 
