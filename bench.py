@@ -109,6 +109,7 @@ EXTENDED = (
     "c17_perceptron_quality",
     "c19_dsir_importance",
     "c18_k_anonymity_audit",
+    "d23_entity_clusters",
 )
 
 # Headline set: the flagship + one representative per operator family.

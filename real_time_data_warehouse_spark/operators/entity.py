@@ -63,6 +63,19 @@ def _grams(name_col: str, id_cols: list[str], df: DataFrame) -> DataFrame:
     )
 
 
+def _kept_master_grams(masters: DataFrame) -> DataFrame:
+    """Master-side 3-gram posting lists after the relative stop-gram
+    cap: (master_id, brand, gram) for grams whose master document
+    frequency is ≤ 1/DF_CAP_DEN of the master table."""
+    mg = _grams("name", ["master_id", "brand"], masters)
+    n_master = masters.agg(F.count("*").cast("bigint").alias("n"))
+    gram_df = mg.groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
+    kept = gram_df.crossJoin(F.broadcast(n_master)).where(
+        F.lit(DF_CAP_DEN) * F.col("df") <= F.col("n")
+    )
+    return mg.join(kept.select("gram"), "gram")
+
+
 def fuzzy_match_frame(
     masters: DataFrame, probes: DataFrame, max_edits: int = MAX_EDITS
 ) -> DataFrame:
@@ -73,14 +86,7 @@ def fuzzy_match_frame(
     (probe_id, matched_id, dist).
     """
     masters = masters.localCheckpoint(eager=True)  # scanned 3x below
-    mg = _grams("name", ["master_id", "brand"], masters)
-    # master-side document frequency + relative stop-gram cap
-    n_master = masters.agg(F.count("*").cast("bigint").alias("n"))
-    gram_df = mg.groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
-    kept = gram_df.crossJoin(F.broadcast(n_master)).where(
-        F.lit(DF_CAP_DEN) * F.col("df") <= F.col("n")
-    )
-    mg_kept = mg.join(kept.select("gram"), "gram")
+    mg_kept = _kept_master_grams(masters)
     pg = _grams("qname", ["probe_id", "brand"], probes)
     cand = (
         pg.join(mg_kept, ["gram", "brand"])
@@ -216,3 +222,145 @@ def d22_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
     )
     return fuzzy_match_frame(masters, _corrupted_probes(t.part))
+
+
+# --- d23: entity clusters (catalog MDM) -----------------------------------
+
+CLUSTER_MAX_EDITS = 1
+
+
+def _d23_oracle() -> str:
+    return f"""
+        WITH RECURSIVE masters AS (
+            SELECT p_partkey AS master_id, p_name AS name, p_brand AS brand
+            FROM part
+        ),
+        mg AS (
+            SELECT DISTINCT master_id, brand, gram FROM (
+                SELECT master_id, brand,
+                       unnest(list_transform(
+                           range(1, length(name) - {GRAM_N - 2}),
+                           i -> substr(name, i, {GRAM_N}))) AS gram
+                FROM masters WHERE length(name) >= {GRAM_N}
+            )
+        ),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM masters),
+        kept AS (
+            SELECT gram FROM (
+                SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+                FROM mg GROUP BY gram
+            ) g CROSS JOIN nm WHERE {DF_CAP_DEN} * g.df <= nm.n
+        ),
+        mk AS (
+            SELECT mg.master_id, mg.brand, mg.gram
+            FROM mg JOIN kept k ON mg.gram = k.gram
+        ),
+        cand AS (
+            SELECT DISTINCT a.master_id AS ma, b.master_id AS mb
+            FROM mk a JOIN mk b
+              ON a.gram = b.gram AND a.brand = b.brand
+             AND a.master_id < b.master_id
+        ),
+        pairs AS (
+            SELECT c.ma, c.mb
+            FROM cand c
+            JOIN masters x ON c.ma = x.master_id
+            JOIN masters y ON c.mb = y.master_id
+            WHERE levenshtein(x.name, y.name) <= {CLUSTER_MAX_EDITS}
+        ),
+        edges AS (
+            SELECT ma AS a, mb AS b FROM pairs
+            UNION ALL
+            SELECT mb AS a, ma AS b FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT master_id, master_id FROM masters
+            UNION
+            SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b
+        )
+        SELECT node AS master_id,
+               MIN(label) AS cluster_id,
+               CAST(CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS INT)
+                   AS is_canonical
+        FROM reach GROUP BY node
+    """
+
+
+@register(
+    "d23_entity_clusters",
+    survey="ext-dedup,ext-scale",
+    doc="Catalog entity clustering (the MDM 'golden record' step): "
+        "fuzzy-match the master table against ITSELF — compound "
+        "brand+capped-gram blocking, Levenshtein ≤ "
+        f"{CLUSTER_MAX_EDITS} verify on ordered candidate pairs — "
+        "then connected components via the d6 pointer-doubling "
+        "min-label propagation; every master gets a cluster_id with "
+        "the minimum member as canonical. d22 resolves external "
+        "probes against masters; this dedups the master table itself, "
+        "the other half of record linkage.",
+    oracle=_d23_oracle(),
+)
+def d23_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return entity_cluster_frame(
+        t.part.select(
+            F.col("p_partkey").alias("master_id"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+
+
+def entity_cluster_frame(masters: DataFrame) -> DataFrame:
+    """d23's body over any (master_id, name, brand) frame — the
+    planted-fixture seam (tests/test_graph_entity.py)."""
+    from real_time_data_warehouse_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    masters = masters.localCheckpoint(eager=True)
+    mk = _kept_master_grams(masters)
+    cand = (
+        mk.select(F.col("master_id").alias("ma"), "brand", "gram")
+        .join(
+            mk.select(F.col("master_id").alias("mb"), "brand", "gram"),
+            ["gram", "brand"],
+        )
+        .where(F.col("ma") < F.col("mb"))
+        .select("ma", "mb")
+        .distinct()
+    )
+    names = masters.select("master_id", "name")
+    pairs = (
+        cand.join(
+            names.select(
+                F.col("master_id").alias("ma"), F.col("name").alias("na")
+            ),
+            "ma",
+        )
+        .join(
+            names.select(
+                F.col("master_id").alias("mb"), F.col("name").alias("nb")
+            ),
+            "mb",
+        )
+        .where(F.levenshtein("na", "nb") <= CLUSTER_MAX_EDITS)
+        .select(F.col("ma").alias("doc_a"), F.col("mb").alias("doc_b"))
+    )
+    labels = min_label_propagation(pairs)
+    # converged label table covers only near-dup members — broadcast,
+    # the d6 stitching pattern
+    return masters.select("master_id").join(
+        F.broadcast(labels),
+        F.col("master_id") == F.col("node"),
+        "left",
+    ).select(
+        "master_id",
+        F.coalesce("label", "master_id").cast("bigint").alias("cluster_id"),
+        F.when(
+            F.coalesce("label", "master_id") == F.col("master_id"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )

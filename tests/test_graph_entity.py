@@ -195,3 +195,51 @@ def test_d22_plan_no_cartesian(spark):
     )
     plan = formatted_plan(fuzzy_match_frame(_masters_df(spark), probes))
     assert "CartesianProduct" not in plan
+
+
+def test_d23_clusters_transitively_within_brand(spark):
+    from real_time_data_warehouse_spark.operators.entity import (
+        entity_cluster_frame,
+    )
+
+    pads = [
+        (i, n, "B1" if i % 2 else "B2")
+        for i, n in enumerate(
+            [
+                "aardvark kit", "bramble pot", "crumpet tin", "dingo bell",
+                "emerald fork", "fennel jar", "garnet hook", "hazel mug",
+                "iris plate", "jasper bowl", "kelp tray", "lotus pan",
+                "maple rack", "nutmeg bin", "onyx ladle",
+            ],
+            start=6,
+        )
+    ]
+    masters = spark.createDataFrame(
+        [
+            # chain: 1-2 dist 1, 2-3 dist 1, 1-3 dist 2 — transitive
+            # closure must still cluster all three. The shared "zebra"
+            # grams have df = 4 <= 20% of the 20-row table, so they
+            # survive the stop-gram cap and generate the candidates.
+            (1, "zebra pq", "B1"),
+            (2, "zebra pr", "B1"),
+            (3, "zebra xr", "B1"),
+            # identical name, other brand: hard-blocked apart
+            (4, "zebra pq", "B2"),
+            # unrelated singleton
+            (5, "lonely gadget", "B1"),
+        ]
+        + pads,
+        "master_id long, name string, brand string",
+    )
+    got = {
+        r["master_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in entity_cluster_frame(masters).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 0)  # linked only through 2 — transitivity
+    # brand boundary holds even for an identical name
+    assert got[4] == (4, 1)
+    # singletons are their own canonical cluster
+    assert got[5] == (5, 1)
+    assert all(got[i] == (i, 1) for i in range(6, 21))

@@ -48,6 +48,7 @@ TIER1 = (
     "c17_perceptron_quality",
     "c19_dsir_importance",
     "c18_k_anonymity_audit",
+    "d23_entity_clusters",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a3_multikey_window",
     "a4_global_window",
     "a5_windowed_uu",
-    "a6_keyword_count",
 )
 
 

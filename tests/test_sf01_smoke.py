@@ -47,6 +47,7 @@ SMOKE = (
     "t17b_bpe_encode",          # encode under the 10×-trained merges
     "c17_perceptron_quality",   # margins/updates on 10× feature mass
     "c19_dsir_importance",      # target-OOV mass shifts with 10× vocab
+    "d23_entity_clusters",      # cluster sizes grow with duplicate names
 )
 
 
