@@ -110,6 +110,7 @@ EXTENDED = (
     "c19_dsir_importance",
     "c18_k_anonymity_audit",
     "d23_entity_clusters",
+    "d22b_er_recall_audit",
 )
 
 # Headline set: the flagship + one representative per operator family.

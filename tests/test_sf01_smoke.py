@@ -48,6 +48,7 @@ SMOKE = (
     "c17_perceptron_quality",   # margins/updates on 10× feature mass
     "c19_dsir_importance",      # target-OOV mass shifts with 10× vocab
     "d23_entity_clusters",      # cluster sizes grow with duplicate names
+    "d22b_er_recall_audit",     # matched-rate floor must hold at 10×
 )
 
 
