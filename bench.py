@@ -111,6 +111,7 @@ EXTENDED = (
     "c18_k_anonymity_audit",
     "d23_entity_clusters",
     "d22b_er_recall_audit",
+    "g1b_personalized_pagerank",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -77,15 +77,23 @@ def transition_page_edges(events: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_frame(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
+def pagerank_frame(
+    edges: DataFrame,
+    n_iters: int = PR_ITERS,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
     """Damped power-method PageRank on a weighted edge list →
     (node, rank_unit, rank).
 
-    rank'(v) = floor(3·SCALE/(20·N))                      # teleport
-             + floor(17·(S(v) + floor(D/N))/20)           # damped mass
+    rank'(v) = 1[v∈S]·floor(3·SCALE/(20·|S|))             # teleport
+             + floor(17·(S(v) + 1[v∈S]·floor(D/|S|))/20)  # damped mass
     with S(v) = Σ_{u→v} floor(rank(u)·w(u,v)/out(u)) and D the summed
-    rank of dangling (no-outlink) nodes. All-integer state; see module
-    docstring for the exactness argument.
+    rank of dangling (no-outlink) nodes. With ``seeds=None`` every
+    node is a seed (S = all nodes) and this is exactly the global
+    PageRank; with a seed frame (one ``node`` column) the restart
+    distribution — initial mass, teleport, and dangling re-entry — is
+    confined to the seeds: personalized PageRank. All-integer state;
+    see module docstring for the exactness argument.
     """
     edges = edges.localCheckpoint(eager=True)
     outd = edges.groupBy(F.col("src").alias("node")).agg(
@@ -98,10 +106,21 @@ def pagerank_frame(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
     )
     # (node, outw|null): joined every round for the dangling set — one
     # small artifact, materialized once
-    meta = nodes.join(outd, "node", "left").localCheckpoint(eager=True)
-    n = meta.count()  # distributed count; one scalar back to the driver
-    if n == 0:
-        return meta.select(
+    meta = nodes.join(outd, "node", "left")
+    if seeds is None:
+        meta = meta.withColumn("is_seed", F.lit(True))
+    else:
+        meta = meta.join(
+            seeds.select("node").distinct().withColumn("is_seed", F.lit(True)),
+            "node",
+            "left",
+        ).withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
+    meta = meta.localCheckpoint(eager=True)
+    # distributed counts; two bounded scalars back to the driver
+    n = meta.count()
+    n_seed = meta.where(F.col("is_seed")).count()
+    if n == 0 or n_seed == 0:
+        return meta.limit(0).select(
             F.col("node"),
             F.lit(None).cast("bigint").alias("rank_unit"),
             F.lit(None).cast("double").alias("rank"),
@@ -115,10 +134,11 @@ def pagerank_frame(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
     # Python float division mirrors the engines' int/int → IEEE-double
     # exactly (operands < 2^53), so these two driver-side constants are
     # lattice-exact against the oracle's in-SQL forms
-    r0 = math.floor(SCALE / n)
-    base = math.floor((3 * SCALE) / (20 * n))
+    r0 = math.floor(SCALE / n_seed)
+    base = math.floor((3 * SCALE) / (20 * n_seed))
+    seed_i = F.when(F.col("is_seed"), 1).otherwise(0).cast("bigint")
     ranks = meta.select(
-        "node", F.lit(r0).cast("bigint").alias("rank_unit")
+        "node", (seed_i * F.lit(r0)).cast("bigint").alias("rank_unit")
     ).localCheckpoint(eager=True)
     for _ in range(n_iters):
         contrib = (
@@ -136,18 +156,18 @@ def pagerank_frame(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
             F.coalesce(F.sum("rank_unit"), F.lit(0)).cast("bigint").alias("d")
         )
         ranks = (
-            meta.select("node")
+            meta.select("node", "is_seed")
             .join(contrib, F.col("node") == F.col("cnode"), "left")
             .crossJoin(F.broadcast(dmass))  # one-row dangling scalar
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    seed_i * F.lit(base)
                     + F.floor(
                         F.lit(DAMP_NUM)
                         * (
                             F.coalesce(F.col("s"), F.lit(0))
-                            + F.floor(F.col("d") / F.lit(n))
+                            + seed_i * F.floor(F.col("d") / F.lit(n_seed))
                         )
                         / F.lit(DAMP_DEN)
                     )
@@ -262,3 +282,131 @@ def _g1_oracle(n_iters: int = PR_ITERS) -> str:
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return pagerank_frame(transition_page_edges(t.events), PR_ITERS)
+
+
+def _g1b_oracle(n_iters: int = PR_ITERS) -> str:
+    head = f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type, {_PAGE_SQL} AS page
+            FROM events
+        ),
+        hop AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM seq WHERE page IS NOT NULL
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM hop WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst AS node FROM edges
+        ),
+        outd AS MATERIALIZED (
+            SELECT src AS node, CAST(SUM(w) AS BIGINT) AS outw
+            FROM edges GROUP BY src
+        ),
+        seeds AS MATERIALIZED (
+            SELECT DISTINCT page AS node FROM seq
+            WHERE event_type = 'purchase' AND page IS NOT NULL
+        ),
+        meta AS MATERIALIZED (
+            SELECT n.node, o.outw, (s.node IS NOT NULL) AS is_seed
+            FROM nodes n
+            LEFT JOIN outd o ON n.node = o.node
+            LEFT JOIN seeds s ON n.node = s.node
+        ),
+        ew AS MATERIALIZED (
+            SELECT e.src, e.dst, e.w, o.outw
+            FROM edges e JOIN outd o ON e.src = o.node
+        ),
+        cnt AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ns
+            FROM meta WHERE is_seed
+        ),
+        r0 AS MATERIALIZED (
+            SELECT m.node,
+                   CAST(CASE WHEN m.is_seed
+                        THEN floor({SCALE} / GREATEST(cnt.ns, 1))
+                        ELSE 0 END AS BIGINT) AS rank_unit
+            FROM meta m CROSS JOIN cnt
+        )"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT ew.dst AS node,
+                   CAST(SUM(CAST(floor(r.rank_unit * ew.w / ew.outw)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM ew JOIN {p} r ON ew.src = r.node GROUP BY ew.dst
+        ),
+        d{i} AS MATERIALIZED (
+            SELECT CAST(COALESCE(SUM(r.rank_unit), 0) AS BIGINT) AS d
+            FROM {p} r JOIN meta m ON r.node = m.node
+            WHERE m.outw IS NULL
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT m.node,
+                   CAST(CASE WHEN m.is_seed
+                        THEN CAST(floor({3 * SCALE}
+                                        / (20 * GREATEST(cnt.ns, 1)))
+                             AS BIGINT)
+                        ELSE 0 END
+                        + CAST(floor({DAMP_NUM}
+                                     * (COALESCE(c.s, 0)
+                                        + CASE WHEN m.is_seed
+                                          THEN CAST(floor(d.d
+                                              / GREATEST(cnt.ns, 1))
+                                              AS BIGINT)
+                                          ELSE 0 END)
+                                     / {DAMP_DEN}) AS BIGINT)
+                        AS BIGINT) AS rank_unit
+            FROM meta m
+            LEFT JOIN c{i} c ON m.node = c.node
+            CROSS JOIN d{i} d CROSS JOIN cnt
+        )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+        SELECT r.node, r.rank_unit,
+               CAST(CAST(r.rank_unit AS DOUBLE)
+                    / CAST({SCALE} AS DOUBLE) AS DOUBLE) AS rank
+        FROM r{n_iters} r CROSS JOIN cnt WHERE cnt.ns > 0
+    """
+    )
+
+
+@register(
+    "g1b_personalized_pagerank",
+    survey="ST6,ext-scale",
+    doc="Personalized PageRank: same integer-lattice power iteration "
+        "as g1, with the restart distribution (initial mass, teleport, "
+        "dangling re-entry) confined to the SEED pages — pages that "
+        "received a purchase event. The retrieval-flavored use of the "
+        "graph family: authority relative to a behavior of interest "
+        "(which browse pages feed purchases), the random-walk-with-"
+        "restart every recommender ships. Seeds with no graph presence "
+        "are ignored; an empty seed set yields an empty frame (both "
+        "engines — GREATEST guards keep the unrolled SQL "
+        "division-safe).",
+    oracle=_g1b_oracle(),
+)
+def g1b_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").try_cast("bigint")
+    seeds = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select(page.alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+    )
+    return pagerank_frame(
+        transition_page_edges(t.events), PR_ITERS, seeds=seeds
+    )

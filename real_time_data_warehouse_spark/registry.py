@@ -95,6 +95,7 @@ MANIFEST: tuple[str, ...] = (
     "c18_k_anonymity_audit",  # NEW r6
     "d23_entity_clusters",  # NEW r6
     "d22b_er_recall_audit",  # NEW r6
+    "g1b_personalized_pagerank",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -122,8 +123,8 @@ MANIFEST: tuple[str, ...] = (
     "a1_windowed_sum",  # r3
     "a2_distinct_count",  # r3
     "a3_multikey_window",  # r3
-    "a4_global_window",  # r3
     # ---- driver cap: slots below get no hard signal this round ----
+    "a4_global_window",  # r3
     "a5_windowed_uu",  # r3
     "a6_keyword_count",  # r3
     "a7_daily_gmv",  # r3

@@ -19,25 +19,35 @@ from real_time_data_warehouse_spark.operators.graph import (
 from real_time_data_warehouse_spark.plans.audit import formatted_plan
 
 
-def _py_pagerank(edges: list[tuple[int, int, int]], iters: int) -> dict[int, int]:
+def _py_pagerank(
+    edges: list[tuple[int, int, int]],
+    iters: int,
+    seeds: set[int] | None = None,
+) -> dict[int, int]:
     """Pure-Python mirror of the exact lattice recurrence — same
-    int/IEEE-double ops as both engines."""
+    int/IEEE-double ops as both engines. ``seeds=None`` → global
+    PageRank; otherwise restart mass is confined to seeds∩nodes."""
     out: dict[int, int] = defaultdict(int)
     for s, _, w in edges:
         out[s] += w
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
-    n = len(nodes)
-    r = {v: math.floor(SCALE / n) for v in nodes}
-    base = math.floor((3 * SCALE) / (20 * n))
+    S = set(nodes) if seeds is None else (set(seeds) & set(nodes))
+    ns = len(S)
+    r = {v: (math.floor(SCALE / ns) if v in S else 0) for v in nodes}
+    base = math.floor((3 * SCALE) / (20 * ns))
     for _ in range(iters):
         contrib: dict[int, int] = defaultdict(int)
         for s, d, w in edges:
             contrib[d] += math.floor(r[s] * w / out[s])
         dang = sum(r[v] for v in nodes if v not in out)
-        share = math.floor(dang / n)
+        share = math.floor(dang / ns)
         r = {
-            v: base
-            + math.floor(DAMP_NUM * (contrib.get(v, 0) + share) / DAMP_DEN)
+            v: (base if v in S else 0)
+            + math.floor(
+                DAMP_NUM
+                * (contrib.get(v, 0) + (share if v in S else 0))
+                / DAMP_DEN
+            )
             for v in nodes
         }
     return r
@@ -100,6 +110,27 @@ def test_g1_transition_edges_derivation(spark):
         for r in transition_page_edges(events).collect()
     }
     assert got == {(1, 2): 1, (2, 2): 1, (2, 3): 1, (5, 6): 1}
+
+
+def test_g1b_seeded_lattice_parity(spark):
+    edges = spark.createDataFrame(_EDGE_ROWS, "src long, dst long, w long")
+    # seed at spoke 1; 99 is off-graph and must be ignored
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["rank_unit"]
+        for r in pagerank_frame(edges, n_iters=10, seeds=seeds).collect()
+    }
+    assert got == _py_pagerank(_EDGE_ROWS, 10, seeds={1, 99})
+    # restart is confined to the seed: walk mass flows 1 -> 4 -> 5,
+    # spokes 2/3 receive nothing
+    assert got[1] > 0 and got[4] > 0 and got[5] > 0
+    assert got[2] == 0 and got[3] == 0
+
+
+def test_g1b_empty_seed_set_is_empty(spark):
+    edges = spark.createDataFrame(_EDGE_ROWS, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # off-graph only
+    assert pagerank_frame(edges, n_iters=3, seeds=seeds).count() == 0
 
 
 def test_g1_iteration_plan_shape(spark):

@@ -50,6 +50,7 @@ TIER1 = (
     "c18_k_anonymity_audit",
     "d23_entity_clusters",
     "d22b_er_recall_audit",
+    "g1b_personalized_pagerank",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "a1_windowed_sum",
     "a2_distinct_count",
     "a3_multikey_window",
-    "a4_global_window",
 )
 
 

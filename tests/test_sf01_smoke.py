@@ -49,6 +49,7 @@ SMOKE = (
     "c19_dsir_importance",      # target-OOV mass shifts with 10× vocab
     "d23_entity_clusters",      # cluster sizes grow with duplicate names
     "d22b_er_recall_audit",     # matched-rate floor must hold at 10×
+    "g1b_personalized_pagerank",  # seed set and dangling mass at 10×
 )
 
 
