@@ -112,6 +112,7 @@ EXTENDED = (
     "d23_entity_clusters",
     "d22b_er_recall_audit",
     "g1b_personalized_pagerank",
+    "g2_triangle_count",
 )
 
 # Headline set: the flagship + one representative per operator family.

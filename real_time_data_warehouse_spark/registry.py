@@ -96,6 +96,7 @@ MANIFEST: tuple[str, ...] = (
     "d23_entity_clusters",  # NEW r6
     "d22b_er_recall_audit",  # NEW r6
     "g1b_personalized_pagerank",  # NEW r6
+    "g2_triangle_count",  # NEW r6
     "p5_cdc_state_transition",  # r2
     "p6_cart_delta",  # r2
     "p7_dynamic_column_pruning",  # r2
@@ -122,8 +123,8 @@ MANIFEST: tuple[str, ...] = (
     "j8b_full_outer_join",  # r3
     "a1_windowed_sum",  # r3
     "a2_distinct_count",  # r3
-    "a3_multikey_window",  # r3
     # ---- driver cap: slots below get no hard signal this round ----
+    "a3_multikey_window",  # r3
     "a4_global_window",  # r3
     "a5_windowed_uu",  # r3
     "a6_keyword_count",  # r3

@@ -274,3 +274,24 @@ def test_d23_clusters_transitively_within_brand(spark):
     # singletons are their own canonical cluster
     assert got[5] == (5, 1)
     assert all(got[i] == (i, 1) for i in range(6, 21))
+
+
+def test_g2_planted_triangles(spark):
+    from real_time_data_warehouse_spark.operators.graph import (
+        triangle_counts_frame,
+    )
+
+    # two triangles sharing the 2-3 edge, plus a pendant node 4
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 5), (3, 5)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts_frame(und).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 2, 2 / 3)
+    assert got[3] == (4, 2, 1 / 3)
+    assert got[4] == (1, 0, 0.0)  # pendant: no wedge, clustering 0
+    assert got[5] == (2, 1, 1.0)

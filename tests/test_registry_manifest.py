@@ -51,6 +51,7 @@ TIER1 = (
     "d23_entity_clusters",
     "d22b_er_recall_audit",
     "g1b_personalized_pagerank",
+    "g2_triangle_count",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -81,7 +82,6 @@ TIER2 = (
     "j8b_full_outer_join",
     "a1_windowed_sum",
     "a2_distinct_count",
-    "a3_multikey_window",
 )
 
 
