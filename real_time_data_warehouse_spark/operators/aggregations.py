@@ -1148,8 +1148,13 @@ def u3_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # wavg at 4 dp on the integer lattice: round-half-up(n/d) over
     # BIGINTs is (n*2 + d) div (2*d) — no double division, so the
-    # result is bit-identical to the oracle even at true half-ties
-    # (value weights are positive, so truncating div == floor).
+    # result is bit-identical to the oracle even at true half-ties.
+    # Sign safety: BOTH engines truncate integer division toward zero
+    # (Spark `div` and DuckDB `//`: -7/2 → -3 in each; verified in
+    # tests/test_pipeline_ops.py::test_u3_div_semantics_cross_engine),
+    # so the formula stays cross-engine identical for negative
+    # wsum_cents too — only the "round-half-UP" reading assumes n ≥ 0
+    # (negative n rounds half-toward-zero, identically on both sides).
     return agg.select(
         "event_type",
         "wsum_cents",

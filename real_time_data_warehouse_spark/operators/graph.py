@@ -130,6 +130,18 @@ def pagerank_frame(
     ew = edges.join(
         outd.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)
+    # Enforce the docstring's "<2^53 operands" exactness claim instead of
+    # assuming it: rank_unit ≤ SCALE (total mass), so the bigint product
+    # rank_unit*w in the contrib stays exact-in-double and far from int64
+    # wrap (where Spark wraps silently but DuckDB raises) iff
+    # max(w)*SCALE < 2^53. One-row agg on the already-materialized edges.
+    max_w = ew.agg(F.max("w").cast("bigint")).first()[0] or 0
+    if max_w * SCALE >= 2**53:
+        raise ValueError(
+            f"pagerank exactness bound violated: max edge weight {max_w} "
+            f"* SCALE {SCALE} >= 2^53 — rescale edge weights or lower "
+            "SCALE before iterating"
+        )
     dang = meta.where(F.col("outw").isNull()).select("node")
     # Python float division mirrors the engines' int/int → IEEE-double
     # exactly (operands < 2^53), so these two driver-side constants are

@@ -544,24 +544,54 @@ def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _J12_BUCKETS = 8
 _J12_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_J12_DIRS: dict[tuple[str, str], str] = {}  # key → on-disk base dir
+_J12_CACHE_MAX = 4
+_J12_ATEXIT_ARMED = False
+
+
+def _j12_drop(key: tuple[str, str]) -> None:
+    """Evict one cache entry: remove its on-disk bucket dir (the table
+    registrations die with the session; the directory would not)."""
+    import shutil
+
+    _J12_CACHE.pop(key, None)
+    base = _J12_DIRS.pop(key, None)
+    if base is not None:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _j12_cleanup_all() -> None:
+    for key in list(_J12_DIRS):
+        _j12_drop(key)
 
 
 def _j12_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
     import hashlib
     import tempfile
 
     from real_time_data_warehouse_spark.bucketing import write_bucketed
 
+    global _J12_ATEXIT_ARMED
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _J12_CACHE.get(key)
     if cached is not None and all(
         spark.catalog.tableExists(n) for n in cached
     ):
         return cached
+    # stale entry (tables dropped / new session id) or capacity: reclaim
+    # the previous directory instead of leaking it
+    _j12_drop(key)
+    while len(_J12_CACHE) >= _J12_CACHE_MAX:
+        _j12_drop(next(iter(_J12_CACHE)))
+    if not _J12_ATEXIT_ARMED:
+        atexit.register(_j12_cleanup_all)
+        _J12_ATEXIT_ARMED = True
     t = Tables(spark, sf_dir)
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     names = (f"j12_orders_{sfx}", f"j12_lineitem_{sfx}")
     base = tempfile.mkdtemp(prefix="rtdw_j12_")
+    _J12_DIRS[key] = base
     write_bucketed(
         t.orders.select("o_orderkey", "o_orderpriority"),
         names[0],

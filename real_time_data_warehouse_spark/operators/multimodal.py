@@ -42,6 +42,12 @@ from real_time_data_warehouse_spark.tables import Tables
 # the metadata from first principles.
 _MAGIC = 0x4D4D3142  # "MM1B"
 
+# Shared fixture geometry — the oracles derive frame indices from THESE
+# constants (never re-hardcoded numbers) so a fixture change fails loudly
+# on both sides instead of silently diverging one.
+_VIDEO_FRAMES = 24  # n_frames for doc_id % 3 == 0 "video" assets
+_FRAME_STRIDE = 8  # m2/m6 sample every 8th frame
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -61,7 +67,9 @@ def synthesize_media(t: Tables) -> DataFrame:
     d = t.documents
     width = (F.col("doc_id") % 64 + 16).cast("int")
     height = (F.col("doc_id") % 48 + 16).cast("int")
-    n_frames = F.when(F.col("doc_id") % 3 == 0, 24).otherwise(1).cast("int")
+    n_frames = (
+        F.when(F.col("doc_id") % 3 == 0, _VIDEO_FRAMES).otherwise(1).cast("int")
+    )
     # header = 4 int32 big-endian fields, then the first 32 chars of text
     header = F.concat(
         _int32_bytes(F.lit(_MAGIC)),
@@ -112,7 +120,7 @@ EXTRACT_SCHEMA = StructType(
 )
 
 
-def extract_features(media: DataFrame, frame_stride: int = 8) -> DataFrame:
+def extract_features(media: DataFrame, frame_stride: int = _FRAME_STRIDE) -> DataFrame:
     """mapInPandas feature-extraction over the binary column: decode the
     header (fake decoder), frame-sample videos at ``frame_stride``. The
     Arrow batch shape and schema contract are the real production
@@ -145,20 +153,21 @@ def extract_features(media: DataFrame, frame_stride: int = 8) -> DataFrame:
         "header) → mapInPandas decode/frame-sample (fake decoder; real "
         "decode stubbed behind NotImplementedError) → per-type stats. "
         "The oracle recomputes the same metadata arithmetically.",
-    oracle="""
+    oracle=f"""
         WITH media AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
                    CAST(doc_id % 64 + 16 AS INT) AS w,
                    CAST(doc_id % 48 + 16 AS INT) AS h,
-                   CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 1 END AS nf,
+                   CASE WHEN doc_id % 3 = 0 THEN {_VIDEO_FRAMES} ELSE 1 END AS nf,
                    16 + octet_length(encode(substr(text, 1, 32))) AS nbytes
             FROM documents
         )
         SELECT media_type,
                CAST(COUNT(*) AS BIGINT) AS n_assets,
                CAST(SUM(w * h) AS BIGINT) AS total_pixels,
-               CAST(SUM(GREATEST(1, nf // 8)) AS BIGINT) AS total_sampled_frames,
+               CAST(SUM(GREATEST(1, nf // {_FRAME_STRIDE})) AS BIGINT)
+                   AS total_sampled_frames,
                CAST(SUM(nbytes) AS BIGINT) AS total_bytes
         FROM media
         GROUP BY media_type
@@ -184,12 +193,12 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video asset, carrying the parent metadata + frame byte-offset "
         "arithmetic — the Spark-side plumbing of a video pipeline "
         "(posexplode over the frame index sequence, pure Catalyst).",
-    oracle="""
+    oracle=f"""
         WITH media AS (
             SELECT doc_id,
                    CAST(doc_id % 64 + 16 AS INT) AS w,
                    CAST(doc_id % 48 + 16 AS INT) AS h,
-                   24 AS nf
+                   {_VIDEO_FRAMES} AS nf
             FROM documents WHERE doc_id % 3 = 0
         )
         SELECT doc_id,
@@ -197,7 +206,7 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(f.frame_idx * w * h AS BIGINT) AS byte_offset,
                CAST(w * h AS BIGINT) AS frame_bytes
         FROM media,
-             LATERAL (SELECT unnest(range(0, nf, 8)) AS frame_idx) f
+             LATERAL (SELECT unnest(range(0, nf, {_FRAME_STRIDE})) AS frame_idx) f
     """,
 )
 def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +217,7 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
         ).alias("frame_idx"),
     )
     return frames.select(
@@ -593,7 +602,7 @@ def frame_phash(frames: DataFrame) -> DataFrame:
                    substr(text,
                           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
                                ELSE t.fi END + 1 AS INT), 32) AS ctext
-            FROM v, LATERAL (SELECT unnest(range(0, 24, 8)) AS fi) t
+            FROM v, LATERAL (SELECT unnest(range(0, {_VIDEO_FRAMES}, {_FRAME_STRIDE})) AS fi) t
         ),
         h AS (
             SELECT doc_id, frame_idx,
@@ -643,7 +652,7 @@ def m6_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "text",
         F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
         ).alias("frame_idx"),
     ).select(
         "doc_id",

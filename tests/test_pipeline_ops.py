@@ -643,3 +643,21 @@ def test_c18_k_anonymity_flags(spark):
         sum(r["n_docs"] for r in rows)
         == Tables(spark, SF_DIR).documents.count()
     )
+
+
+def test_u3_div_semantics_cross_engine(spark, duck):
+    """Sign safety of the u3 wavg lattice formula: Spark `div` and DuckDB
+    `//` both truncate toward zero, so (n*2+d) div (2*d) is cross-engine
+    identical for NEGATIVE numerators too (ADVICE r6)."""
+    cases = [(-7, 2), (7, 2), (-9, 4), (9, 4), (-1, 3), (0, 5)]
+    for n, d in cases:
+        s = spark.sql(f"SELECT CAST({n} AS BIGINT) div CAST({d} AS BIGINT) AS q").first()["q"]
+        o = duck.sql(f"SELECT CAST({n} AS BIGINT) // CAST({d} AS BIGINT) AS q").fetchone()[0]
+        assert s == o, (n, d, s, o)
+    # the full wavg formula with a negative cents sum agrees too
+    for wsum, w in [(-12345, 7), (12345, 7), (-1, 2), (1, 2)]:
+        sf = f"({wsum} * 200 + {w}) div (2 * {w})"
+        of = f"({wsum} * 200 + {w}) // (2 * {w})"
+        s = spark.sql(f"SELECT {sf} AS q").first()["q"]
+        o = duck.sql(f"SELECT {of} AS q").fetchone()[0]
+        assert s == o, (wsum, w, s, o)
