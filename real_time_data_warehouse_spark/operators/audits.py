@@ -156,3 +156,54 @@ def s14b_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "above_floor"
         ),
     )
+
+
+_S10B_RECALL_FLOOR_X100 = 25
+
+
+@register(
+    "s10c_knn_shortlist_recall",
+    survey="ext-similarity,ext-curation",
+    doc="Driver-checked gate for the s10b scale path: recall@5 of the "
+        "IVF-SQ8 shortlist kNN (the candidates feeding s10b's vote) "
+        "against the EXACT top-5 under the identical SQ8 metric over "
+        "the full collection, asserted >= 0.25. The fixture embeddings "
+        "are isotropic random unit vectors (no cluster structure), so "
+        "any partition-pruned index's recall tracks its probed "
+        "fraction: 2/16 cells -> chance level 0.125, measured 0.45 "
+        "(sf0.01) / 0.36 (sf0.1). The floor sits 2x above chance — a "
+        "broken cell assignment or probe ranking collapses recall to "
+        "the chance line and flips this row red, while fixture noise "
+        "does not. On clustered real corpora the identical index gives "
+        "the usual 0.8+ (the d17 SemDeDup argument). Counts both "
+        "engines recompute exactly ride along; the boolean is the "
+        "contract.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               CAST(COUNT(*) * 5 AS BIGINT) AS n_truth,
+               TRUE AS above_floor
+        FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def s10c_knn_shortlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators.similarity import (
+        s10b_shortlist_knn,
+        sq8_fullscan_knn,
+    )
+
+    truth = sq8_fullscan_knn(spark, sf_dir)
+    approx = s10b_shortlist_knn(spark, sf_dir).select("qid", "nid")
+    hit = truth.join(approx, ["qid", "nid"], "left_semi")
+    stats = truth.agg(
+        F.countDistinct("qid").cast("bigint").alias("n_anchors"),
+        F.count("*").cast("bigint").alias("n_truth"),
+    ).crossJoin(
+        F.broadcast(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return stats.select(
+        "n_anchors",
+        "n_truth",
+        (
+            F.col("n_hit") * 100 >= F.col("n_truth") * _S10B_RECALL_FLOOR_X100
+        ).alias("above_floor"),
+    )

@@ -646,9 +646,9 @@ _KNN_SAMPLE_MOD = 10  # audit every 10th vector (vec_id % 10 == 0)
         "Arrow batch inside mapInPandas with a per-batch top-k "
         "combiner, so the single exchange carries batches x anchors x "
         "k rows, never anchors x collection — exact by design on the "
-        "audit sample; at full-corpus scale the same vote runs over an "
-        "s3/s5 ANN shortlist instead of the exact one (the audited "
-        "semantics per neighbor set are unchanged).",
+        "audit sample; the full-corpus scale path is IMPLEMENTED as "
+        "s10b_knn_noise_ivf (IVF-SQ8 shortlist, no driver collect), "
+        "gated by s10c.",
     oracle=f"""
         WITH e AS (SELECT vec_id, label, {_ivec_sql('embedding')} AS v
                    FROM embeddings),
@@ -695,8 +695,9 @@ def _anchor_topk_candidates(
 ) -> DataFrame:
     """Shared exact-kNN kernel for s10/s11: integer-quantize, pull the
     1/sample_mod anchor matrix to the workers (same memory class as
-    broadcasting it — the scale path swaps this stage for an s3/s5 ANN
-    shortlist), then ONE numpy matmul per Arrow batch with a per-batch
+    broadcasting it — the scale path that swaps this stage for the
+    IVF-SQ8 shortlist is implemented as s10b_shortlist_knn), then
+    ONE numpy matmul per Arrow batch with a per-batch
     top-k COMBINER: each batch emits at most k candidates per anchor
     (ordered by sim desc, nid asc — exact int64 arithmetic, so the
     per-batch prune is deterministic), and a final per-anchor window
@@ -808,8 +809,8 @@ _NEG_K = 5  # hard negatives per anchor
         "both engines. Shape: identical to s10 — one vectorized matmul "
         "per Arrow batch with a per-batch top-k combiner, no join, one "
         "exchange, WindowGroupLimit pruning. At full-corpus scale the "
-        "identical ranking consumes an s3/s5 ANN shortlist instead of "
-        "the exact candidate set.",
+        "identical ranking consumes the s10b IVF-SQ8 shortlist "
+        "(implemented; s10c-gated) instead of the exact candidate set.",
     oracle=f"""
         WITH e AS (SELECT vec_id, label, {_ivec_sql('embedding')} AS v
                    FROM embeddings),

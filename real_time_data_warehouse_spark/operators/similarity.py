@@ -2098,3 +2098,236 @@ def _s15_oracle() -> str:
 _QR["s15_ivf_sq8_topk"] = _dc.replace(
     _QR["s15_ivf_sq8_topk"], oracle=_s15_oracle()
 )
+
+
+# --- s10b: kNN label-noise vote over the IVF-SQ8 shortlist -----------------
+# The s10/s11 scale path as CODE, not prose (round-6 verdict): the exact
+# anchor-matmul audit collects the 1/10 anchor matrix to the driver —
+# fine at audit spec, the repo's one O(corpus-fraction) driver
+# materialization. This variant keeps the identical vote semantics but
+# draws each anchor's candidates from the s15 two-stage index: IVF cells
+# prune (anchors probe their top-P trained cells against the top-1-cell
+# inverted list — pair space is Σ_cells |probes∩cell|·|cell|, never
+# anchors×corpus), SQ8 codes score (all-integer dot, engine-exact). No
+# collect anywhere on the path; the probe→inverted-list join is a plain
+# cell-keyed equi-join that shuffles, so anchor count can scale with the
+# corpus instead of with driver memory.
+
+
+def s10b_shortlist_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-SQ8 shortlist kNN stage shared by the s10b vote and the
+    s10c recall gate: (qid, qlabel, nid, nlabel, sim) rows, top-_KNN_K
+    per anchor by integer SQ8 code dot over the probed cells."""
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        _KNN_K,
+        _KNN_SAMPLE_MOD,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    labels = t.embeddings.select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    codes = _sq8_codes(_normalized(emb))
+    inv = (
+        _assigned_cells(spark, sf_dir)
+        .select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("nid"),
+            "cell",
+            F.col("qc").alias("ncode"),
+            F.col("label").alias("nlabel"),
+        )
+    )
+    cents = _trained_centroids(sf_dir, emb)
+    topcells = _topcells_udf(cents, _IVF_PROBES)
+    probes = (
+        emb.where(F.col("vec_id") % _KNN_SAMPLE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(topcells(F.col("v"))).alias("cell"),
+        )
+        .join(
+            codes.select(
+                F.col("vec_id").alias("qid"), F.col("qc").alias("qcode")
+            ),
+            "qid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("qid"),
+                F.col("label").alias("qlabel"),
+            ),
+            "qid",
+        )
+    )
+    scored = (
+        probes.join(inv, "cell")
+        .where(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            int_dot(F.col("qcode"), F.col("ncode")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KNN_K
+    )
+
+
+def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, nid): the EXACT top-_KNN_K under the identical SQ8 metric
+    over the full collection — the truth side of the s10c gate. Audit
+    shape like s10 itself: the anchor probe frame broadcasts against
+    the corpus scan; the production path (s10b) never does this."""
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        _KNN_K,
+        _KNN_SAMPLE_MOD,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    codes = _sq8_codes(_normalized(emb))
+    q = codes.where(F.col("vec_id") % _KNN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qc").alias("qcode")
+    )
+    n = codes.select(
+        F.col("vec_id").alias("nid"), F.col("qc").alias("ncode")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("nid") != F.col("qid"))
+        .select(
+            "qid", "nid", int_dot(F.col("qcode"), F.col("ncode")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("qid", "nid")
+    )
+
+
+@register(
+    "s10b_knn_noise_ivf",
+    survey="ext-similarity,ext-curation",
+    doc="kNN label-noise audit over the IVF-SQ8 shortlist — s10's "
+        "majority-vote semantics with candidates from the s15 two-stage "
+        "index instead of the exact driver-collected anchor matmul: "
+        "anchors (the same deterministic 1/10 sample) probe their top-2 "
+        "trained IVF cells, candidates come from the cell-keyed "
+        "inverted list (one cell per neighbor, so no duplicate pairs), "
+        "and ranking uses the all-integer SQ8 code dot. Every stage is "
+        "a shuffle-shaped join or window — NO driver collect of any "
+        "corpus fraction, which is what lets the anchor set grow with "
+        "the corpus at 100 TB. Integer scores and lexicographic ties "
+        "keep the vote engine-exact; s10c gates the shortlist's recall "
+        "against the same-metric exact scan (on this isotropic "
+        "fixture recall tracks the probed fraction — real clustered "
+        "corpora recover the usual 0.8+; the gate floor is 2x the "
+        "broken-index chance level).",
+    oracle=None,  # attached below (replays the IVF training chain)
+)
+def s10b_knn_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    knn = s10b_shortlist_knn(spark, sf_dir)
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            F.col("nlabel").cast("int").alias("knn_label"),
+            F.when(F.col("nlabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+        )
+    )
+
+
+def _s10b_oracle() -> str:
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        _KNN_K,
+        _KNN_SAMPLE_MOD,
+    )
+
+    csim = _IVF_CSIM_SQL
+    ctes, trained = _ivf_training_ctes()
+    return f"""
+        WITH {ctes},
+        ranked AS (
+            SELECT x.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {csim} DESC, c.cell) AS rn
+            FROM e x, {trained} c
+        ),
+        asgn AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT vec_id AS qid, cell FROM ranked
+            WHERE rn <= {_IVF_PROBES} AND vec_id % {_KNN_SAMPLE_MOD} = 0
+        ),
+        codes AS (
+            SELECT vec_id,
+                   list_transform(v,
+                       x -> CAST(floor(x / sqrt(list_inner_product(v, v))
+                                       * {_SQ8_SCALE} + 0.5) AS BIGINT))
+                       AS qc
+            FROM e
+        ),
+        lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+        scored AS (
+            SELECT p.qid, lq.label AS qlabel,
+                   a.vec_id AS nid, ln.label AS nlabel,
+                   CAST(list_inner_product(cq.qc, cn.qc) AS BIGINT) AS sim
+            FROM probes p
+            JOIN asgn a ON p.cell = a.cell AND a.vec_id <> p.qid
+            JOIN codes cq ON cq.vec_id = p.qid
+            JOIN codes cn ON cn.vec_id = a.vec_id
+            JOIN lab lq ON lq.vec_id = p.qid
+            JOIN lab ln ON ln.vec_id = a.vec_id
+        ),
+        knn AS (
+            SELECT qid, qlabel, nlabel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS rn
+                FROM scored
+            ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT qid, qlabel, nlabel, COUNT(*) AS cnt
+            FROM knn GROUP BY qid, qlabel, nlabel
+        )
+        SELECT qid AS vec_id, CAST(qlabel AS INT) AS label,
+               CAST(nlabel AS INT) AS knn_label,
+               CAST(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS INT)
+                   AS agree
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cnt DESC, nlabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    """
+
+
+_QR["s10b_knn_noise_ivf"] = _dc.replace(
+    _QR["s10b_knn_noise_ivf"], oracle=_s10b_oracle()
+)
