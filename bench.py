@@ -113,6 +113,14 @@ EXTENDED = (
     "d22b_er_recall_audit",
     "g1b_personalized_pagerank",
     "g2_triangle_count",
+    # driver-round-7 additions (first recorded medians land in BENCH_r07)
+    "s10b_knn_noise_ivf",
+    "s10c_knn_shortlist_recall",
+    "g1s_pagerank_replay",
+    "k1_dynamic_topic_readback",
+    "k2_serving_partition_readback",
+    "k3_fixed_topic_readback",
+    "k4_keyed_upsert_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -30,6 +30,7 @@ _MODULES = (
     "graph",
     "scalar",
     "serving",
+    "sink_readback",  # composes serving.SERVING_DATE — after serving
     "layout",
     "audits",  # composes s1/s3/d2/d3 — must load last
 )

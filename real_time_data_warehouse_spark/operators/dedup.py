@@ -1172,7 +1172,8 @@ def prefix_candidates(
         exploded.join(freq, "sh")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= p)
-        .select("sh", "doc_id", "n")
+        .select("sh", "doc_id", "n", "rn")  # rn = position, kept for
+        # the PPJoin positional filter below
     )
     # bucket size via window — rides the SAME hash exchange on sh the
     # bucket build needs (no extra shuffle vs the uncapped form); the
@@ -1188,41 +1189,80 @@ def prefix_candidates(
     buckets = (
         sized.where(F.col("bn") <= bucket_cap)
         .groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n", "rn"))
+            ).alias("ds")
+        )
     )
     array_pairs = (
         buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("a.n").alias("na"),
+            F.col("a.rn").alias("pa"),
             F.explode(
                 F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
             ).alias("b"),
         )
         .select(
-            "doc_a", "na",
-            F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb"),
+            "doc_a", "na", "pa",
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n").alias("nb"),
+            F.col("b.rn").alias("pb"),
         )
     )
     # oversized buckets: row-level self-join, same pair set, no arrays
-    big = sized.where(F.col("bn") > bucket_cap).select("sh", "doc_id", "n")
+    big = sized.where(F.col("bn") > bucket_cap).select(
+        "sh", "doc_id", "n", "rn"
+    )
     join_pairs = (
         big.select(
-            "sh", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            "sh",
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("na"),
+            F.col("rn").alias("pa"),
         )
         .join(
             big.select(
-                "sh", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                "sh",
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("rn").alias("pb"),
             ),
             "sh",
         )
         .where(F.col("doc_a") < F.col("doc_b"))
         .drop("sh")
     )
+    # PPJoin positional filter (lossless): a shingle matching at
+    # frequency-order positions (pa, pb) bounds the achievable overlap
+    # by 1 + min(na - pa, nb - pb); Jaccard ≥ 0.6 needs
+    # 8·inter ≥ 3·(na + nb), so candidates whose BEST (earliest) match
+    # cannot reach that overlap are dropped before the expensive
+    # full-array verify. min(pa)/min(pb) over a pair's matches is the
+    # loosest per-coordinate bound → strictly lossless, integer-exact.
     return (
         array_pairs.unionByName(join_pairs)
         .where(F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 3)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.min("pa").alias("pa"),
+            F.min("pb").alias("pb"),
+        )
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+                )
+            )
+            * 8
+            >= (F.col("na") + F.col("nb")) * 3
+        )
+        .select("doc_a", "na", "doc_b", "nb")
     )
 
 

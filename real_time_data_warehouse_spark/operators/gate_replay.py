@@ -834,3 +834,48 @@ QUERY_REGISTRY["s15s_ivf_ingest_replay"] = _dcs15.replace(
     QUERY_REGISTRY["s15s_ivf_ingest_replay"],
     oracle=QUERY_REGISTRY["s15_ivf_sq8_topk"].oracle,
 )
+
+
+@register(
+    "g1s_pagerank_replay",
+    survey="ST6,ext-scale",
+    doc=f"Incremental PageRank-graph replay: the events table is split "
+        f"into {_N_BATCHES} ascending TIME-RANGE batches and pushed "
+        "through streaming/pagerank_stream.apply_pagerank_batch — "
+        "carried per-user last-valid-page state chains transitions "
+        "ACROSS batch boundaries (the edge between batch N's tail and "
+        "batch N+1's head exists in neither batch alone), and the "
+        "(src,dst,count) catalog accumulates order-free; the fixed-K "
+        "integer-lattice rank loop then runs once over the final "
+        "catalog. Checked against the verbatim g1 oracle: a green row "
+        "is the driver verifying incremental graph maintenance across "
+        "arbitrary boundaries ≡ the one-pass batch derivation. Closes "
+        "the batch≡stream family for the graph operators.",
+    oracle=None,  # attached below: the g1 batch-form oracle, verbatim
+)
+def g1s_pagerank_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.streaming import pagerank_stream
+
+    t = Tables(spark, sf_dir)
+    rows = _with_tsec(
+        t.events.select("user_id", "ts", "event_id", "props")
+    )
+    return _replay_batches(
+        spark,
+        rows,
+        "tsec",
+        pagerank_stream.apply_pagerank_batch,
+        finalize=pagerank_stream.pagerank_from_log,
+    )
+
+
+import dataclasses as _dcg1  # noqa: E402
+
+from real_time_data_warehouse_spark.operators import (  # noqa: E402,F401
+    graph as _graph_for_oracle,
+)
+
+QUERY_REGISTRY["g1s_pagerank_replay"] = _dcg1.replace(
+    QUERY_REGISTRY["g1s_pagerank_replay"],
+    oracle=QUERY_REGISTRY["g1_pagerank"].oracle,
+)

@@ -63,200 +63,202 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-6 rotation (tools/rotation.py freshness order): tier 1 = the
-    # 3 queries added after the round-5 mid-round rotation (z2/c15/d20 —
-    # the only never-driver-verified rows) plus any NEW round-6 queries
-    # inserted directly below them; tier 2 = the stalest greens (the 9
-    # remaining r2-era rows, then the r3 cohort). Everything below the
-    # cap has green signal from r3-r5 and rotates back by freshness in
-    # later rounds. NOTE: queries added in a given round AFTER the
-    # driver's correctness pass (if any) are never-verified until the
-    # next rotation promotes them — the tier-1 rule above exists to
-    # clear that backlog every round.
-    "z2_column_stats",  # NEVER
-    "c15_curriculum_phases",  # NEVER
-    "d20_semantic_decontamination",  # NEVER
-    "t16_bigram_perplexity",  # NEW r6
-    "s14_sq8_ann_topk",  # NEW r6
-    "s14b_sq8_recall_audit",  # NEW r6
-    "z3_compaction_plan",  # NEW r6
-    "c16_dedup_adjusted_mixture",  # NEW r6
-    "z3s_compaction_replay",  # NEW r6
-    "s15_ivf_sq8_topk",  # NEW r6
-    "j12_bucketed_join",  # NEW r6
-    "s15s_ivf_ingest_replay",  # NEW r6
-    "m6_keyframe_dedup",  # NEW r6
-    "g1_pagerank",  # NEW r6
-    "d22_fuzzy_entity_match",  # NEW r6
-    "t17_bpe_merges",  # NEW r6
-    "t17b_bpe_encode",  # NEW r6
-    "c17_perceptron_quality",  # NEW r6
-    "c19_dsir_importance",  # NEW r6
-    "c18_k_anonymity_audit",  # NEW r6
-    "d23_entity_clusters",  # NEW r6
-    "d22b_er_recall_audit",  # NEW r6
-    "g1b_personalized_pagerank",  # NEW r6
-    "g2_triangle_count",  # NEW r6
-    "p5_cdc_state_transition",  # r2
-    "p6_cart_delta",  # r2
-    "p7_dynamic_column_pruning",  # r2
-    "p8_page_filter",  # r2
-    "p9_login_filter",  # r2
-    "p10_search_filter",  # r2
-    "sql1_order_detail_app",  # r2
-    "sql2_keyword_window_app",  # r2
-    "sql3_serving_gmv_app",  # r2
-    "d5_embedding_neardup",  # r3
-    "d9_semantic_gate",  # r3
-    "d9s_semantic_gate_replay",  # r3
-    "f_scalar_suite",  # r3
-    "a2b_approx_distinct",  # r3
-    "j9_salted_skew_join",  # r3
-    "a12_salted_skew_agg",  # r3
-    "a11b_approx_percentiles",  # r3
-    "d7s_dedup_gate_replay",  # r3
-    "q0_flagship_trade_summary",  # r3
-    "f_json_roundtrip",  # r3
-    "j6_dim_chain_join",  # r3
-    "j7_broadcast_config_join",  # r3
-    "j8_semi_anti_join",  # r3
-    "j8b_full_outer_join",  # r3
-    "a1_windowed_sum",  # r3
-    "a2_distinct_count",  # r3
-    # ---- driver cap: slots below get no hard signal this round ----
-    "a3_multikey_window",  # r3
-    "a4_global_window",  # r3
-    "a5_windowed_uu",  # r3
-    "a6_keyword_count",  # r3
-    "a7_daily_gmv",  # r3
-    "a8_province_amount",  # r3
-    "a9_topk_channel",  # r3
-    "a10_rollup",  # r3
-    "a10b_cube",  # r3
-    "a11_percentiles",  # r3
-    "w8_sliding_window",  # r3
-    "w8b_session_window",  # r3
-    "w9_over_analytics",  # r3
-    "st1_dedup_last_wins",  # r3
-    "st3_visitor_state_fix",  # r3
-    "st4_first_per_day_uv",  # r3
-    "st5_returning_user",  # r3
-    "st6_session_count",  # r3
-    "x1_log_split",  # r3
-    "x1b_explode_children",  # r3
-    "x3_set_ops",  # r3
-    "s4_cluster_stats",  # r3
-    "s2b_lsh_multiband_topk",  # r3
-    "d7_dedup_gate",  # r3
-    "s3_ivf_ann_topk",  # r3
-    "d1_exact_dedup",  # r3
-    "d2_ngram_jaccard_pairs",  # r3
-    "d2b_jaccard_capped",  # r3
-    "d3_minhash_lsh_pairs",  # r3
-    "d4_simhash",  # r3
-    "d6_dedup_clusters",  # r3
-    "d8_decontamination",  # r3
-    "s1_cosine_topk",  # r3
-    "j10_asof_join",  # r4
-    "st8_scd2_intervals",  # r4
-    "c7_quota_sample",  # r4
-    "s5_pq_adc_topk",  # r4
-    "st8s_scd2_replay",  # r4
-    "st9_retract_changelog",  # r4
-    "c8_leakage_safe_split",  # r4
-    "d12_shingle_containment",  # r4
-    "s6_bm25_topk",  # r4
-    "s7_hybrid_rerank",  # r4
-    "t7_ngram_stats",  # r4
-    "t8_pmi_bigrams",  # r4
-    "c9_doc_chunks",  # r4
-    "c3s_packing_replay",  # r4
-    "c1s_curation_replay",  # r4
-    "c10_corpus_profile",  # r4
-    "d6b_cluster_histogram",  # r4
-    "t9_unigram_surprisal",  # r4
-    "j11_range_join",  # r4
-    "w10_late_event_audit",  # r4
-    "t10_gopher_rules",  # r4
-    "a13_heavy_hitters",  # r4
-    "m4_media_phash_dedup",  # r4
-    "z1_zorder_layout",  # r4
-    "s8_mmr_rerank",  # r4
-    "a2c_hll_partial_union",  # r4
-    "c11_token_budget_plan",  # r4
-    "st10_changelog_fold",  # r4
-    "a13s_heavy_hitters_replay",  # r4
-    "d13_source_overlap",  # r4
-    "d2c_prefix_jaccard",  # r4
-    "a15_retention_cohorts",  # r4
-    "st11_funnel",  # r4
-    "a16_gapfill_locf",  # r4
-    "s9_ann_recall_audit",  # r4
-    "d14_minhash_recall_audit",  # r4
-    "a17_spike_detection",  # r4
-    "st12_transition_matrix",  # r4
-    "d15_substring_spans",  # r4
-    "d16_substring_strip",  # r4
-    "st13_sessionization",  # r4
-    "st13s_session_replay",  # r4
-    "s10_knn_label_noise",  # r4
-    "s11_hard_negatives",  # r4
-    "t11_pii_audit",  # r4
-    "m5_audio_energy",  # r4
-    "a1s_windowed_sum_replay",  # r4
-    "j4s_interval_join_replay",  # r4
-    "j2s_left_outer_join_replay",  # r4
-    "a14_window_topn",  # r4
-    "w11_cumulate_window",  # r5
-    "c12_quality_weighted_sample",  # r5
-    "a5s_windowed_uu_replay",  # r5
-    "st3s_visitor_fix_replay",  # r5
-    "st5s_returning_user_replay",  # r5
-    "a6b_cjk_keyword_count",  # r5
-    "s12_label_partitioned_ann",  # r5
-    "u3_weighted_mean_udaf",  # r5
-    "c10s_profile_replay",  # r5
-    "d17_semantic_dedup",  # r5
-    "st1s_dedup_last_wins_replay",  # r5
-    "t12_char_entropy",  # r5
-    "t13_zipf_slope",  # r5
-    "c13_cluster_weighted_sample",  # r5
-    "d17b_semdedup_recall_audit",  # r5
-    "d17c_semantic_dedup_multiprobe",  # r5
-    "a18_running_total",  # r5
-    "t14_vocab_growth",  # r5
-    "s13_rrf_fusion",  # r5
-    "d19_chunk_dedup",  # r5
-    "t15_lang_confusion",  # r5
-    "st4s_daily_uv_replay",  # r5
-    "st6s_session_count_replay",  # r5
-    "p2_dirty_side_output",  # r5
-    "j1_inner_equi_join",  # r5
-    "j2_left_outer_join",  # r5
-    "j3_filtered_inner_join",  # r5
-    "j4_interval_join",  # r5
-    "j5_lookup_dim_join",  # r5
-    "p3_bootstrap_exclusion",  # r5
-    "p4_map_access_projection",  # r5
-    "p11_null_tombstone_filter",  # r5
-    "t5_normalize",  # r5
-    "t6_repetition",  # r5
-    "c4_corpus_shuffle",  # r5
-    "c5_pseudonymize",  # r5
-    "c6_mixture_weights",  # r5
-    "c1_corpus_curation",  # r5
-    "m3_corrupt_quarantine",  # r5
-    "t1b_trigram_langid",  # r5
-    "s2_lsh_ann_topk",  # r5
-    "t3_token_count",  # r5
-    "t2_quality_score",  # r5
-    "t1_lang_id",  # r5
-    "t4_fingerprint",  # r5
-    "p1_cdc_etl_filter",  # r5
-    "m1_media_features",  # r5
-    "m2_frame_sampling",  # r5
-    "c2_stratified_sample",  # r5
-    "c3_sequence_packing",  # r5
+    # Round-7 rotation (tools/rotation.py freshness order): tier 1 =
+    # the queries NEW this round (never driver-verified); tier 2 = the
+    # stalest greens — the full r3 cohort, then the oldest r4 block up
+    # to the 50-slot cap. Everything below the cap carries r4-r6 green
+    # signal and rotates back by freshness in later rounds.
+    "s10b_knn_noise_ivf",  # NEW r7
+    "s10c_knn_shortlist_recall",  # NEW r7
+    "g1s_pagerank_replay",  # NEW r7
+    "k1_dynamic_topic_readback",  # NEW r7
+    "k2_serving_partition_readback",  # NEW r7
+    "k3_fixed_topic_readback",  # NEW r7
+    "k4_keyed_upsert_readback",  # NEW r7
+    "a3_multikey_window",
+    "a4_global_window",
+    "a5_windowed_uu",
+    "a6_keyword_count",
+    "a7_daily_gmv",
+    "a8_province_amount",
+    "a9_topk_channel",
+    "a10_rollup",
+    "a10b_cube",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",
+    "s4_cluster_stats",
+    "s2b_lsh_multiband_topk",
+    "d7_dedup_gate",
+    "s3_ivf_ann_topk",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d2b_jaccard_capped",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "s1_cosine_topk",
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
+    "s5_pq_adc_topk",
+    "st8s_scd2_replay",
+    "st9_retract_changelog",
+    "c8_leakage_safe_split",
+    "d12_shingle_containment",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
+    # ---- driver cap (50): slots below refresh in later rounds ----
+    "t7_ngram_stats",
+    "t8_pmi_bigrams",
+    "c9_doc_chunks",
+    "c3s_packing_replay",
+    "c1s_curation_replay",
+    "c10_corpus_profile",
+    "d6b_cluster_histogram",
+    "t9_unigram_surprisal",
+    "j11_range_join",
+    "w10_late_event_audit",
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
+    "s8_mmr_rerank",
+    "a2c_hll_partial_union",
+    "c11_token_budget_plan",
+    "st10_changelog_fold",
+    "a13s_heavy_hitters_replay",
+    "d13_source_overlap",
+    "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
+    "a16_gapfill_locf",
+    "s9_ann_recall_audit",
+    "d14_minhash_recall_audit",
+    "a17_spike_detection",
+    "st12_transition_matrix",
+    "d15_substring_spans",
+    "d16_substring_strip",
+    "st13_sessionization",
+    "st13s_session_replay",
+    "s10_knn_label_noise",
+    "s11_hard_negatives",
+    "t11_pii_audit",
+    "m5_audio_energy",
+    "a1s_windowed_sum_replay",
+    "j4s_interval_join_replay",
+    "j2s_left_outer_join_replay",
+    "a14_window_topn",
+    "w11_cumulate_window",
+    "c12_quality_weighted_sample",
+    "a5s_windowed_uu_replay",
+    "st3s_visitor_fix_replay",
+    "st5s_returning_user_replay",
+    "a6b_cjk_keyword_count",
+    "s12_label_partitioned_ann",
+    "u3_weighted_mean_udaf",
+    "c10s_profile_replay",
+    "d17_semantic_dedup",
+    "st1s_dedup_last_wins_replay",
+    "t12_char_entropy",
+    "t13_zipf_slope",
+    "c13_cluster_weighted_sample",
+    "d17b_semdedup_recall_audit",
+    "d17c_semantic_dedup_multiprobe",
+    "a18_running_total",
+    "t14_vocab_growth",
+    "s13_rrf_fusion",
+    "d19_chunk_dedup",
+    "t15_lang_confusion",
+    "st4s_daily_uv_replay",
+    "st6s_session_count_replay",
+    "p2_dirty_side_output",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_filtered_inner_join",
+    "j4_interval_join",
+    "j5_lookup_dim_join",
+    "p3_bootstrap_exclusion",
+    "p4_map_access_projection",
+    "p11_null_tombstone_filter",
+    "t5_normalize",
+    "t6_repetition",
+    "c4_corpus_shuffle",
+    "c5_pseudonymize",
+    "c6_mixture_weights",
+    "c1_corpus_curation",
+    "m3_corrupt_quarantine",
+    "t1b_trigram_langid",
+    "s2_lsh_ann_topk",
+    "t3_token_count",
+    "t2_quality_score",
+    "t1_lang_id",
+    "t4_fingerprint",
+    "p1_cdc_etl_filter",
+    "m1_media_features",
+    "m2_frame_sampling",
+    "c2_stratified_sample",
+    "c3_sequence_packing",
+    "z2_column_stats",
+    "c15_curriculum_phases",
+    "d20_semantic_decontamination",
+    "t16_bigram_perplexity",
+    "s14_sq8_ann_topk",
+    "s14b_sq8_recall_audit",
+    "z3_compaction_plan",
+    "c16_dedup_adjusted_mixture",
+    "z3s_compaction_replay",
+    "s15_ivf_sq8_topk",
+    "j12_bucketed_join",
+    "s15s_ivf_ingest_replay",
+    "m6_keyframe_dedup",
+    "g1_pagerank",
+    "d22_fuzzy_entity_match",
+    "t17_bpe_merges",
+    "t17b_bpe_encode",
+    "c17_perceptron_quality",
+    "c19_dsir_importance",
+    "c18_k_anonymity_audit",
+    "d23_entity_clusters",
+    "d22b_er_recall_audit",
+    "g1b_personalized_pagerank",
+    "g2_triangle_count",
+    "p5_cdc_state_transition",
+    "p6_cart_delta",
+    "p7_dynamic_column_pruning",
+    "p8_page_filter",
+    "p9_login_filter",
+    "p10_search_filter",
+    "sql1_order_detail_app",
+    "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
+    "f_scalar_suite",
+    "a2b_approx_distinct",
+    "j9_salted_skew_join",
+    "a12_salted_skew_agg",
+    "a11b_approx_percentiles",
+    "d7s_dedup_gate_replay",
+    "q0_flagship_trade_summary",
+    "f_json_roundtrip",
+    "j6_dim_chain_join",
+    "j7_broadcast_config_join",
+    "j8_semi_anti_join",
+    "j8b_full_outer_join",
+    "a1_windowed_sum",
+    "a2_distinct_count",
 )
 
 

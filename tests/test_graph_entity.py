@@ -295,3 +295,64 @@ def test_g2_planted_triangles(spark):
     assert got[3] == (4, 2, 1 / 3)
     assert got[4] == (1, 0, 0.0)  # pendant: no wedge, clustering 0
     assert got[5] == (2, 1, 1.0)
+
+
+def test_g1s_boundary_chaining_matches_batch(spark, tmp_path):
+    """The streaming-hard claim of g1s in isolation: a user's sequence
+    split across micro-batches still yields the batch-derived edge set
+    (the boundary transition comes from carried last-event state), and
+    a user with a null-page event in between chains across it."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from real_time_data_warehouse_spark.operators.graph import (
+        transition_page_edges,
+    )
+    from real_time_data_warehouse_spark.streaming.pagerank_stream import (
+        apply_pagerank_batch,
+    )
+
+    rows = [
+        # user 1: pages 10 -> 20 -> 30, one event per batch
+        (1, "2024-01-01 00:00:00", 1, '{"k": 10}'),
+        (1, "2024-01-01 00:10:00", 2, '{"k": 20}'),
+        (1, "2024-01-01 00:20:00", 3, '{"k": 30}'),
+        # user 2: 10 -> (unparseable) -> 10 — chains across the junk
+        (2, "2024-01-01 00:01:00", 4, '{"k": 10}'),
+        (2, "2024-01-01 00:11:00", 5, "not json"),
+        (2, "2024-01-01 00:21:00", 6, '{"k": 10}'),
+        # user 3: single event, no transition
+        (3, "2024-01-01 00:02:00", 7, '{"k": 40}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, props string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "props")
+    # 3 time-range batches, one 10-minute band each
+    store = os.path.join(str(tmp_path), "store")
+    out = os.path.join(str(tmp_path), "out")
+    for b, (lo, hi) in enumerate(
+        [("00:00", "00:10"), ("00:10", "00:20"), ("00:20", "00:30")]
+    ):
+        batch = ev.where(
+            (F.date_format("ts", "HH:mm") >= lo)
+            & (F.date_format("ts", "HH:mm") < hi)
+        )
+        apply_pagerank_batch(spark, batch, b, store, out)
+    log = spark.read.option("basePath", out).parquet(out)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src", "dst").orderBy(F.col("batch_id").desc())
+    stream_edges = {
+        (r["src"], r["dst"]): r["w"]
+        for r in log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    batch_edges = {
+        (r["src"], r["dst"]): r["w"]
+        for r in transition_page_edges(ev).collect()
+    }
+    assert stream_edges == batch_edges
+    assert stream_edges == {(10, 20): 1, (20, 30): 1, (10, 10): 1}

@@ -2,12 +2,11 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-6 rotation
-(tools/rotation.py freshness order): tier 1 = the never-driver-verified
-queries (z2/c15/d20, added after round 5's mid-round rotation) plus any
-new round-6 queries promoted as they land; tier 2 = the stalest greens
-(9 r2-era rows, then the r3 cohort up to the cap). Slots below the cap
-all carry r3-r5 green signal and rotate back by freshness later.
+manifest slots are the only hard-signal slots. Round-7 rotation
+(tools/rotation.py freshness order): tier 1 = the round-7 additions
+(never driver-verified); tier 2 = the stalest greens — the full r3
+cohort plus the oldest r4 block up to the cap. Slots below the cap all
+carry r4-r6 green signal and rotate back by freshness later.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -25,63 +24,61 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (plus new round-6 queries as they land): lead
-# the manifest unconditionally.
+# Never driver-verified (the round-7 additions): lead the manifest
+# unconditionally.
 TIER1 = (
-    "z2_column_stats",
-    "c15_curriculum_phases",
-    "d20_semantic_decontamination",
-    "t16_bigram_perplexity",
-    "s14_sq8_ann_topk",
-    "s14b_sq8_recall_audit",
-    "z3_compaction_plan",
-    "c16_dedup_adjusted_mixture",
-    "z3s_compaction_replay",
-    "s15_ivf_sq8_topk",
-    "j12_bucketed_join",
-    "s15s_ivf_ingest_replay",
-    "m6_keyframe_dedup",
-    "g1_pagerank",
-    "d22_fuzzy_entity_match",
-    "t17_bpe_merges",
-    "t17b_bpe_encode",
-    "c17_perceptron_quality",
-    "c19_dsir_importance",
-    "c18_k_anonymity_audit",
-    "d23_entity_clusters",
-    "d22b_er_recall_audit",
-    "g1b_personalized_pagerank",
-    "g2_triangle_count",
+    "s10b_knn_noise_ivf",
+    "s10c_knn_shortlist_recall",
+    "g1s_pagerank_replay",
+    "k1_dynamic_topic_readback",
+    "k2_serving_partition_readback",
+    "k3_fixed_topic_readback",
+    "k4_keyed_upsert_readback",
 )
-# Stalest hard signal: must sit inside the cap so their signal
-# refreshes this round.
 TIER2 = (
-    "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
-    "d7s_dedup_gate_replay",
-    "q0_flagship_trade_summary",
-    "f_json_roundtrip",
-    "j6_dim_chain_join",
-    "j7_broadcast_config_join",
-    "j8_semi_anti_join",
-    "j8b_full_outer_join",
-    "a1_windowed_sum",
-    "a2_distinct_count",
+    "a3_multikey_window",
+    "a4_global_window",
+    "a5_windowed_uu",
+    "a6_keyword_count",
+    "a7_daily_gmv",
+    "a8_province_amount",
+    "a9_topk_channel",
+    "a10_rollup",
+    "a10b_cube",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",
+    "s4_cluster_stats",
+    "s2b_lsh_multiband_topk",
+    "d7_dedup_gate",
+    "s3_ivf_ann_topk",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d2b_jaccard_capped",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "s1_cosine_topk",
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
+    "s5_pq_adc_topk",
+    "st8s_scd2_replay",
+    "st9_retract_changelog",
+    "c8_leakage_safe_split",
+    "d12_shingle_containment",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
 )
 
 
