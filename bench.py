@@ -121,6 +121,7 @@ EXTENDED = (
     "k2_serving_partition_readback",
     "k3_fixed_topic_readback",
     "k4_keyed_upsert_readback",
+    "p12_maxwell_envelope_parse",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -296,3 +296,58 @@ def p10_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("event_type") == "view") & item.isNotNull() & (F.col("value") > 0.5))
         .select("event_id", item.alias("item"))
     )
+
+
+@register(
+    "p12_maxwell_envelope_parse",
+    survey="S2,P1",
+    doc="Maxwell CDC envelope round-trip — the S2 parse path as a "
+        "driver-checked row (the MySQL wire connection stays env-"
+        "gated; the parse/type/ETL chain is what the engine owns): a "
+        "deterministic Maxwell stream is synthesized from orders "
+        "(sources/cdc.synthetic_cdc_json — every order an insert, "
+        "status-'F' orders an update 60 s later with the old-value "
+        "map), pushed through the REAL parse (from_json against "
+        "MAXWELL_SCHEMA + event-time + __seq derivation, sources/cdc."
+        "parse_maxwell) and the DimApp ETL gate (maxwell_etl_filter), "
+        "then checksummed per CDC type: row count, payload-id sum "
+        "(parsed back out of the JSON data map), old-value count, max "
+        "event-time epoch. The oracle derives the same numbers "
+        "straight from orders, so a schema drift, a silently-null "
+        "from_json, or a broken filter flips the row red.",
+    oracle="""
+        SELECT 'insert' AS type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+               CAST(0 AS BIGINT) AS n_old,
+               CAST(MAX(floor(epoch(o_orderdate))) AS BIGINT) AS max_et
+        FROM orders
+        UNION ALL
+        SELECT 'update' AS type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_old,
+               CAST(MAX(floor(epoch(o_orderdate))) + 60 AS BIGINT) AS max_et
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def p12_maxwell_envelope_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.sources.cdc import (
+        maxwell_etl_filter,
+        parse_maxwell,
+        synthetic_cdc_json,
+    )
+
+    t = Tables(spark, sf_dir)
+    raw = synthetic_cdc_json(t.orders)
+    parsed = maxwell_etl_filter(parse_maxwell(raw))
+    return parsed.groupBy("type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("data")["id"].cast("bigint"))
+        .cast("bigint")
+        .alias("id_sum"),
+        F.count("old").cast("bigint").alias("n_old"),
+        F.max(F.unix_timestamp("et")).cast("bigint").alias("max_et"),
+    )

@@ -75,6 +75,7 @@ MANIFEST: tuple[str, ...] = (
     "k2_serving_partition_readback",  # NEW r7
     "k3_fixed_topic_readback",  # NEW r7
     "k4_keyed_upsert_readback",  # NEW r7
+    "p12_maxwell_envelope_parse",  # NEW r7
     "a3_multikey_window",
     "a4_global_window",
     "a5_windowed_uu",
@@ -117,8 +118,8 @@ MANIFEST: tuple[str, ...] = (
     "c8_leakage_safe_split",
     "d12_shingle_containment",
     "s6_bm25_topk",
-    "s7_hybrid_rerank",
     # ---- driver cap (50): slots below refresh in later rounds ----
+    "s7_hybrid_rerank",
     "t7_ngram_stats",
     "t8_pmi_bigrams",
     "c9_doc_chunks",

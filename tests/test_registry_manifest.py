@@ -78,7 +78,6 @@ TIER2 = (
     "c8_leakage_safe_split",
     "d12_shingle_containment",
     "s6_bm25_topk",
-    "s7_hybrid_rerank",
 )
 
 
