@@ -296,3 +296,152 @@ def compaction_bins(
             "bin_id"
         ),
     )
+
+
+# --- z4: snapshot diff — CDC derived from two table generations -----------
+
+_Z4_DEL_MOD = 97  # keys deleted in the new snapshot
+_Z4_UPD_MOD = 13  # keys whose totalprice changed
+_Z4_INS_MOD = 41  # keys cloned as brand-new inserted rows
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, value_cols: list[str]
+) -> DataFrame:
+    """(old, new) snapshots → the change log a CDC consumer wants:
+    one row per changed key with change_type ∈ insert/delete/update.
+
+    The lakehouse primitive for tables WITHOUT a change feed: a single
+    co-partitioned full-outer join on the key, classification by null
+    side, updates detected by direct column comparison (no row-hash —
+    hash functions are engine-specific; column equality is exact and
+    null-safe via <=>). At 100 TB both snapshots shuffle once on the
+    key — or zero times if both are bucketed on it (the j12 layout);
+    unchanged keys are dropped before anything downstream sees them,
+    so the output is |changes|, not |table|."""
+    o = old.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+        F.lit(1).alias("__o"),
+    )
+    n = new.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+        F.lit(1).alias("__n"),
+    )
+    j = o.join(n, "k", "full_outer")
+    same = None
+    for c in value_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__o").isNull(), "insert")
+        .when(F.col("__n").isNull(), "delete")
+        .when(~same, "update")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            F.col("k").alias(key),
+            "change_type",
+            *[F.col(f"old_{c}") for c in value_cols],
+            *[F.col(f"new_{c}") for c in value_cols],
+        )
+    )
+
+
+@register(
+    "z4_snapshot_diff",
+    survey="ext-scale,S2",
+    doc="Snapshot diff — CDC derived from two table generations, the "
+        "lakehouse answer when a source has no change feed (the batch "
+        "complement of the S2 Maxwell envelope: p12 consumes a change "
+        "stream, z4 RECONSTRUCTS one): a deterministic second snapshot "
+        f"of orders (every {_Z4_DEL_MOD}th key deleted, every "
+        f"{_Z4_UPD_MOD}th totalprice bumped by 1.00 exactly in cents, "
+        f"every {_Z4_INS_MOD}th cloned to a fresh key past max) is "
+        "diffed against the base via ONE co-partitioned full-outer "
+        "join; change_type classifies by null side, updates by exact "
+        "null-safe column equality (decimal-exact cents arithmetic, no "
+        "row hashes, no floats in the comparison). Unchanged keys "
+        "drop before the aggregate, so downstream sees |changes|, not "
+        "|table|. Output: per-type row counts + key checksum + summed "
+        "price delta in exact cents.",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        newsnap AS (
+            SELECT o_orderkey AS k,
+                   CAST(CASE WHEN o_orderkey % {_Z4_UPD_MOD} = 0
+                        THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+                        ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        END AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % {_Z4_DEL_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey + mx.m AS k,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders CROSS JOIN mx
+            WHERE o_orderkey % {_Z4_INS_MOD} = 0
+        ),
+        oldsnap AS (
+            SELECT o_orderkey AS k,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        diff AS (
+            SELECT COALESCE(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'insert'
+                        WHEN n.k IS NULL THEN 'delete'
+                        WHEN o.cents <> n.cents THEN 'update'
+                        END AS change_type,
+                   COALESCE(n.cents, 0) - COALESCE(o.cents, 0) AS dcents
+            FROM oldsnap o FULL OUTER JOIN newsnap n ON o.k = n.k
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(dcents) AS BIGINT) AS delta_cents
+        FROM diff WHERE change_type IS NOT NULL
+        GROUP BY change_type
+    """,
+)
+def z4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    old = t.orders.select(
+        F.col("o_orderkey").alias("key"), cents.alias("cents")
+    )
+    mx = t.orders.agg(F.max("o_orderkey").alias("m"))
+    kept = (
+        old.where(F.col("key") % _Z4_DEL_MOD != 0)
+        .select(
+            "key",
+            F.when(
+                F.col("key") % _Z4_UPD_MOD == 0, F.col("cents") + 100
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    inserted = (
+        old.where(F.col("key") % _Z4_INS_MOD == 0)
+        .crossJoin(F.broadcast(mx))  # one-row max-key scalar
+        .select((F.col("key") + F.col("m")).alias("key"), "cents")
+    )
+    new = kept.unionByName(inserted)
+    diff = snapshot_diff(
+        old.withColumnRenamed("key", "o_orderkey"),
+        new.withColumnRenamed("key", "o_orderkey"),
+        "o_orderkey",
+        ["cents"],
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(
+            F.coalesce("new_cents", F.lit(0))
+            - F.coalesce("old_cents", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("delta_cents"),
+    )

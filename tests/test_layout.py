@@ -88,3 +88,29 @@ def test_morton16_is_bijective_and_monotone_per_dim():
     assert n_distinct == 256 * 256
     mm = z.agg(F.min("z"), F.max("z")).collect()[0]
     assert mm[0] == 0 and mm[1] == 65535
+
+
+def test_z4_snapshot_diff_classification(spark):
+    from real_time_data_warehouse_spark.operators.layout import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, None, "d")],
+        "k long, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "b"), (3, 31, "c"), (4, None, "d"), (5, 50, "e")],
+        "k long, v int, s string",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, "k", ["v", "s"]).collect()
+    }
+    assert set(rows) == {1, 3, 5}  # unchanged 2 and null-equal 4 dropped
+    assert rows[1]["change_type"] == "delete"
+    assert rows[1]["old_v"] == 10 and rows[1]["new_v"] is None
+    assert rows[3]["change_type"] == "update"
+    assert rows[3]["old_v"] == 30 and rows[3]["new_v"] == 31
+    assert rows[5]["change_type"] == "insert"
+    assert rows[5]["new_s"] == "e" and rows[5]["old_s"] is None

@@ -77,7 +77,6 @@ TIER2 = (
     "st9_retract_changelog",
     "c8_leakage_safe_split",
     "d12_shingle_containment",
-    "s6_bm25_topk",
 )
 
 
