@@ -341,7 +341,14 @@ def p12_maxwell_envelope_parse(
     )
 
     t = Tables(spark, sf_dir)
-    raw = synthetic_cdc_json(t.orders)
+    # spread the JSON serialize/parse across all cores: a compact
+    # single-row-group parquet file yields ONE input split, and the
+    # per-row to_json/from_json work dominates (the shingle_sets_for
+    # guard; shuffling the skinny projection is ~free by comparison)
+    orders = t.orders.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    raw = synthetic_cdc_json(orders)
     parsed = maxwell_etl_filter(parse_maxwell(raw))
     return parsed.groupBy("type").agg(
         F.count("*").cast("bigint").alias("n_rows"),
