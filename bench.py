@@ -122,6 +122,8 @@ EXTENDED = (
     "k3_fixed_topic_readback",
     "k4_keyed_upsert_readback",
     "p12_maxwell_envelope_parse",
+    "z4_snapshot_diff",
+    "st14_dws_stream_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.

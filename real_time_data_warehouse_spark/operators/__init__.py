@@ -31,6 +31,7 @@ _MODULES = (
     "scalar",
     "serving",
     "sink_readback",  # composes serving.SERVING_DATE — after serving
+    "streaming_exec",  # reuses sink_readback's artifact cache
     "layout",
     "audits",  # composes s1/s3/d2/d3 — must load last
 )

@@ -77,6 +77,7 @@ MANIFEST: tuple[str, ...] = (
     "k4_keyed_upsert_readback",  # NEW r7
     "p12_maxwell_envelope_parse",  # NEW r7
     "z4_snapshot_diff",  # NEW r7
+    "st14_dws_stream_readback",  # NEW r7
     "a3_multikey_window",
     "a4_global_window",
     "a5_windowed_uu",
@@ -117,8 +118,8 @@ MANIFEST: tuple[str, ...] = (
     "st8s_scd2_replay",
     "st9_retract_changelog",
     "c8_leakage_safe_split",
-    "d12_shingle_containment",
     # ---- driver cap (50): slots below refresh in later rounds ----
+    "d12_shingle_containment",
     "s6_bm25_topk",
     "s7_hybrid_rerank",
     "t7_ngram_stats",

@@ -34,7 +34,12 @@ TIER1 = (
     "k2_serving_partition_readback",
     "k3_fixed_topic_readback",
     "k4_keyed_upsert_readback",
+    "p12_maxwell_envelope_parse",
+    "z4_snapshot_diff",
+    "st14_dws_stream_readback",
 )
+# Stalest hard signal: must sit inside the cap so their signal
+# refreshes this round.
 TIER2 = (
     "a3_multikey_window",
     "a4_global_window",
@@ -76,7 +81,6 @@ TIER2 = (
     "st8s_scd2_replay",
     "st9_retract_changelog",
     "c8_leakage_safe_split",
-    "d12_shingle_containment",
 )
 
 
