@@ -124,6 +124,11 @@ EXTENDED = (
     "p12_maxwell_envelope_parse",
     "z4_snapshot_diff",
     "st14_dws_stream_readback",
+    # driver-round-8 additions (first recorded medians land in BENCH_r08)
+    "st15_returning_user_stream_readback",
+    "st16_daily_uv_stream_readback",
+    "j13_interval_join_stream_readback",
+    "k5_config_ddl_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.
@@ -148,6 +153,24 @@ HEADLINE = (
     "t2_quality_score",
     "t4_fingerprint",
 )
+
+
+def host_probe() -> float:
+    """Single-core CPU yardstick: seconds for a fixed pure-Python
+    integer-hash loop. Identical code benched 17.3 s → 41.7 s across one
+    round-7 session purely from host degradation (BASELINE.md round-7
+    freeze note); this probe rides along in the bench JSON so a future
+    reader can separate code regressions from host noise WITHOUT session
+    archaeology: query medians scale ≈ linearly with the probe on a
+    degraded core. Reference on this class of host when healthy: ~0.22-0.24 s
+    (calibrated round 8, headline 15.5 s); a 2x probe means a degraded
+    core, scale expectations accordingly."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+    assert acc >= 0
+    return round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
@@ -178,6 +201,7 @@ def main() -> None:
     # report the median; the first-run ("cold") times ride along so plan
     # regressions that only bite cold caches stay visible.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    probe_pre = host_probe()  # after warmup, before timed queries
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
@@ -191,6 +215,7 @@ def main() -> None:
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     ext: dict[str, float] = {}
+    ext_cold: dict[str, float] = {}
     run_ext = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
     for name in (n for n in EXTENDED if n in QUERY_REGISTRY) if run_ext else ():
         samples = []
@@ -199,8 +224,14 @@ def main() -> None:
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        # first/warm pair: artifact-cached rows (d6, d23, k*, st14-16,
+        # j13, s15s...) BUILD on run 1 and read the cache on runs 2-3,
+        # so the median alone would price a cache hit as the operator's
+        # cost. cold (run 1) is the honest build+query number.
+        ext_cold[name] = round(samples[0], 3)
         ext[name] = round(sorted(samples)[len(samples) // 2], 3)
 
+    probe_post = host_probe()  # detects mid-run host degradation
     total = round(sum(times.values()), 3)
     # The driver records only the LAST 2000 chars of stdout (observed:
     # BENCH_r04.json holds a mid-JSON tail and "parsed": null — the
@@ -216,6 +247,8 @@ def main() -> None:
         "queries": times,
         "cold": cold,
         "extended": ext,
+        "extended_cold": ext_cold,
+        "host_probe": {"pre": probe_pre, "post": probe_post},
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -234,7 +267,12 @@ def main() -> None:
                 "queries": times,
                 "cold_total": round(sum(cold.values()), 3),
                 "extended_total": round(sum(ext.values()), 3),
+                "extended_cold_total": round(sum(ext_cold.values()), 3),
                 "extended_n": len(ext),
+                # single-core CPU yardstick before/after the timed runs
+                # (~0.22-0.24 s healthy, see host_probe docstring): separates code
+                # regressions from host degradation without session notes
+                "host_probe": {"pre": probe_pre, "post": probe_post},
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -39,7 +39,9 @@ from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
 _CACHE: dict[tuple[str, str, str], str] = {}  # (app, sf_dir, kind) → dir
-_CACHE_MAX = 8
+# sized above the number of artifact kinds one full sweep touches
+# (k1-k5, st14-16, j13, evsrc4, ...) so a sweep never thrashes rebuilds
+_CACHE_MAX = 16
 _ATEXIT_ARMED = False
 
 
@@ -369,4 +371,111 @@ def k4_keyed_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ord").cast("bigint").alias("ord"),
         "last_event_type",
+    )
+
+
+# --- k5: S9 DDL-from-config replay, catalog read back -----------------------
+
+_K5_BATCHES = 4
+
+
+def _k5_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic table_process CDC stream (the DimApp.java:237-280 config
+    topic): a deterministic 1-in-7 sample of events, each a DDL op on one
+    of ~20 dim tables. event_id doubles as the unique commit version;
+    op mix ≈ 20% d / 20% u / 10% r / 50% c so tables get dropped,
+    recreated, and no-op re-created along the way."""
+    t = Tables(spark, sf_dir)
+    m = F.col("event_id") % 10
+    return t.events.where(F.col("event_id") % 7 == 0).select(
+        F.concat(
+            F.lit("dim_"),
+            F.col("event_type"),
+            F.lit("_"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("sink_table"),
+        F.col("event_id").alias("ver"),
+        F.when(m.isin(0, 1), "d")
+        .when(m.isin(2, 3), "u")
+        .when(m == 4, "r")
+        .otherwise("c")
+        .alias("op"),
+    )
+
+
+def _k5_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.sinks import (
+        apply_config_ddl,
+    )
+
+    def build(base: str) -> None:
+        ops = _k5_ops(spark, sf_dir)
+        lo, hi = ops.agg(F.min("ver"), F.max("ver")).first()
+        span = (hi - lo) + 1
+        catalog = os.path.join(base, "catalog")
+        os.makedirs(catalog, exist_ok=True)
+        for b in range(_K5_BATCHES):
+            b_lo = lo + span * b // _K5_BATCHES
+            b_hi = lo + span * (b + 1) // _K5_BATCHES
+            batch = ops.where(
+                (F.col("ver") >= b_lo) & (F.col("ver") < b_hi)
+            )
+            apply_config_ddl(spark, batch, catalog, order_col="ver")
+
+    return _artifact_dir(spark, sf_dir, "k5", build)
+
+
+@register(
+    "k5_config_ddl_readback",
+    survey="S9,S2",
+    doc=f"DDL-from-config round-trip (DimApp.java:237-280: op d → drop "
+        "table, r/c → create if absent, u → drop + recreate): a "
+        "synthetic table_process CDC stream (unique bigint commit "
+        f"version) is applied in {_K5_BATCHES} ascending commit-order "
+        "micro-batches through streaming/sinks.apply_config_ddl — real "
+        "create/drop against the on-disk catalog, each effective create "
+        "recording a meta.json catalog row — then the FINAL catalog is "
+        "read back (surviving tables + the version that created them). "
+        "The oracle folds the whole op stream in SQL: a table survives "
+        "iff its last op isn't d; its created_ver is the latest op that "
+        "created anew (u always; c/r only when the preceding op state "
+        "was absent — the LAG formulation). A green row is the driver "
+        "verifying batchwise DDL application ≡ the one-pass fold, "
+        "turning S9 from code-only into a checked contract.",
+    oracle="""
+        WITH ops AS (
+            SELECT concat('dim_', event_type, '_',
+                          CAST(user_id % 4 AS VARCHAR)) AS sink_table,
+                   event_id AS ver,
+                   CASE WHEN event_id % 10 IN (0, 1) THEN 'd'
+                        WHEN event_id % 10 IN (2, 3) THEN 'u'
+                        WHEN event_id % 10 = 4 THEN 'r'
+                        ELSE 'c' END AS op
+            FROM events WHERE event_id % 7 = 0
+        ), marked AS (
+            SELECT *,
+                   LAG(op) OVER (PARTITION BY sink_table
+                                 ORDER BY ver) AS prev_op,
+                   ROW_NUMBER() OVER (PARTITION BY sink_table
+                                      ORDER BY ver DESC) AS rn_last
+            FROM ops
+        ), survivors AS (
+            SELECT sink_table FROM marked WHERE rn_last = 1 AND op <> 'd'
+        )
+        SELECT m.sink_table,
+               CAST(MAX(m.ver) AS BIGINT) AS created_ver
+        FROM marked m JOIN survivors s USING (sink_table)
+        WHERE m.op = 'u'
+           OR (m.op IN ('c', 'r')
+               AND (m.prev_op IS NULL OR m.prev_op = 'd'))
+        GROUP BY m.sink_table
+    """,
+)
+def k5_config_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _k5_build(spark, sf_dir)
+    cat = spark.read.schema("sink_table string, created_ver long").json(
+        os.path.join(base, "catalog", "*", "meta.json")
+    )
+    return cat.select(
+        "sink_table", F.col("created_ver").cast("bigint").alias("created_ver")
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,21 +46,103 @@ from real_time_data_warehouse_spark.operators.sink_readback import (
 from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
-_ST14_FILES = 3  # micro-batches: watermark must advance ACROSS batches
+_SRC_FILES = 4  # micro-batches: watermark must advance ACROSS batches
+_ST14_FILES = _SRC_FILES  # kept for the registered doc text
 _ST14_HORIZON_S = 20  # closed-window margin (2 windows behind max ts)
 
+@_contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 32):
+    """Scope spark.sql.shuffle.partitions around a streaming query's
+    START. A streaming query pins its state-store partition count to
+    this conf at first start (it is then frozen in the checkpoint), and
+    the driver's vanilla session leaves it at 200 — 200 state stores ×
+    tiny micro-batches is pure per-batch task overhead at artifact
+    scale. 32 matches the harness core count; a production deployment
+    sizes it to ~2-3× cluster cores BEFORE the first start, which is a
+    deploy-time conf, not a code change."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
-def _write_single_file(df: DataFrame, src_dir: str, name: str) -> None:
-    """df → ONE parquet file {src_dir}/{name}.parquet (one micro-batch);
-    write order fixes mtime order, which maxFilesPerTrigger=1 follows."""
-    os.makedirs(src_dir, exist_ok=True)
-    stage = tempfile.mkdtemp(prefix="rtdw_st14_stage_")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-    shutil.move(
-        os.path.join(stage, part), os.path.join(src_dir, f"{name}.parquet")
+
+# events columns in their wire form (S1): ts as bigint NANOS, exactly as
+# streaming/pipelines.EVENTS_RAW_SCHEMA expects and stream_events
+# re-normalizes (µs via integer div — a double round-trip loses >2^53).
+_WIRE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _events_wire(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000).cast("bigint")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     )
+
+
+def _write_time_sliced_source(
+    spark: SparkSession, sf_dir: str, src: str, n_files: int
+) -> None:
+    """events → ``n_files`` single-file parquet slices of ascending,
+    non-overlapping event-time ranges (one file per micro-batch under
+    maxFilesPerTrigger=1). Time-ordered batches are what make the
+    watermark genuinely ADVANCE between micro-batches — the property
+    every real-streaming driver row here exists to exercise.
+
+    One write job for all slices: hash-repartition on the slice id puts
+    each slice in exactly one task, so partitionBy emits ONE file per
+    slice dir (the k1 one-writer-per-topic discipline); the files are
+    then moved into ``src`` in slice order, which fixes the mtime order
+    the file source follows."""
+    ev = Tables(spark, sf_dir).events
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    # all-integer slice id (wire ts is ns): exact µs via `div`, then
+    # floor((us - lo) * n / span) — no doubles anywhere near a boundary
+    sliced = _events_wire(ev).withColumn(
+        "b",
+        F.expr(
+            f"CAST(least({n_files - 1}, "
+            f"(ts div 1000 - {lo}L) * {n_files} div {span}L) AS INT)"
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="rtdw_slice_stage_")
+    sliced.repartition(n_files, "b").write.mode("overwrite").partitionBy(
+        "b"
+    ).parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    for b in range(n_files):
+        bdir = os.path.join(stage, f"b={b}")
+        part = next(p for p in os.listdir(bdir) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(os.path.join(bdir, part), dst)
+        # PIN the mtimes one second apart in slice order: the one-job
+        # write moves all files within the same millisecond, and the
+        # file source's modification-time ordering would then be a
+        # listing-order coin flip — which breaks every operator that
+        # needs time-ordered micro-batches (st15 regressed exactly so)
+        os.utime(dst, (now - n_files + b, now - n_files + b))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _sliced_source(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Session-cached shared slice artifact: the four real-streaming
+    rows all stream the same events table, so the sliced source is
+    built once per (session, sf_dir) and shared read-only."""
+    def build(base: str) -> None:
+        _write_time_sliced_source(spark, sf_dir, base, n_files)
+
+    return _artifact_dir(spark, sf_dir, f"evsrc{n_files}", build)
 
 
 def _st14_build(spark: SparkSession, sf_dir: str) -> str:
@@ -68,34 +151,12 @@ def _st14_build(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build(base: str) -> None:
-        src = os.path.join(base, "src")
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
         out = os.path.join(base, "out")
         ckpt = os.path.join(base, "ckpt")
-        ev = Tables(spark, sf_dir).events
-        lo, hi = ev.agg(
-            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-        ).first()
-        span = (hi - lo) + 1
-        for b in range(_ST14_FILES):
-            b_lo = lo + span * b // _ST14_FILES
-            b_hi = lo + span * (b + 1) // _ST14_FILES
-            part = ev.where(
-                (F.unix_micros("ts") >= b_lo) & (F.unix_micros("ts") < b_hi)
-            ).select(
-                "event_id",
-                # the raw stream carries nanos as long (S1's wire form);
-                # exact ns from µs — a double round-trip loses >2^53
-                (F.unix_micros("ts") * F.lit(1000).cast("bigint")).alias(
-                    "ts"
-                ),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            )
-            _write_single_file(part, src, f"batch_{b}")
-        q = run_dws_agg_stream(spark, src, out, ckpt)
-        q.awaitTermination(300)
+        with _stream_shuffle_partitions(spark):
+            q = run_dws_agg_stream(spark, src, out, ckpt)
+            q.awaitTermination(300)
 
     return _artifact_dir(spark, sf_dir, "st14", build)
 
@@ -158,4 +219,276 @@ def st14_dws_stream_readback(
             F.col("order_amount").cast("double").alias("order_amount"),
             F.col("order_ct").cast("bigint").alias("order_ct"),
         )
+    )
+
+
+# --- st15: ST5 returning-user under the REAL streaming runtime -------------
+
+_ST15_FILES = _SRC_FILES
+
+
+def _st15_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.streaming.stateful import (
+        returning_user,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        logins = (
+            stream_events(spark, src)
+            .where(F.col("event_type").isin("signup", "click"))
+            .select("user_id", "ts")
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                returning_user(logins)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+    return _artifact_dir(spark, sf_dir, "st15", build)
+
+
+@register(
+    "st15_returning_user_stream_readback",
+    survey="ST5,U2",
+    doc=f"ST5 under the REAL streaming runtime, driver-checked: the "
+        "returning-user keyed-state operator "
+        "(streaming/stateful.returning_user, applyInPandasWithState — "
+        "reference DwsUserUserLoginWindow.java:80-124) runs as an actual "
+        f"readStream over a {_ST15_FILES}-file time-ordered source (one "
+        "file per micro-batch, so the per-user last_login_date state is "
+        "carried ACROSS micro-batches through the state store, not within "
+        "one pandas call), append writeStream to parquet, checkpointed. "
+        "The sink is read back, aggregated to per-day uu/back counts, and "
+        "hash-compared to st5's batch oracle. Unlike the st5s replay row "
+        "(which drives the applier), a green here is the driver verifying "
+        "the applyInPandasWithState RUNTIME: Arrow state round-trips, "
+        "GroupState persistence across triggers, and append emission. "
+        "Exact because batches are ascending time ranges: each user's "
+        "login-date sequence arrives in order, so the cross-batch state "
+        "fold equals the batch window-function twin.",
+    # one source of truth: byte-identical to the st5 batch oracle
+    oracle=None,  # attached below from st5's registration
+)
+def st15_returning_user_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _st15_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("cur_date").agg(
+        F.count("*").cast("bigint").alias("uu_ct"),
+        F.sum("is_back").cast("bigint").alias("back_ct"),
+    )
+
+
+def _attach_shared_oracles() -> None:
+    """st15/st16 reuse the st5/st4 batch oracles verbatim (same output
+    grain and aliases — the whole point is stream ≡ batch on the same
+    SQL). Query objects are frozen; rebuild with the shared text."""
+    from dataclasses import replace
+
+    # direct imports of this module must not depend on operators.load_all
+    # having run first — pull in the modules that own the shared oracles
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _stateful,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    QUERY_REGISTRY["st15_returning_user_stream_readback"] = replace(
+        QUERY_REGISTRY["st15_returning_user_stream_readback"],
+        oracle=QUERY_REGISTRY["st5_returning_user"].oracle,
+    )
+    QUERY_REGISTRY["st16_daily_uv_stream_readback"] = replace(
+        QUERY_REGISTRY["st16_daily_uv_stream_readback"],
+        oracle=QUERY_REGISTRY["st4_first_per_day_uv"].oracle,
+    )
+
+
+# --- st16: ST4 first-per-day dedup under the REAL streaming runtime --------
+
+_ST16_FILES = _SRC_FILES
+
+
+def _st16_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src).withColumn(
+            "day_ts", F.date_trunc("day", "ts")
+        )
+        # watermark ON the dedup's event-time key → Spark evicts
+        # (user, day) state once the watermark passes the day; the 1-day
+        # delay keeps a day's state alive across the batch boundary that
+        # splits it (time-ranged batches guarantee no later arrivals).
+        dd = ev.withWatermark("day_ts", "1 day").dropDuplicates(
+            ["user_id", "day_ts"]
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                dd.select("user_id", "day_ts")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+    return _artifact_dir(spark, sf_dir, "st16", build)
+
+
+@register(
+    "st16_daily_uv_stream_readback",
+    survey="ST4,ST1,W4",
+    doc=f"ST4 under the REAL streaming runtime, driver-checked: "
+        "first-event-per-(user, day) detection runs as an actual "
+        "readStream → withWatermark(day_ts, 1 day) → "
+        f"dropDuplicates([user_id, day_ts]) over a {_ST16_FILES}-file "
+        "time-ordered source — the production keyed-dedup path "
+        "(DwsTrafficVcChArIsNewPageViewWindow.java:58-106's "
+        "lastVisitDate state) with WATERMARK-BOUNDED state: the event-"
+        "time column is in the dedup key, so (user, day) state is "
+        "evicted once the watermark passes the day — state stays "
+        "O(active days × users), not O(history). The append sink is "
+        "read back and aggregated to daily UV against st4's batch "
+        "oracle. Emission is exact: dedup emits each key's first "
+        "arrival immediately, and ascending time-ranged batches mean "
+        "no row is ever late against the 1-day-delayed watermark.",
+    oracle=None,  # attached via _attach_shared_oracles (st4's oracle)
+)
+def st16_daily_uv_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _st16_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("cur_date")
+    ).agg(F.count("*").cast("bigint").alias("uv_ct"))
+
+
+_attach_shared_oracles()
+
+
+# --- j13: J4 stream-stream interval join under the REAL runtime ------------
+
+_J13_FILES = _SRC_FILES
+_J13_HORIZON_S = 60  # closed-region margin behind max event ts
+
+
+def _j13_build(spark: SparkSession, sf_dir: str) -> str:
+    import json
+
+    from real_time_data_warehouse_spark.streaming.joins import (
+        interval_join_purchases,
+    )
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        assert_watermark_eviction,
+        query_progress_records,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        joined = interval_join_purchases(stream_events(spark, src))
+        with _stream_shuffle_partitions(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        # hard evidence the join state is watermark-BOUNDED, not
+        # grow-forever: across the ~7.5-day jumps between time-ranged
+        # batches the watermark must have removed state rows. Raising
+        # here fails the driver row itself — bounded state is part of
+        # the contract, not a side observation. Progress comes from the
+        # query handle (synchronous), not the async listener bus.
+        records = query_progress_records(q)
+        with open(os.path.join(base, "progress.jsonl"), "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        assert_watermark_eviction(records, min_batches=2)
+
+    return _artifact_dir(spark, sf_dir, "j13", build)
+
+
+@register(
+    "j13_interval_join_stream_readback",
+    survey="J4,W5,J1",
+    doc=f"J4 under the REAL streaming runtime, driver-checked: the "
+        "purchase⋈prior-events interval join "
+        "(streaming/joins.interval_join_purchases — reference "
+        "DwdTradeOrderPaySucDetail.java:74-98, Test01_IntervalJoin."
+        f"java:72-83) runs as an actual stream-stream SELF-join over a "
+        f"{_J13_FILES}-file time-ordered readStream: watermarks on BOTH "
+        "sides, the ±30-min range predicate sizing the join state, "
+        "append sink, checkpointed. The build additionally attaches the "
+        "progress listener and FAILS unless "
+        "state_rows_dropped_by_watermark > 0 across batches — bounded "
+        "state is asserted, not assumed. Read-back restricts to "
+        f"purchases ≥{_J13_HORIZON_S} s before max event time (the "
+        "watermark-closed region, where emission is guaranteed and "
+        "exact on both engines) and aggregates to per-purchase prior "
+        "counts against the j4 oracle restricted identically. Unlike "
+        "the j4s replay row (which drives the incremental applier), a "
+        "green here is the driver verifying Spark's own stream-stream "
+        "join runtime: cross-batch join state, watermark eviction, and "
+        "eager inner-join emission.",
+    oracle=f"""
+        WITH mx AS (
+            SELECT MAX(ts) - INTERVAL {_J13_HORIZON_S} SECOND AS horizon
+            FROM events
+        )
+        SELECT p.event_id AS pay_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS prior_events
+        FROM events p
+        JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts - INTERVAL 30 MINUTE
+         AND e.ts < p.ts
+        CROSS JOIN mx
+        WHERE p.event_type = 'purchase' AND p.ts <= mx.horizon
+        GROUP BY p.event_id
+    """,
+)
+def j13_interval_join_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _j13_build(spark, sf_dir)
+    ev = Tables(spark, sf_dir).events
+    hz = ev.agg(
+        F.timestamp_micros(
+            F.unix_micros(F.max("ts")) - _J13_HORIZON_S * 1_000_000
+        ).alias("horizon")
+    )
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return (
+        back.crossJoin(F.broadcast(hz))  # one-row horizon scalar
+        .where(F.col("pay_ts") <= F.col("horizon"))
+        .groupBy("pay_id")
+        .agg(F.count("prior_id").cast("bigint").alias("prior_events"))
     )

@@ -63,62 +63,15 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-7 rotation (tools/rotation.py freshness order): tier 1 =
-    # the queries NEW this round (never driver-verified); tier 2 = the
-    # stalest greens — the full r3 cohort, then the oldest r4 block up
-    # to the 50-slot cap. Everything below the cap carries r4-r6 green
-    # signal and rotates back by freshness in later rounds.
-    "s10b_knn_noise_ivf",  # NEW r7
-    "s10c_knn_shortlist_recall",  # NEW r7
-    "g1s_pagerank_replay",  # NEW r7
-    "k1_dynamic_topic_readback",  # NEW r7
-    "k2_serving_partition_readback",  # NEW r7
-    "k3_fixed_topic_readback",  # NEW r7
-    "k4_keyed_upsert_readback",  # NEW r7
-    "p12_maxwell_envelope_parse",  # NEW r7
-    "z4_snapshot_diff",  # NEW r7
-    "st14_dws_stream_readback",  # NEW r7
-    "a3_multikey_window",
-    "a4_global_window",
-    "a5_windowed_uu",
-    "a6_keyword_count",
-    "a7_daily_gmv",
-    "a8_province_amount",
-    "a9_topk_channel",
-    "a10_rollup",
-    "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
-    "w8b_session_window",
-    "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",
-    "s4_cluster_stats",
-    "s2b_lsh_multiband_topk",
-    "d7_dedup_gate",
-    "s3_ivf_ann_topk",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d2b_jaccard_capped",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "d6_dedup_clusters",
-    "d8_decontamination",
-    "s1_cosine_topk",
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
-    # ---- driver cap (50): slots below refresh in later rounds ----
+    # Round-8 rotation (tools/rotation.py freshness order): tier 1 =
+    # the four queries NEW this round (never driver-verified); tier 2 =
+    # the stalest greens — the full r4 cohort plus the oldest r5 block
+    # up to the 50-slot cap. Everything below the cap carries r5-r7
+    # green signal and rotates back by freshness in later rounds.
+    "st15_returning_user_stream_readback",
+    "st16_daily_uv_stream_readback",
+    "j13_interval_join_stream_readback",
+    "k5_config_ddl_readback",
     "d12_shingle_containment",
     "s6_bm25_topk",
     "s7_hybrid_rerank",
@@ -165,6 +118,7 @@ MANIFEST: tuple[str, ...] = (
     "w11_cumulate_window",
     "c12_quality_weighted_sample",
     "a5s_windowed_uu_replay",
+    # ---- driver cap (50): slots below refresh in later rounds ----
     "st3s_visitor_fix_replay",
     "st5s_returning_user_replay",
     "a6b_cjk_keyword_count",
@@ -262,6 +216,56 @@ MANIFEST: tuple[str, ...] = (
     "j8b_full_outer_join",
     "a1_windowed_sum",
     "a2_distinct_count",
+    "s10b_knn_noise_ivf",
+    "s10c_knn_shortlist_recall",
+    "g1s_pagerank_replay",
+    "k1_dynamic_topic_readback",
+    "k2_serving_partition_readback",
+    "k3_fixed_topic_readback",
+    "k4_keyed_upsert_readback",
+    "p12_maxwell_envelope_parse",
+    "z4_snapshot_diff",
+    "st14_dws_stream_readback",
+    "a3_multikey_window",
+    "a4_global_window",
+    "a5_windowed_uu",
+    "a6_keyword_count",
+    "a7_daily_gmv",
+    "a8_province_amount",
+    "a9_topk_channel",
+    "a10_rollup",
+    "a10b_cube",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",
+    "s4_cluster_stats",
+    "s2b_lsh_multiband_topk",
+    "d7_dedup_gate",
+    "s3_ivf_ann_topk",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d2b_jaccard_capped",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "s1_cosine_topk",
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
+    "s5_pq_adc_topk",
+    "st8s_scd2_replay",
+    "st9_retract_changelog",
+    "c8_leakage_safe_split",
 )
 
 

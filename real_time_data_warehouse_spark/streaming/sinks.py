@@ -140,18 +140,42 @@ def upsert_versioned(
     )
 
 
-def apply_config_ddl(spark: SparkSession, config: DataFrame, base_dir: str) -> None:
-    """S9: HBase DDL-from-config analog (DimApp.java:237-280): op d → drop
-    table dir; r/c → create; u → drop + create. Here tables are parquet/
-    Delta directories."""
+def apply_config_ddl(
+    spark: SparkSession,
+    config: DataFrame,
+    base_dir: str,
+    order_col: str | None = None,
+) -> None:
+    """S9: HBase DDL-from-config analog (DimApp.java:237-280): op d →
+    drop table dir; r/c → create IF ABSENT (an existing table is left
+    untouched, like `create_namespace_table` checking existence); u →
+    drop + create. Here tables are parquet/Delta directories.
+
+    DDL is control-plane: the config stream is the CDC of the tiny
+    table_process table (tens of rows), so applying it driver-side —
+    exactly where the reference's RichSinkFunction.open() issues HBase
+    admin calls — is the honest shape; the DATA plane never touches
+    this loop. Each create drops a ``meta.json`` catalog record
+    ({sink_table, created_ver}) into the table dir so the resulting
+    catalog state is queryable/auditable (the k5 read-back row); pass
+    ``order_col`` to apply ops in commit order within the batch."""
+    import json
     import shutil
 
-    for row in config.collect():
+    rows = config.collect()
+    if order_col is not None:
+        rows = sorted(rows, key=lambda r: r[order_col])
+    for row in rows:
         table_dir = os.path.join(base_dir, row["sink_table"])
         if row["op"] in ("d", "u") and os.path.exists(table_dir):
             shutil.rmtree(table_dir)
-        if row["op"] in ("r", "c", "u"):
-            os.makedirs(table_dir, exist_ok=True)
+        if row["op"] in ("r", "c", "u") and not os.path.exists(table_dir):
+            os.makedirs(table_dir)
+            meta = {"sink_table": row["sink_table"]}
+            if order_col is not None:
+                meta["created_ver"] = int(row[order_col])
+            with open(os.path.join(table_dir, "meta.json"), "w") as f:
+                json.dump(meta, f)
 
 
 def write_serving_partitioned(df: DataFrame, path: str) -> None:

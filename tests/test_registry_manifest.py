@@ -2,11 +2,15 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-7 rotation
-(tools/rotation.py freshness order): tier 1 = the round-7 additions
-(never driver-verified); tier 2 = the stalest greens — the full r3
-cohort plus the oldest r4 block up to the cap. Slots below the cap all
-carry r4-r6 green signal and rotate back by freshness later.
+manifest slots are the only hard-signal slots. Round-8 rotation
+(tools/rotation.py freshness order): tier 1 = the round-8 additions
+(never driver-verified); tier 2 = the stalest greens — the full r4
+cohort plus the oldest r5 block up to the cap. Slots below the cap all
+carry r5-r7 green signal and rotate back by freshness later.
+
+Tier tuples are spelled out literally (not derived from MANIFEST) ON
+PURPOSE: the test exists to catch an accidental manifest edit, so the
+expected order must be stated independently.
 
 JVM-free: the registry and every operator module import without a
 SparkSession.
@@ -24,63 +28,63 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (the round-7 additions): lead the manifest
+# Never driver-verified (the round-8 additions): lead the manifest
 # unconditionally.
 TIER1 = (
-    "s10b_knn_noise_ivf",
-    "s10c_knn_shortlist_recall",
-    "g1s_pagerank_replay",
-    "k1_dynamic_topic_readback",
-    "k2_serving_partition_readback",
-    "k3_fixed_topic_readback",
-    "k4_keyed_upsert_readback",
-    "p12_maxwell_envelope_parse",
-    "z4_snapshot_diff",
-    "st14_dws_stream_readback",
+    "st15_returning_user_stream_readback",
+    "st16_daily_uv_stream_readback",
+    "j13_interval_join_stream_readback",
+    "k5_config_ddl_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
-    "a3_multikey_window",
-    "a4_global_window",
-    "a5_windowed_uu",
-    "a6_keyword_count",
-    "a7_daily_gmv",
-    "a8_province_amount",
-    "a9_topk_channel",
-    "a10_rollup",
-    "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
-    "w8b_session_window",
-    "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",
-    "s4_cluster_stats",
-    "s2b_lsh_multiband_topk",
-    "d7_dedup_gate",
-    "s3_ivf_ann_topk",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d2b_jaccard_capped",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "d6_dedup_clusters",
-    "d8_decontamination",
-    "s1_cosine_topk",
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
+    "d12_shingle_containment",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
+    "t7_ngram_stats",
+    "t8_pmi_bigrams",
+    "c9_doc_chunks",
+    "c3s_packing_replay",
+    "c1s_curation_replay",
+    "c10_corpus_profile",
+    "d6b_cluster_histogram",
+    "t9_unigram_surprisal",
+    "j11_range_join",
+    "w10_late_event_audit",
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
+    "s8_mmr_rerank",
+    "a2c_hll_partial_union",
+    "c11_token_budget_plan",
+    "st10_changelog_fold",
+    "a13s_heavy_hitters_replay",
+    "d13_source_overlap",
+    "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
+    "a16_gapfill_locf",
+    "s9_ann_recall_audit",
+    "d14_minhash_recall_audit",
+    "a17_spike_detection",
+    "st12_transition_matrix",
+    "d15_substring_spans",
+    "d16_substring_strip",
+    "st13_sessionization",
+    "st13s_session_replay",
+    "s10_knn_label_noise",
+    "s11_hard_negatives",
+    "t11_pii_audit",
+    "m5_audio_energy",
+    "a1s_windowed_sum_replay",
+    "j4s_interval_join_replay",
+    "j2s_left_outer_join_replay",
+    "a14_window_topn",
+    "w11_cumulate_window",
+    "c12_quality_weighted_sample",
+    "a5s_windowed_uu_replay",
 )
 
 

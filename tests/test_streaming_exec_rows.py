@@ -1,0 +1,176 @@
+"""Real-streaming driver rows (st14-16, j13) and the S9 DDL row (k5):
+source slicing determinism, stream ≡ batch on the full horizon, state
+eviction evidence, and DDL fold semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def test_sliced_source_is_time_ordered_and_complete(spark):
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _SRC_FILES,
+        _sliced_source,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    src = _sliced_source(spark, SF_DIR, _SRC_FILES)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert files == [f"batch_{b}.parquet" for b in range(_SRC_FILES)]
+    # mtimes strictly increase in slice order — the file source follows
+    # modification time, and a tie would make batch order a coin flip
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert all(a < b for a, b in zip(mtimes, mtimes[1:])), mtimes
+    # slices are disjoint ascending time ranges covering every event
+    total = 0
+    prev_max = None
+    for f in files:
+        part = spark.read.parquet(os.path.join(src, f))
+        lo, hi, n = part.agg(
+            F.min("ts"), F.max("ts"), F.count("*")
+        ).first()
+        total += n
+        if prev_max is not None:
+            assert lo > prev_max, f"slice {f} overlaps the previous one"
+        prev_max = hi
+    assert total == Tables(spark, SF_DIR).events.count()
+
+
+def test_st15_stream_equals_batch_on_full_horizon(spark):
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    got = {
+        (r["cur_date"], r["uu_ct"], r["back_ct"])
+        for r in QUERY_REGISTRY["st15_returning_user_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        (r["cur_date"], r["uu_ct"], r["back_ct"])
+        for r in QUERY_REGISTRY["st5_returning_user"].fn(spark, SF_DIR).collect()
+    }
+    # applyInPandasWithState emits everything by end-of-input: no horizon
+    # cut — the stream result must equal the batch twin EXACTLY
+    assert got == want
+
+
+def test_st16_stream_equals_batch_on_full_horizon(spark):
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    got = {
+        (r["cur_date"], r["uv_ct"])
+        for r in QUERY_REGISTRY["st16_daily_uv_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        (r["cur_date"], r["uv_ct"])
+        for r in QUERY_REGISTRY["st4_first_per_day_uv"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_j13_progress_artifact_proves_eviction(spark):
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _j13_build,
+    )
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        assert_watermark_eviction,
+    )
+
+    base = _j13_build(spark, SF_DIR)  # raises inside build if no eviction
+    with open(os.path.join(base, "progress.jsonl")) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    removed = assert_watermark_eviction(records, min_batches=2)
+    assert removed > 0
+    # the watermark moved across batches (cross-batch, not end-of-input)
+    marks = [
+        r["eventTime"]["watermark"]
+        for r in records
+        if r.get("eventTime", {}).get("watermark")
+    ]
+    assert len(set(marks)) >= 2, marks
+
+
+def test_assert_watermark_eviction_rejects_growing_state():
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        assert_watermark_eviction,
+    )
+
+    growing = [
+        {"stateOperators": [{"numRowsRemoved": 0, "numRowsTotal": 10}]},
+        {"stateOperators": [{"numRowsRemoved": 0, "numRowsTotal": 20}]},
+    ]
+    with pytest.raises(AssertionError, match="not being evicted"):
+        assert_watermark_eviction(growing)
+    with pytest.raises(AssertionError, match="progress records"):
+        assert_watermark_eviction(growing[:1])
+    ok = [
+        {"stateOperators": [{"numRowsRemoved": 0}]},
+        {"stateOperators": [{"numRowsRemoved": 7}]},
+    ]
+    assert assert_watermark_eviction(ok) == 7
+
+
+def test_k5_ddl_fold_edge_sequences(spark, tmp_path):
+    """Drive apply_config_ddl through the sequences the LAG-based oracle
+    reasons about: create-if-absent no-op, u recreate, d+recreate, and
+    final-d drop."""
+    from real_time_data_warehouse_spark.streaming.sinks import apply_config_ddl
+
+    ops = [
+        # t1: c(1), c(5)      → exists, created_ver=1 (second c no-op)
+        ("t1", 1, "c"), ("t1", 5, "c"),
+        # t2: c(2), u(6)      → exists, created_ver=6 (u recreates)
+        ("t2", 2, "c"), ("t2", 6, "u"),
+        # t3: c(3), d(7), r(9) → exists, created_ver=9
+        ("t3", 3, "c"), ("t3", 7, "d"), ("t3", 9, "r"),
+        # t4: c(4), d(8)      → dropped
+        ("t4", 4, "c"), ("t4", 8, "d"),
+        # t5: d(10), u(11)    → u works even when absent
+        ("t5", 10, "d"), ("t5", 11, "u"),
+    ]
+    config = spark.createDataFrame(
+        [(t, op, v) for t, v, op in ops], "sink_table string, op string, ver long"
+    )
+    base = str(tmp_path / "catalog")
+    os.makedirs(base)
+    apply_config_ddl(spark, config, base, order_col="ver")
+    metas = {}
+    for d in os.listdir(base):
+        with open(os.path.join(base, d, "meta.json")) as f:
+            m = json.load(f)
+        metas[m["sink_table"]] = m["created_ver"]
+    assert metas == {"t1": 1, "t2": 6, "t3": 9, "t5": 11}
+    assert not os.path.exists(os.path.join(base, "t4"))
+
+
+def test_k5_readback_matches_manual_fold(spark):
+    """k5 over the real sf dir: the FS state equals a driver-side replay
+    of the same op stream (independent of the DuckDB oracle path)."""
+    from real_time_data_warehouse_spark.operators.sink_readback import (
+        _k5_ops,
+        k5_config_ddl_readback,
+    )
+
+    got = {
+        (r["sink_table"], r["created_ver"])
+        for r in k5_config_ddl_readback(spark, SF_DIR).collect()
+    }
+    state: dict[str, int] = {}
+    for r in sorted(_k5_ops(spark, SF_DIR).collect(), key=lambda r: r["ver"]):
+        if r["op"] == "d":
+            state.pop(r["sink_table"], None)
+        elif r["op"] == "u":
+            state[r["sink_table"]] = r["ver"]
+        elif r["sink_table"] not in state:
+            state[r["sink_table"]] = r["ver"]
+    assert got == set(state.items())
