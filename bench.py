@@ -127,7 +127,9 @@ EXTENDED = (
     # driver-round-8 additions (first recorded medians land in BENCH_r08)
     "st15_returning_user_stream_readback",
     "st16_daily_uv_stream_readback",
+    "st17_visitor_fix_stream_readback",
     "j13_interval_join_stream_readback",
+    "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
 )
 

@@ -32,6 +32,7 @@ def bucketed_prefix(
     bucket: Column,
     order_cols: list[str],
     measures: dict[str, tuple[Column, Column]],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append inclusive running totals over ``order_cols`` order.
 
@@ -40,6 +41,14 @@ def bucketed_prefix(
     column name → (aggregand, typed zero literal); the aggregand must
     be an exact/associative type. Returns ``df``'s rows (plus the
     ``__bucket`` column dropped) with one ``cum_<name>`` per measure.
+
+    Pass ``n_buckets`` when the bucket expression has a static bucket
+    count: it stamps a semantic no-op ``limit(n_buckets)`` on the
+    totals frame (which has exactly ≤ n_buckets rows), making the "the
+    only global window here runs over a bounded frame" claim a
+    STRUCTURAL plan property — the registry-wide partition-less-window
+    lint (tests/test_plan_lint.py) checks for that Limit instead of
+    trusting a comment.
     """
     # one materialization serves both phases — the local-prefix window
     # and the totals aggregation each read the (possibly expensive)
@@ -63,6 +72,14 @@ def bucketed_prefix(
             for name, (expr, _zero) in measures.items()
         ]
     )
+    if n_buckets is not None:
+        totals = totals.limit(n_buckets)  # no-op bound witness (≤ B rows)
+    # global window ON PURPOSE, over the ≤B-row totals frame (the
+    # n_buckets Limit above is the structural bound, checked by the
+    # registry-wide lint). The WindowExec "No Partition Defined"
+    # warning it logs is expected here — partitionBy(lit(1)) does NOT
+    # silence it (FoldablePropagation folds the literal out of the
+    # spec), so the warning is documented rather than obfuscated away.
     w_off = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -1231,6 +1231,7 @@ def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt": (F.lit(1).cast("bigint"), F.lit(0).cast("bigint")),
             "amt": (dec("value"), F.lit(0).cast("decimal(18,2)")),
         },
+        n_buckets=_PREFIX_BUCKETS,
     )
     return out.select(
         "event_id",

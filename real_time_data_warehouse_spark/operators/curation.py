@@ -1114,6 +1114,7 @@ def c15_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket,
         ["qm", "doc_id"],
         {"cnt": (F.lit(1).cast("bigint"), F.lit(0).cast("bigint"))},
+        n_buckets=_C15_BUCKETS,
     )
     phase = F.floor(
         (F.col("cum_cnt") - 1).cast("double") * _C15_PHASES / n

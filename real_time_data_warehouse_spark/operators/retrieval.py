@@ -888,6 +888,12 @@ def s13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.operators.similarity import cosine
     from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
 
+    # the three partition-less windows below are ON PURPOSE: each ranks
+    # a ≤top-K frame (s6's TakeOrdered list, the dense top-_RRF_LIST
+    # pull, and their ≤2K-row fusion) — the Limits below them are the
+    # bound, verified structurally by the registry-wide global-window
+    # lint in test_plan_lint.py; their WindowExec warnings are expected
+    # and benign.
     w1 = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex = (
         QUERY_REGISTRY["s6_bm25_topk"]

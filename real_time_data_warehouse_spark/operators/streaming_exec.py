@@ -492,3 +492,201 @@ def j13_interval_join_stream_readback(
         .groupBy("pay_id")
         .agg(F.count("prior_id").cast("bigint").alias("prior_events"))
     )
+
+
+# --- st17: ST3 visitor-flag repair under the REAL streaming runtime --------
+
+
+def _st17_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.streaming.stateful import (
+        visitor_fix,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src).select("event_id", "user_id", "ts")
+        with _stream_shuffle_partitions(spark):
+            q = (
+                visitor_fix(ev)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+    return _artifact_dir(spark, sf_dir, "st17", build)
+
+
+@register(
+    "st17_visitor_fix_stream_readback",
+    survey="ST3,U2",
+    doc=f"ST3 under the REAL streaming runtime, driver-checked: the "
+        "visitor-flag repair (streaming/stateful.visitor_fix, "
+        "applyInPandasWithState — reference DwdBaseLog.java:121-188) "
+        f"runs as an actual readStream over the {_SRC_FILES}-file "
+        "time-ordered source: the per-user first_visit_date state is "
+        "carried ACROSS micro-batches through the state store, so a "
+        "user whose first visit landed in batch 0 has every later "
+        "batch's events repaired to is_new=0 by state, not by a batch-"
+        "local window. Append sink read back on the FULL horizon "
+        "(everything is emitted by end-of-input) against st3's batch "
+        "oracle — per-EVENT rows, so the hash check covers every "
+        "repaired flag, not an aggregate. With st15 this closes the "
+        "applyInPandasWithState family: both custom-keyed-state "
+        "operators now have their actual runtime driver-verified.",
+    oracle=None,  # attached below: st3's oracle verbatim
+)
+def st17_visitor_fix_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _st17_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.select("event_id", "user_id", "visit_date", "is_new")
+
+
+def _attach_st17_oracle() -> None:
+    from dataclasses import replace
+
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    QUERY_REGISTRY["st17_visitor_fix_stream_readback"] = replace(
+        QUERY_REGISTRY["st17_visitor_fix_stream_readback"],
+        oracle=QUERY_REGISTRY["st3_visitor_state_fix"].oracle,
+    )
+
+
+_attach_st17_oracle()
+
+
+# --- j14: J2 stream-stream LEFT OUTER join under the REAL runtime ----------
+
+_J14_WINDOW_S = 1800  # payment window after the order event
+_J14_HORIZON_S = 1800 + 60  # order fully decided: o_ts + window < watermark
+
+
+def _j14_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.joins import (
+        left_outer_stream_join,
+    )
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        assert_watermark_eviction,
+        query_progress_records,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    import json
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+        joined = left_outer_stream_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        records = query_progress_records(q)
+        with open(os.path.join(base, "progress.jsonl"), "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        assert_watermark_eviction(records, min_batches=2)
+
+    return _artifact_dir(spark, sf_dir, "j14", build)
+
+
+@register(
+    "j14_left_outer_stream_readback",
+    survey="J2,W5,ext-scale",
+    doc=f"J2 under the REAL streaming runtime, driver-checked — the "
+        "operator where Flink and Spark diverge hardest (SURVEY "
+        "§7.4.1; reference DwdTradeOrderDetail.java:105-108): Flink "
+        "emits +I(order, null) immediately and RETRACTS it when the "
+        "payment arrives; Spark's append-mode outer join holds the "
+        "unmatched order in state and emits the null-padded row "
+        "exactly once, when the watermark proves no payment can still "
+        "arrive. j14 runs that actual runtime: click ⟕ purchase "
+        "within [ts, ts+30 min] per user over the time-ordered "
+        f"{_SRC_FILES}-file source, watermarks on both sides, append "
+        "sink, checkpointed; the build fails unless progress metrics "
+        "show state rows removed by watermark cleanup. Read-back "
+        "restricts to orders whose payment window is fully behind the "
+        f"final watermark (o_ts ≤ max ts − {_J14_HORIZON_S} s) — "
+        "where BOTH match emission and null emission are guaranteed — "
+        "and must hash-match the one-pass LEFT JOIN oracle restricted "
+        "identically, null pay_ids included. Unlike the j2s replay "
+        "(which drives the incremental applier), a green here is "
+        "Spark's own outer-join state machine producing the identical "
+        "net table with zero retractions.",
+    oracle=f"""
+        WITH mx AS (
+            -- the join's global watermark is the MIN over both input
+            -- branches' watermarks (clicks and purchases), so the
+            -- guaranteed-decided region hangs off the EARLIER side max
+            SELECT LEAST(
+                MAX(CASE WHEN event_type = 'click' THEN ts END),
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+            ) - INTERVAL {_J14_HORIZON_S} SECOND AS horizon
+            FROM events
+        )
+        SELECT o.event_id AS order_id, p.event_id AS pay_id
+        FROM events o
+        LEFT JOIN events p
+          ON o.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= o.ts
+         AND p.ts <= o.ts + INTERVAL {_J14_WINDOW_S} SECOND
+        CROSS JOIN mx
+        WHERE o.event_type = 'click' AND o.ts <= mx.horizon
+    """,
+)
+def j14_left_outer_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _j14_build(spark, sf_dir)
+    ev = Tables(spark, sf_dir).events
+    # min over the two branch maxima — see the oracle comment: the
+    # outer join's watermark (which times null emission) is the min of
+    # the click-side and purchase-side watermarks
+    hz = ev.agg(
+        F.timestamp_micros(
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click", F.unix_micros("ts")
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros("ts"),
+                    )
+                ),
+            )
+            - _J14_HORIZON_S * 1_000_000
+        ).alias("horizon")
+    )
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return (
+        back.crossJoin(F.broadcast(hz))  # one-row horizon scalar
+        .where(F.col("o_ts") <= F.col("horizon"))
+        .select("order_id", "pay_id")
+    )

@@ -839,6 +839,10 @@ def t13_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("f"))
     )
     top = freq.orderBy(F.col("f").desc(), "tok").limit(_ZIPF_K)
+    # partition-less ON PURPOSE: the window ranks the ≤_ZIPF_K-row top
+    # frame — the Limit right above is the bound, verified structurally
+    # by test_plan_lint.test_global_windows_are_bounded. The WindowExec
+    # "No Partition Defined" warning here is expected and benign.
     w = Window.orderBy(F.col("f").desc(), "tok")
     qln = lambda col: F.floor(  # noqa: E731
         F.log(col.cast("double")) * _ZIPF_QUANT + F.lit(0.5)
@@ -951,6 +955,7 @@ def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens": (F.col("n"), F.lit(0).cast("bigint")),
             "vocab": (F.col("c"), F.lit(0).cast("bigint")),
         },
+        n_buckets=_T14_BUCKETS,
     )
     return out.select(
         "doc_id",

@@ -78,6 +78,49 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(ids)
 
 
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Partition-less Window nodes whose input subtree carries NO limit —
+    the shape that serializes the WHOLE dataset through one task at
+    scale. A global window over a top-K frame (≤K rows by a Limit below
+    it) is fine and deliberate (s13's fusion ranks, t13's Zipf lattice);
+    a global window over an unlimited input is a 100 TB scale bug even
+    when the test-scale answer is correct. Walks the optimized LOGICAL
+    plan via py4j (node names + partitionSpec arity), not string
+    parsing, so it can't be fooled by formatting."""
+
+    def subtree_has_limit(node) -> bool:
+        if node.nodeName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        kids = node.children()
+        return any(
+            subtree_has_limit(kids.apply(i)) for i in range(kids.size())
+        )
+
+    offenders: list[str] = []
+
+    def is_global(node) -> bool:
+        # an all-foldable partition spec (e.g. partitionBy(lit(1)), used
+        # to silence the WindowExec warning on deliberately-global
+        # windows) is still ONE partition — treat it as global so the
+        # idiom can't hide an unbounded window from this lint
+        spec = node.partitionSpec()
+        return all(spec.apply(i).foldable() for i in range(spec.size()))
+
+    def walk(node) -> None:
+        if (
+            node.nodeName() == "Window"
+            and is_global(node)
+            and not subtree_has_limit(node)
+        ):
+            offenders.append(node.simpleString(100))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return offenders
+
+
 def assert_no_cartesian(df: DataFrame, what: str) -> None:
     """One-shot guard for frames built inside streaming appliers, which
     the registry-wide plan lint skips for suite economy: fail loud if

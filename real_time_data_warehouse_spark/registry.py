@@ -64,13 +64,16 @@ def register(
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
     # Round-8 rotation (tools/rotation.py freshness order): tier 1 =
-    # the four queries NEW this round (never driver-verified); tier 2 =
-    # the stalest greens — the full r4 cohort plus the oldest r5 block
-    # up to the 50-slot cap. Everything below the cap carries r5-r7
-    # green signal and rotates back by freshness in later rounds.
+    # the six queries NEW this round (never driver-verified); tier 2 =
+    # the stalest greens — the full r4 cohort plus w11 up to the
+    # 50-slot cap (c12/a5s, r5 signal, slide just below and lead the
+    # r9 refresh). Everything below the cap carries r5-r7 green signal
+    # and rotates back by freshness in later rounds.
     "st15_returning_user_stream_readback",
     "st16_daily_uv_stream_readback",
+    "st17_visitor_fix_stream_readback",
     "j13_interval_join_stream_readback",
+    "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
     "d12_shingle_containment",
     "s6_bm25_topk",
@@ -116,9 +119,9 @@ MANIFEST: tuple[str, ...] = (
     "j2s_left_outer_join_replay",
     "a14_window_topn",
     "w11_cumulate_window",
+    # ---- driver cap (50): slots below refresh in later rounds ----
     "c12_quality_weighted_sample",
     "a5s_windowed_uu_replay",
-    # ---- driver cap (50): slots below refresh in later rounds ----
     "st3s_visitor_fix_replay",
     "st5s_returning_user_replay",
     "a6b_cjk_keyword_count",

@@ -5,7 +5,7 @@ The external correctness driver truncates at 50 queries per round
 manifest slots are the only hard-signal slots. Round-8 rotation
 (tools/rotation.py freshness order): tier 1 = the round-8 additions
 (never driver-verified); tier 2 = the stalest greens — the full r4
-cohort plus the oldest r5 block up to the cap. Slots below the cap all
+cohort plus w11 up to the cap (c12/a5s slide just below; r9 leads). Slots below the cap all
 carry r5-r7 green signal and rotate back by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
@@ -33,7 +33,9 @@ DRIVER_CAP = 50
 TIER1 = (
     "st15_returning_user_stream_readback",
     "st16_daily_uv_stream_readback",
+    "st17_visitor_fix_stream_readback",
     "j13_interval_join_stream_readback",
+    "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
@@ -83,8 +85,6 @@ TIER2 = (
     "j2s_left_outer_join_replay",
     "a14_window_topn",
     "w11_cumulate_window",
-    "c12_quality_weighted_sample",
-    "a5s_windowed_uu_replay",
 )
 
 

@@ -174,3 +174,47 @@ def test_k5_readback_matches_manual_fold(spark):
         elif r["sink_table"] not in state:
             state[r["sink_table"]] = r["ver"]
     assert got == set(state.items())
+
+
+def test_st17_stream_equals_batch_on_full_horizon(spark):
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    got = {
+        tuple(r)
+        for r in QUERY_REGISTRY["st17_visitor_fix_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERY_REGISTRY["st3_visitor_state_fix"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_j14_emits_nulls_once_and_evicts(spark):
+    """The retract-free outer join: unmatched orders appear exactly once
+    (null-padded), matches are real pairs, and the progress artifact
+    proves watermark cleanup removed state."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _j14_build,
+    )
+    from real_time_data_warehouse_spark.streaming.monitor import (
+        assert_watermark_eviction,
+    )
+
+    base = _j14_build(spark, SF_DIR)
+    out = spark.read.parquet(os.path.join(base, "out"))
+    assert out.where(F.col("pay_id").isNull()).count() > 0  # nulls emitted
+    dup_nulls = (
+        out.where(F.col("pay_id").isNull())
+        .groupBy("order_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup_nulls == 0  # exactly once, no retract pairs
+    with open(os.path.join(base, "progress.jsonl")) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    assert assert_watermark_eviction(records, min_batches=2) > 0
