@@ -131,6 +131,8 @@ EXTENDED = (
     "j13_interval_join_stream_readback",
     "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
+    "k6_jdbc_dim_roundtrip",
+    "st18_dws_update_upsert_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.

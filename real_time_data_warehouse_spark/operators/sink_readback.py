@@ -479,3 +479,80 @@ def k5_config_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.select(
         "sink_table", F.col("created_ver").cast("bigint").alias("created_ver")
     )
+
+
+# --- k6: S3 JDBC batch source, executed against a REAL database ------------
+
+
+def _k6_db_url(base: str) -> str:
+    return f"jdbc:derby:{os.path.join(base, 'db')};create=true"
+
+
+_K6_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _k6_build(spark: SparkSession, sf_dir: str) -> str:
+    def build(base: str) -> None:
+        # keep Derby's boot log inside the artifact dir, not the CWD
+        spark._jvm.System.setProperty(  # type: ignore[attr-defined]
+            "derby.stream.error.file", os.path.join(base, "derby.log")
+        )
+        dim = Tables(spark, sf_dir).nation
+        (
+            dim.write.format("jdbc")
+            .option("url", _k6_db_url(base))
+            .option("dbtable", "base_dic")
+            .option("driver", _K6_DRIVER)
+            .mode("overwrite")
+            .save()
+        )
+
+    return _artifact_dir(spark, sf_dir, "k6", build)
+
+
+@register(
+    "k6_jdbc_dim_roundtrip",
+    survey="S3,J5",
+    doc="S3 executed against a REAL database — no longer env-gated: the "
+        "nation dim is written into an embedded Apache Derby database "
+        "(the JDBC driver Spark ships for its own metastore), then read "
+        "back through spark.read.jdbc as a PARTITIONED batch query "
+        "(partitionColumn/numPartitions — the parallel form of the "
+        "reference's JdbcUtil.java:34-61 batch SELECT) and broadcast-"
+        "joined to customer for per-nation counts. The oracle recomputes "
+        "straight from the parquet tables, so a green row certifies the "
+        "full dim → JDBC write → SQL database → partitioned JDBC scan → "
+        "broadcast join loop bit-exactly. Embedded Derby shares the "
+        "driver JVM (fine on local; a cluster points the same code at a "
+        "networked MySQL/Postgres URL — only the options change).",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS customer_ct
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def k6_jdbc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _k6_build(spark, sf_dir)
+    lo, hi = Tables(spark, sf_dir).nation.agg(
+        F.min("n_nationkey"), F.max("n_nationkey")
+    ).first()
+    dim = (
+        spark.read.format("jdbc")
+        .option("url", _k6_db_url(base))
+        .option("dbtable", "base_dic")
+        .option("driver", _K6_DRIVER)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "4")
+        .load()
+    )
+    cust = Tables(spark, sf_dir).customer
+    return (
+        cust.join(
+            F.broadcast(dim), cust.c_nationkey == dim.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("customer_ct"))
+    )

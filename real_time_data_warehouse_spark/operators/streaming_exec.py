@@ -690,3 +690,65 @@ def j14_left_outer_stream_readback(
         .where(F.col("o_ts") <= F.col("horizon"))
         .select("order_id", "pay_id")
     )
+
+
+# --- st18: UPDATE-mode DWS upsert under the REAL streaming runtime ---------
+
+
+def _st18_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        run_dws_agg_update_stream,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        serving = os.path.join(base, "serving")
+        ckpt = os.path.join(base, "ckpt")
+        with _stream_shuffle_partitions(spark):
+            q = run_dws_agg_update_stream(spark, src, serving, ckpt)
+            q.awaitTermination(300)
+
+    return _artifact_dir(spark, sf_dir, "st18", build)
+
+
+@register(
+    "st18_dws_update_upsert_readback",
+    survey="A1,W1,S6,S7",
+    doc="UPDATE-mode streaming under the driver gate — the reference's "
+        "Doris stream-load / upsert-Kafka delivery (windows re-emitted "
+        "on every in-watermark change, sink keeps the latest row per "
+        "key) as opposed to st14's append-once-final: the DWS tumbling "
+        "aggregate runs as readStream → update-mode foreachBatch → "
+        "versioned keyed upsert into the serving table "
+        "(streaming/pipelines.run_dws_agg_update_stream over the shared "
+        f"{_SRC_FILES}-file time-ordered source). The FINAL serving "
+        "state is read back and hash-compared to the batch aggregate on "
+        "the FULL horizon — no closed-region cut, because update mode "
+        "re-fires until a window's aggregate is complete and the ordered "
+        "source means no contribution is ever dropped as late; the last "
+        "fire per key therefore equals the batch value for EVERY window, "
+        "which is exactly the upsert-sink contract this row certifies.",
+    oracle=f"""
+        SELECT strftime({oracle_tumble('ts', 10)},
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime({oracle_tumble('ts', 10)} + INTERVAL 10 SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type AS sku_group,
+               {oracle_dec_sum('value', 'order_amount')},
+               CAST(COUNT(*) AS BIGINT) AS order_ct
+        FROM events
+        GROUP BY {oracle_tumble('ts', 10)}, event_type
+    """,
+)
+def st18_dws_update_upsert_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _st18_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "serving"))
+    return back.select(
+        "stt",
+        "edt",
+        "sku_group",
+        F.col("order_amount").cast("double").alias("order_amount"),
+        F.col("order_ct").cast("bigint").alias("order_ct"),
+    )

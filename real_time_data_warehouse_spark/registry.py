@@ -64,17 +64,20 @@ def register(
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
     # Round-8 rotation (tools/rotation.py freshness order): tier 1 =
-    # the six queries NEW this round (never driver-verified); tier 2 =
-    # the stalest greens — the full r4 cohort plus w11 up to the
-    # 50-slot cap (c12/a5s, r5 signal, slide just below and lead the
-    # r9 refresh). Everything below the cap carries r5-r7 green signal
-    # and rotates back by freshness in later rounds.
+    # the eight queries NEW this round (never driver-verified, incl.
+    # k6 — the last env-gated §2 row turned into a real JDBC
+    # execution); tier 2 = the stalest greens — the full r4 cohort up
+    # to the 50-slot cap (w11/c12/a5s, r5 signal, slide just below and
+    # lead the r9 refresh). Everything below the cap carries r5-r7
+    # green signal and rotates back by freshness in later rounds.
     "st15_returning_user_stream_readback",
     "st16_daily_uv_stream_readback",
     "st17_visitor_fix_stream_readback",
     "j13_interval_join_stream_readback",
     "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
+    "k6_jdbc_dim_roundtrip",
+    "st18_dws_update_upsert_readback",
     "d12_shingle_containment",
     "s6_bm25_topk",
     "s7_hybrid_rerank",
@@ -117,9 +120,9 @@ MANIFEST: tuple[str, ...] = (
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
+    # ---- driver cap (50): slots below refresh in later rounds ----
     "a14_window_topn",
     "w11_cumulate_window",
-    # ---- driver cap (50): slots below refresh in later rounds ----
     "c12_quality_weighted_sample",
     "a5s_windowed_uu_replay",
     "st3s_visitor_fix_replay",

@@ -37,6 +37,8 @@ TIER1 = (
     "j13_interval_join_stream_readback",
     "j14_left_outer_stream_readback",
     "k5_config_ddl_readback",
+    "k6_jdbc_dim_roundtrip",
+    "st18_dws_update_upsert_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -83,8 +85,6 @@ TIER2 = (
     "a1s_windowed_sum_replay",
     "j4s_interval_join_replay",
     "j2s_left_outer_join_replay",
-    "a14_window_topn",
-    "w11_cumulate_window",
 )
 
 

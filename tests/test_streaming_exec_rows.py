@@ -218,3 +218,153 @@ def test_j14_emits_nulls_once_and_evicts(spark):
     with open(os.path.join(base, "progress.jsonl")) as f:
         records = [json.loads(line) for line in f if line.strip()]
     assert assert_watermark_eviction(records, min_batches=2) > 0
+
+
+def test_k6_jdbc_roundtrip_is_bit_exact(spark):
+    """The dim read back through the real JDBC database equals the
+    parquet original row-for-row (not just the joined aggregate)."""
+    from real_time_data_warehouse_spark.operators.sink_readback import (
+        _K6_DRIVER,
+        _k6_build,
+        _k6_db_url,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    base = _k6_build(spark, SF_DIR)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", _k6_db_url(base))
+        .option("dbtable", "base_dic")
+        .option("driver", _K6_DRIVER)
+        .load()
+    )
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in Tables(spark, SF_DIR).nation.collect()}
+    assert got == want
+    # derby's boot log stays inside the artifact dir, not the repo CWD
+    assert not os.path.exists("/root/repo/derby.log")
+
+
+def test_native_sink_checkpoint_resume_exactly_once(spark, tmp_path):
+    """The production continuation pattern st14's docstring claims: the
+    DWS append stream stops after consuming half the source, new files
+    arrive, a NEW query object resumes from the same checkpoint — and
+    the sink holds each closed window exactly once, matching the batch
+    twin. This exercises the parquet-sink commit log across a restart
+    (what the foreachBatch crash test cannot: that path manages its own
+    idempotence; here Spark's file-sink manifest must)."""
+    import shutil as _sh
+
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _SRC_FILES,
+        _sliced_source,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        dws_windowed_agg,
+        run_dws_agg_stream,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    shared = _sliced_source(spark, SF_DIR, _SRC_FILES)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    names = [f"batch_{b}.parquet" for b in range(_SRC_FILES)]
+    for n in names[:2]:  # wave 1: first half of the timeline
+        _sh.copy2(os.path.join(shared, n), os.path.join(src, n))
+    q = run_dws_agg_stream(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    for n in names[2:]:  # wave 2 arrives after the first query stopped
+        _sh.copy2(os.path.join(shared, n), os.path.join(src, n))
+    q2 = run_dws_agg_stream(spark, src, out, ckpt)  # resume, same ckpt
+    q2.awaitTermination(180)
+
+    back = spark.read.parquet(out)
+    # exactly-once: no window key appears twice across the two runs
+    dups = (
+        back.groupBy("stt", "sku_group").count().where("count > 1").count()
+    )
+    assert dups == 0
+    # equals the batch twin on the final closed horizon
+    ev = Tables(spark, SF_DIR).events
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = (max_ts - datetime.timedelta(seconds=20)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    got = {
+        tuple(r)
+        for r in back.where(F.col("edt") <= F.lit(horizon))
+        .select("stt", "edt", "sku_group", "order_amount", "order_ct")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in dws_windowed_agg(ev)
+        .where(F.col("edt") <= F.lit(horizon))
+        .select("stt", "edt", "sku_group", "order_amount", "order_ct")
+        .collect()
+    }
+    assert got == want
+
+
+def test_returning_user_under_rocksdb_state_store(spark, tmp_path):
+    """The production state backend: the same applyInPandasWithState
+    pipeline under RocksDBStateStoreProvider (what a 100 TB deployment
+    runs — billions of keys don't fit the default in-memory HDFS-backed
+    store) must produce byte-identical results to the batch twin. The
+    provider is pinned at query start from session conf, scoped and
+    restored here."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _SRC_FILES,
+        _sliced_source,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.streaming.pipelines import stream_events
+    from real_time_data_warehouse_spark.streaming.stateful import returning_user
+
+    query_map()
+    src = _sliced_source(spark, SF_DIR, _SRC_FILES)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        logins = (
+            stream_events(spark, src)
+            .where(F.col("event_type").isin("signup", "click"))
+            .select("user_id", "ts")
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            returning_user(logins)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("cur_date")
+        .agg(
+            F.count("*").cast("bigint").alias("uu_ct"),
+            F.sum("is_back").cast("bigint").alias("back_ct"),
+        )
+    )
+    want = QUERY_REGISTRY["st5_returning_user"].fn(spark, SF_DIR)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
