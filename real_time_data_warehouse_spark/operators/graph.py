@@ -91,6 +91,11 @@ def cached_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _EDGE_CACHE.get(key)
     if df is None:
+        # bounded cache: entries from other sessions/sf_dirs are dropped
+        # (dead applicationIds would otherwise pin checkpointed blocks
+        # and py4j handles for the life of the process)
+        while len(_EDGE_CACHE) >= 4:
+            _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
         df = transition_page_edges(
             Tables(spark, sf_dir).events
         ).localCheckpoint(eager=True)

@@ -409,16 +409,22 @@ def _k5_build(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build(base: str) -> None:
-        ops = _k5_ops(spark, sf_dir)
-        lo, hi = ops.agg(F.min("ver"), F.max("ver")).first()
+        # control-plane stream: ONE scan collects the tiny op set, then
+        # batches slice driver-side (the old form re-scanned events five
+        # times — one agg + four filters — for tens of rows)
+        rows = sorted(
+            _k5_ops(spark, sf_dir).collect(), key=lambda r: r["ver"]
+        )
+        lo, hi = rows[0]["ver"], rows[-1]["ver"]
         span = (hi - lo) + 1
         catalog = os.path.join(base, "catalog")
         os.makedirs(catalog, exist_ok=True)
         for b in range(_K5_BATCHES):
             b_lo = lo + span * b // _K5_BATCHES
             b_hi = lo + span * (b + 1) // _K5_BATCHES
-            batch = ops.where(
-                (F.col("ver") >= b_lo) & (F.col("ver") < b_hi)
+            batch = spark.createDataFrame(
+                [r for r in rows if b_lo <= r["ver"] < b_hi],
+                "sink_table string, ver long, op string",
             )
             apply_config_ddl(spark, batch, catalog, order_col="ver")
 

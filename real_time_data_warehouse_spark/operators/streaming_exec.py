@@ -50,6 +50,19 @@ _SRC_FILES = 4  # micro-batches: watermark must advance ACROSS batches
 _ST14_FILES = _SRC_FILES  # kept for the registered doc text
 _ST14_HORIZON_S = 20  # closed-window margin (2 windows behind max ts)
 
+def _await(q, timeout_s: int = 300) -> None:
+    """awaitTermination that FAILS LOUD on timeout: the boolean return
+    is easy to ignore, and ignoring it caches a partially-written sink
+    as the session-wide artifact — every readback then compares an
+    incomplete sink to the full oracle with no error pointing here."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming build did not finish within {timeout_s}s — "
+            "refusing to cache a partial sink artifact"
+        )
+
+
 @_contextmanager
 def _stream_shuffle_partitions(spark: SparkSession, n: int = 32):
     """Scope spark.sql.shuffle.partitions around a streaming query's
@@ -71,9 +84,6 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 32):
 # events columns in their wire form (S1): ts as bigint NANOS, exactly as
 # streaming/pipelines.EVENTS_RAW_SCHEMA expects and stream_events
 # re-normalizes (µs via integer div — a double round-trip loses >2^53).
-_WIRE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
-
-
 def _events_wire(ev: DataFrame) -> DataFrame:
     return ev.select(
         "event_id",
@@ -123,6 +133,8 @@ def _write_time_sliced_source(
     now = _time.time()
     for b in range(n_files):
         bdir = os.path.join(stage, f"b={b}")
+        if not os.path.isdir(bdir):
+            continue  # empty time slice (gappy data): fewer micro-batches
         part = next(p for p in os.listdir(bdir) if p.endswith(".parquet"))
         dst = os.path.join(src, f"batch_{b}.parquet")
         shutil.move(os.path.join(bdir, part), dst)
@@ -156,7 +168,7 @@ def _st14_build(spark: SparkSession, sf_dir: str) -> str:
         ckpt = os.path.join(base, "ckpt")
         with _stream_shuffle_partitions(spark):
             q = run_dws_agg_stream(spark, src, out, ckpt)
-            q.awaitTermination(300)
+            _await(q)
 
     return _artifact_dir(spark, sf_dir, "st14", build)
 
@@ -254,7 +266,7 @@ def _st15_build(spark: SparkSession, sf_dir: str) -> str:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await(q)
 
     return _artifact_dir(spark, sf_dir, "st15", build)
 
@@ -349,7 +361,7 @@ def _st16_build(spark: SparkSession, sf_dir: str) -> str:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await(q)
 
     return _artifact_dir(spark, sf_dir, "st16", build)
 
@@ -420,7 +432,7 @@ def _j13_build(spark: SparkSession, sf_dir: str) -> str:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await(q)
         # hard evidence the join state is watermark-BOUNDED, not
         # grow-forever: across the ~7.5-day jumps between time-ranged
         # batches the watermark must have removed state rows. Raising
@@ -520,7 +532,7 @@ def _st17_build(spark: SparkSession, sf_dir: str) -> str:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await(q)
 
     return _artifact_dir(spark, sf_dir, "st17", build)
 
@@ -603,7 +615,7 @@ def _j14_build(spark: SparkSession, sf_dir: str) -> str:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await(q)
         records = query_progress_records(q)
         with open(os.path.join(base, "progress.jsonl"), "w") as f:
             for r in records:
@@ -706,7 +718,7 @@ def _st18_build(spark: SparkSession, sf_dir: str) -> str:
         ckpt = os.path.join(base, "ckpt")
         with _stream_shuffle_partitions(spark):
             q = run_dws_agg_update_stream(spark, src, serving, ckpt)
-            q.awaitTermination(300)
+            _await(q)
 
     return _artifact_dir(spark, sf_dir, "st18", build)
 

@@ -88,13 +88,17 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     plan via py4j (node names + partitionSpec arity), not string
     parsing, so it can't be fooled by formatting."""
 
-    def subtree_has_limit(node) -> bool:
-        if node.nodeName() in ("GlobalLimit", "LocalLimit"):
-            return True
-        kids = node.children()
-        return any(
-            subtree_has_limit(kids.apply(i)) for i in range(kids.size())
-        )
+    def bounded(node) -> bool:
+        """Is this subtree's row count statically bounded? Catalyst
+        already computes exactly this as ``maxRows`` (defined for
+        Limits, literal Ranges/LocalRelations, and propagated through
+        joins as n·m, unions as Σ, and shrinking unaries; None for
+        table scans and row-expanding Generates) — so ask the plan
+        instead of re-deriving it. This is strict by construction: a
+        Limit on the small side of a join cannot exonerate a window
+        over the unbounded side, because the join's maxRows is None
+        unless BOTH sides are bounded."""
+        return node.maxRows().isDefined()
 
     offenders: list[str] = []
 
@@ -110,7 +114,7 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         if (
             node.nodeName() == "Window"
             and is_global(node)
-            and not subtree_has_limit(node)
+            and not bounded(node)
         ):
             offenders.append(node.simpleString(100))
         kids = node.children()

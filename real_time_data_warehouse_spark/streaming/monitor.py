@@ -68,27 +68,6 @@ def detach(spark: SparkSession, listener: ProgressLogListener) -> None:
     spark.streams.removeListener(listener)
 
 
-def read_progress_log(path: str, timeout_s: float = 30.0,
-                      min_batches: int = 1) -> list[dict]:
-    """Load the JSONL progress records, waiting out the listener-bus
-    race: onQueryProgress is delivered on an async listener thread, so
-    records can land *after* awaitTermination returns. Polls until at
-    least ``min_batches`` records exist (or timeout, returning whatever
-    is there)."""
-    import os
-    import time
-
-    deadline = time.monotonic() + timeout_s
-    records: list[dict] = []
-    while True:
-        if os.path.exists(path):
-            with open(path) as f:
-                records = [json.loads(line) for line in f if line.strip()]
-        if len(records) >= min_batches or time.monotonic() > deadline:
-            return records
-        time.sleep(0.2)
-
-
 def query_progress_records(query) -> list[dict]:
     """One dict per completed micro-batch, read SYNCHRONOUSLY from the
     query handle's recentProgress after awaitTermination — unlike the

@@ -5,7 +5,7 @@ The external correctness driver truncates at 50 queries per round
 manifest slots are the only hard-signal slots. Round-8 rotation
 (tools/rotation.py freshness order): tier 1 = the round-8 additions
 (never driver-verified); tier 2 = the stalest greens — the full r4
-cohort plus w11 up to the cap (c12/a5s slide just below; r9 leads). Slots below the cap all
+cohort up to the cap (a14/w11/c12/a5s slide just below; r9 leads). Slots below the cap all
 carry r5-r7 green signal and rotate back by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
