@@ -10,6 +10,8 @@ equi-join degrades (e.g. a cast makes the keys incomparable).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from real_time_data_warehouse_spark.plans.audit import formatted_plan
@@ -86,3 +88,41 @@ def test_output_columns_are_scalar(spark, name):
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, f"{name}: non-scalar output columns {bad}"
+
+
+def test_unbounded_global_window_detector_edges(spark):
+    """The detector's contract on synthetic plans: a global window over
+    an unlimited scan is flagged; a Limit on the small side of a join
+    does NOT exonerate a window over the unbounded side; a genuinely
+    limited input passes; explode over a bounded input stays bounded
+    only if Catalyst says so (maxRows), not by Limit-node spotting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    dim = docs.select("lang").distinct().limit(5)
+    w = Window.orderBy("doc_id")
+
+    flagged = docs.join(F.broadcast(dim), "lang").withColumn(
+        "r", F.row_number().over(w)
+    )
+    assert len(unbounded_global_windows(flagged)) == 1
+
+    passes = docs.limit(10).join(F.broadcast(dim), "lang").withColumn(
+        "r", F.row_number().over(w)
+    )
+    assert unbounded_global_windows(passes) == []
+
+    plain_scan = docs.withColumn("r", F.row_number().over(w))
+    assert len(unbounded_global_windows(plain_scan)) == 1
+
+    # partitionBy(lit(1)) is still ONE partition — treated as global
+    lit_part = docs.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("doc_id")),
+    )
+    assert len(unbounded_global_windows(lit_part)) == 1

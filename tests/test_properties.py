@@ -785,3 +785,64 @@ def test_s14_code_lattice_cross_engine(spark, duck):
         ).fetchall()
     ]
     assert spb == dub
+
+
+# --- k5 DDL fold: random op sequences vs the LAG-formulation oracle -------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["t1", "t2", "t3"]),
+            st.sampled_from(["c", "r", "u", "d"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ddl_fold_matches_lag_oracle_formulation(ops):
+    """apply_config_ddl's imperative create/drop semantics equal the k5
+    oracle's declarative LAG fold on ANY op sequence — the property the
+    driver row checks on one synthetic stream, checked here on many.
+    Pure-Python twin of the FS fold (no Spark needed): same rules as
+    streaming/sinks.apply_config_ddl."""
+    seq = [(t, i + 1, op) for i, (t, op) in enumerate(ops)]
+
+    # imperative fold (what apply_config_ddl does to the filesystem)
+    state: dict[str, int] = {}
+    for t, ver, op in seq:
+        if op in ("d", "u"):
+            state.pop(t, None)
+        if op in ("r", "c", "u") and t not in state:
+            state[t] = ver
+
+    # the k5 oracle's LAG formulation, evaluated by DuckDB itself
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ops(sink_table VARCHAR, ver BIGINT, op VARCHAR)"
+    )
+    con.executemany("INSERT INTO ops VALUES (?, ?, ?)", seq)
+    rows = con.execute("""
+        WITH marked AS (
+            SELECT *,
+                   LAG(op) OVER (PARTITION BY sink_table
+                                 ORDER BY ver) AS prev_op,
+                   ROW_NUMBER() OVER (PARTITION BY sink_table
+                                      ORDER BY ver DESC) AS rn_last
+            FROM ops
+        ), survivors AS (
+            SELECT sink_table FROM marked WHERE rn_last = 1 AND op <> 'd'
+        )
+        SELECT m.sink_table, MAX(m.ver)
+        FROM marked m JOIN survivors s USING (sink_table)
+        WHERE m.op = 'u'
+           OR (m.op IN ('c', 'r')
+               AND (m.prev_op IS NULL OR m.prev_op = 'd'))
+        GROUP BY m.sink_table
+    """).fetchall()
+    assert dict(rows) == state
