@@ -362,6 +362,22 @@ def _st16_build(spark: SparkSession, sf_dir: str) -> str:
                 .start()
             )
             _await(q)
+        # the row's whole point is watermark-BOUNDED dedup state (the
+        # event-time column is in the dedup key) — assert the cleanup
+        # actually removed (user, day) state across batches, same
+        # contract as j13/j14
+        import json as _json
+
+        from real_time_data_warehouse_spark.streaming.monitor import (
+            assert_watermark_eviction,
+            query_progress_records,
+        )
+
+        records = query_progress_records(q)
+        with open(os.path.join(base, "progress.jsonl"), "w") as f:
+            for r in records:
+                f.write(_json.dumps(r) + "\n")
+        assert_watermark_eviction(records, min_batches=2)
 
     return _artifact_dir(spark, sf_dir, "st16", build)
 

@@ -368,3 +368,29 @@ def test_returning_user_under_rocksdb_state_store(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_k6_jdbc_scan_pushes_filters_to_the_database(spark):
+    """Predicate pushdown crosses the JDBC boundary: a filter on the dim
+    must appear as a PushedFilters entry on the JDBCRelation scan (the
+    database evaluates it, not Spark) — at scale that is the difference
+    between shipping 25 rows and shipping the table."""
+    from real_time_data_warehouse_spark.operators.sink_readback import (
+        _K6_DRIVER,
+        _k6_build,
+        _k6_db_url,
+    )
+    from real_time_data_warehouse_spark.plans.audit import pushed_filters
+
+    base = _k6_build(spark, SF_DIR)
+    dim = (
+        spark.read.format("jdbc")
+        .option("url", _k6_db_url(base))
+        .option("dbtable", "base_dic")
+        .option("driver", _K6_DRIVER)
+        .load()
+        .where(F.col("n_regionkey") == 2)
+    )
+    pushed = " ".join(pushed_filters(dim))
+    assert "n_regionkey" in pushed, pushed
+    assert dim.count() > 0
