@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from real_time_data_warehouse_spark.functions.windows import (
+    bounded_part_col,
+    with_bounded_part,
+)
+
 
 def bucketed_prefix(
     df: DataFrame,
@@ -49,6 +54,16 @@ def bucketed_prefix(
     STRUCTURAL plan property — the registry-wide partition-less-window
     lint (tests/test_plan_lint.py) checks for that Limit instead of
     trusting a comment.
+
+    HARD CALLER CONTRACT: ``n_buckets`` must be ≥ the bucket
+    expression's true distinct count — clamp the expression (``F.least
+    (…, lit(n_buckets - 1))``, the a18/c15 pattern) or derive the
+    width from the key's max (t14). An understated value would make
+    ``limit`` drop bucket totals; that CANNOT corrupt results silently:
+    the offsets join below is a null-checked left join, and any local
+    row whose bucket total was dropped fails the whole job with the
+    contract message (``F.assert_true`` — JVM-side, zero extra jobs;
+    pinned by tests/test_properties.py).
     """
     # one materialization serves both phases — the local-prefix window
     # and the totals aggregation each read the (possibly expensive)
@@ -74,14 +89,18 @@ def bucketed_prefix(
     )
     if n_buckets is not None:
         totals = totals.limit(n_buckets)  # no-op bound witness (≤ B rows)
-    # global window ON PURPOSE, over the ≤B-row totals frame (the
+    # GLOBAL ordering ON PURPOSE, over the ≤B-row totals frame (the
     # n_buckets Limit above is the structural bound, checked by the
-    # registry-wide lint). The WindowExec "No Partition Defined"
-    # warning it logs is expected here — partitionBy(lit(1)) does NOT
-    # silence it (FoldablePropagation folds the literal out of the
-    # spec), so the warning is documented rather than obfuscated away.
-    w_off = Window.orderBy("__bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    # registry-wide lint). The spec partitions by with_bounded_part's
+    # non-foldable constant — one partition, identical execution, but
+    # WindowExec stays quiet (functions/windows.py); the lint still
+    # treats the reserved column as a GLOBAL spec and requires the
+    # maxRows() bound.
+    totals = with_bounded_part(totals, "__bucket")
+    w_off = (
+        Window.partitionBy(bounded_part_col())
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = totals.select(
         "__bucket",
@@ -92,11 +111,24 @@ def bucketed_prefix(
             for name, (_expr, zero) in measures.items()
         ],
     )
-    out = local.join(F.broadcast(offs), "__bucket")
+    # LEFT join + assert_true: if the caller understated n_buckets the
+    # limit dropped ≥1 bucket total, so ≥1 local row finds no offset —
+    # that must kill the job with the contract message, never silently
+    # drop rows (inner join) or under-count (missing middle offsets).
+    out = local.join(F.broadcast(offs), "__bucket", "left")
+    guard_col = f"__off_{next(iter(measures))}"
+    guard = F.assert_true(
+        F.col(guard_col).isNotNull(),
+        F.lit(
+            "bucketed_prefix: n_buckets understated — a bucket total "
+            "was dropped by limit(n_buckets); fix the caller's bucket "
+            "expression bound (see the HARD CALLER CONTRACT)"
+        ),
+    )
     for name in measures:
         out = out.withColumn(
             f"cum_{name}",
-            F.col(f"__loc_{name}") + F.col(f"__off_{name}"),
+            F.when(guard.isNull(), F.col(f"__loc_{name}") + F.col(f"__off_{name}")),
         )
     drop = ["__bucket"] + [
         c

@@ -888,18 +888,31 @@ def s13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.operators.similarity import cosine
     from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
 
-    # the three partition-less windows below are ON PURPOSE: each ranks
-    # a ≤top-K frame (s6's TakeOrdered list, the dense top-_RRF_LIST
-    # pull, and their ≤2K-row fusion) — the Limits below them are the
-    # bound, verified structurally by the registry-wide global-window
-    # lint in test_plan_lint.py; their WindowExec warnings are expected
-    # and benign.
-    w1 = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    from real_time_data_warehouse_spark.functions.windows import (
+        bounded_part_col,
+        with_bounded_part,
+    )
+
+    # the three GLOBAL-ordering windows below are ON PURPOSE: each
+    # ranks a ≤top-K frame (s6's TakeOrdered list, the dense
+    # top-_RRF_LIST pull, and their ≤2K-row fusion) — the Limits below
+    # them are the bound, verified structurally by the registry-wide
+    # global-window lint in test_plan_lint.py. Each spec partitions by
+    # the with_bounded_part constant (one partition, same execution)
+    # so WindowExec stays quiet; the lint still treats the reserved
+    # column as a global spec (functions/windows.py).
+    w1 = Window.partitionBy(bounded_part_col()).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
     lex = (
-        QUERY_REGISTRY["s6_bm25_topk"]
-        .fn(spark, sf_dir)
-        .select("doc_id", "bm25")
+        with_bounded_part(
+            QUERY_REGISTRY["s6_bm25_topk"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "bm25"),
+            "doc_id",
+        )
         .withColumn("r_lex", F.row_number().over(w1).cast("int"))
+        .drop("__bounded_part")
     )
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
@@ -916,8 +929,13 @@ def s13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
-    topd = scored.orderBy(F.col("sim").desc(), "doc_id").limit(_RRF_LIST)
-    w2 = Window.orderBy(F.col("sim").desc(), "doc_id")
+    topd = with_bounded_part(
+        scored.orderBy(F.col("sim").desc(), "doc_id").limit(_RRF_LIST),
+        "doc_id",
+    )
+    w2 = Window.partitionBy(bounded_part_col()).orderBy(
+        F.col("sim").desc(), "doc_id"
+    )
     den = topd.withColumn("r_den", F.row_number().over(w2).cast("int"))
     fused = lex.select("doc_id", "r_lex").join(
         den.select("doc_id", "r_den"), "doc_id", "full"
@@ -927,9 +945,11 @@ def s13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.coalesce(
         F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_den")), F.lit(0.0)
     )
-    w3 = Window.orderBy(F.col("rrf_raw").desc(), "doc_id")
+    w3 = Window.partitionBy(bounded_part_col()).orderBy(
+        F.col("rrf_raw").desc(), "doc_id"
+    )
     return (
-        fused.withColumn("rrf_raw", rrf)
+        with_bounded_part(fused, "doc_id").withColumn("rrf_raw", rrf)
         .withColumn("rnk", F.row_number().over(w3).cast("int"))
         .where(F.col("rnk") <= _RRF_OUT)
         .select(

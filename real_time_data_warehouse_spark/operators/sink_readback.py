@@ -415,6 +415,12 @@ def _k5_build(spark: SparkSession, sf_dir: str) -> str:
         rows = sorted(
             _k5_ops(spark, sf_dir).collect(), key=lambda r: r["ver"]
         )
+        if not rows:
+            # the 1-in-7 event sample can be empty on a tiny/custom sf
+            # dir — fail with the cause, not a bare IndexError below
+            raise ValueError(
+                f"k5: empty table_process op stream for {sf_dir}"
+            )
         lo, hi = rows[0]["ver"], rows[-1]["ver"]
         span = (hi - lo) + 1
         catalog = os.path.join(base, "catalog")

@@ -780,3 +780,245 @@ def st18_dws_update_upsert_readback(
         F.col("order_amount").cast("double").alias("order_amount"),
         F.col("order_ct").cast("bigint").alias("order_ct"),
     )
+
+
+# --- x1s: X1 5-way foreachBatch fan-out under the REAL runtime, with a
+# --- mid-stream crash + checkpoint restart ----------------------------------
+
+_X1S_CRASH_BATCH = 2  # mid-stream: two epochs committed before the crash
+_X1S_SIDES = {
+    "err": "error",
+    "start": "signup",
+    "display": "view",
+    "action": "click",
+    "page": "purchase",
+}
+
+
+def _crash_once(crash_batch: int):
+    """Fault injector raising on ``crash_batch``'s FIRST attempt only,
+    plus the counter so the build can assert the crash actually fired
+    (a fault that never fires silently drops the restart coverage)."""
+    calls = {"n": 0}
+
+    def fault(batch_id: int) -> None:
+        if batch_id == crash_batch and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError(
+                f"injected crash before batch {crash_batch} writes"
+            )
+
+    return fault, calls
+
+
+def _run_crash_restart(spark: SparkSession, start_query, plant_debris) -> None:
+    """Shared crash→debris→restart driver for the fan-out rows: start
+    the query with the one-shot fault armed, require the injected crash
+    to terminate it, plant partial-write debris in the crashed epoch's
+    output (what a real mid-write failure leaves on a file sink), then
+    restart from the SAME checkpoint and await clean completion. The
+    read-back comparing to the batch oracle is then checking
+    exactly-once across the failure: epoch replay must overwrite the
+    debris, and committed epochs must not re-emit."""
+    fault, calls = _crash_once(_X1S_CRASH_BATCH)
+    q = start_query(fault)
+    try:
+        q.awaitTermination(300)
+        crashed = False
+    except Exception as exc:  # StreamingQueryException wrapping the fault
+        crashed = "injected crash" in str(exc)
+        if not crashed:
+            raise
+    if not (crashed and calls["n"] == 1):
+        raise AssertionError(
+            "fault injector never fired — the source produced fewer than "
+            f"{_X1S_CRASH_BATCH + 1} micro-batches, so this row would no "
+            "longer cover a mid-stream restart"
+        )
+    plant_debris()
+    q2 = start_query(None)
+    _await(q2)
+
+
+def _x1s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        run_log_split_stream,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start(fault):
+            return run_log_split_stream(
+                spark, src, out, ckpt, fault_injector=fault
+            )
+
+        def plant_debris() -> None:
+            # partial file a mid-write crash leaves: a few purchase rows
+            # already landed in the crashed epoch's 'page' dir — the
+            # retry must REPLACE them, not append beside them
+            debris = os.path.join(
+                out, "page", f"batch_id={_X1S_CRASH_BATCH}"
+            )
+            ev = Tables(spark, sf_dir).events
+            ev.where(F.col("event_type") == "purchase").limit(
+                7
+            ).write.mode("overwrite").parquet(debris)
+
+        with _stream_shuffle_partitions(spark):
+            _run_crash_restart(spark, start, plant_debris)
+
+    return _artifact_dir(spark, sf_dir, "x1s", build)
+
+
+@register(
+    "x1s_log_split_stream_readback",
+    survey="X1,P2,S4",
+    doc="X1 under the REAL streaming runtime WITH a mid-stream crash, "
+        "driver-checked: the DwdBaseLog 5-way side-output fan-out "
+        "(streaming/pipelines.run_log_split_stream — reference "
+        f"DwdBaseLog.java:192-295) runs as readStream over the "
+        f"{_SRC_FILES}-file time-ordered source → foreachBatch persisting "
+        "each micro-batch once and writing 5 per-epoch parquet sinks. A "
+        f"one-shot fault injector crashes epoch {_X1S_CRASH_BATCH}'s "
+        "first attempt AFTER two epochs committed; partial-write debris "
+        "is planted in the crashed epoch's output; the query restarts "
+        "from the same checkpoint. All 5 sinks are then read back and "
+        "aggregated to per-side row counts + id checksums + distinct "
+        "users against the batch x1 oracle — a green row certifies "
+        "exactly-once across the 5-sink foreachBatch under failure: "
+        "epoch replay overwrote the debris, committed epochs did not "
+        "re-emit, no side lost rows.",
+    oracle="""
+        WITH tagged AS (
+            SELECT CASE event_type
+                     WHEN 'error' THEN 'err'
+                     WHEN 'signup' THEN 'start'
+                     WHEN 'view' THEN 'display'
+                     WHEN 'click' THEN 'action'
+                     WHEN 'purchase' THEN 'page'
+                   END AS side, event_id, user_id
+            FROM events
+        )
+        SELECT side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uu
+        FROM tagged
+        WHERE side IS NOT NULL
+        GROUP BY side
+    """,
+)
+def x1s_log_split_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _x1s_build(spark, sf_dir)
+    out = os.path.join(base, "out")
+    per_side = [
+        spark.read.parquet(os.path.join(out, side)).agg(
+            F.lit(side).alias("side"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("user_id").cast("bigint").alias("uu"),
+        )
+        for side in _X1S_SIDES
+    ]
+    back = per_side[0]
+    for df in per_side[1:]:
+        back = back.unionAll(df)
+    return back
+
+
+# --- x2s: X2 config-driven dynamic routing under the REAL runtime, with
+# --- a mid-stream crash + checkpoint restart --------------------------------
+
+# 'error' is DELIBERATELY unconfigured: the reference routes only
+# config-listed tables (DwdBaseDb.java:95-104) — a leak of unrouted
+# rows into any sink breaks the counts against the oracle's inner join.
+_X2S_CONFIG = [
+    ("signup", "dwd_start_log"),
+    ("view", "dwd_display_log"),
+    ("click", "dwd_action_log"),
+    ("purchase", "dwd_page_log"),
+]
+
+
+def _x2s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        run_dynamic_routing_stream,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start(fault):
+            return run_dynamic_routing_stream(
+                spark, src, _X2S_CONFIG, out, ckpt, fault_injector=fault
+            )
+
+        def plant_debris() -> None:
+            debris = os.path.join(
+                out,
+                f"batch_id={_X1S_CRASH_BATCH}",
+                "sink_table=dwd_action_log",
+            )
+            ev = Tables(spark, sf_dir).events
+            ev.where(F.col("event_type") == "click").limit(5).drop(
+                "event_type"
+            ).write.mode("overwrite").parquet(debris)
+
+        with _stream_shuffle_partitions(spark):
+            _run_crash_restart(spark, start, plant_debris)
+
+    return _artifact_dir(spark, sf_dir, "x2s", build)
+
+
+@register(
+    "x2s_dynamic_routing_stream_readback",
+    survey="X2,S5,J7",
+    doc="X2 under the REAL streaming runtime WITH a mid-stream crash, "
+        "driver-checked: config-driven dynamic routing (streaming/"
+        "pipelines.run_dynamic_routing_stream — reference DwdBaseDb."
+        "java:43-110 + FlinkSinkUtil.java:44-65) joins each micro-batch "
+        "against the broadcast routing config and lands rows under their "
+        "routed sink_table partition, per-epoch overwrite dirs. One "
+        "event type is deliberately absent from the config, so dropped-"
+        "unrouted is part of the checked property. A one-shot fault "
+        f"crashes epoch {_X1S_CRASH_BATCH} after two committed epochs, "
+        "debris is planted under the crashed epoch's routed dir, and the "
+        "query restarts from the same checkpoint. The partitioned sink "
+        "tree is read back and aggregated per sink_table against the "
+        "oracle's inner join of events × config — exactly-once across "
+        "the failure AND correct routing in one hash.",
+    oracle="""
+        WITH config(source_type, sink_table) AS (
+            VALUES ('signup', 'dwd_start_log'),
+                   ('view', 'dwd_display_log'),
+                   ('click', 'dwd_action_log'),
+                   ('purchase', 'dwd_page_log')
+        )
+        SELECT c.sink_table AS sink_table,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS uu
+        FROM events e
+        JOIN config c ON e.event_type = c.source_type
+        GROUP BY c.sink_table
+    """,
+)
+def x2s_dynamic_routing_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _x2s_build(spark, sf_dir)
+    back = spark.read.option("basePath", os.path.join(base, "out")).parquet(
+        os.path.join(base, "out")
+    )
+    return back.groupBy("sink_table").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("uu"),
+    )

@@ -838,12 +838,22 @@ def t13_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    top = freq.orderBy(F.col("f").desc(), "tok").limit(_ZIPF_K)
-    # partition-less ON PURPOSE: the window ranks the ≤_ZIPF_K-row top
+    from real_time_data_warehouse_spark.functions.windows import (
+        bounded_part_col,
+        with_bounded_part,
+    )
+
+    top = with_bounded_part(
+        freq.orderBy(F.col("f").desc(), "tok").limit(_ZIPF_K), "f"
+    )
+    # GLOBAL ordering ON PURPOSE: the window ranks the ≤_ZIPF_K-row top
     # frame — the Limit right above is the bound, verified structurally
-    # by test_plan_lint.test_global_windows_are_bounded. The WindowExec
-    # "No Partition Defined" warning here is expected and benign.
-    w = Window.orderBy(F.col("f").desc(), "tok")
+    # by test_plan_lint.test_global_windows_are_bounded. Partitioned by
+    # the with_bounded_part constant so WindowExec stays quiet
+    # (functions/windows.py) while the lint still sees a global spec.
+    w = Window.partitionBy(bounded_part_col()).orderBy(
+        F.col("f").desc(), "tok"
+    )
     qln = lambda col: F.floor(  # noqa: E731
         F.log(col.cast("double")) * _ZIPF_QUANT + F.lit(0.5)
     ).cast("bigint")

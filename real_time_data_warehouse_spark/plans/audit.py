@@ -103,12 +103,20 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     offenders: list[str] = []
 
     def is_global(node) -> bool:
-        # an all-foldable partition spec (e.g. partitionBy(lit(1)), used
-        # to silence the WindowExec warning on deliberately-global
-        # windows) is still ONE partition — treat it as global so the
-        # idiom can't hide an unbounded window from this lint
+        # a partition spec that is all-foldable (partitionBy(lit(1)) —
+        # though FoldablePropagation usually folds that away entirely)
+        # OR built from functions/windows.with_bounded_part's reserved
+        # constant column is still ONE partition — treat it as global
+        # so neither idiom can hide an unbounded window from this lint
+        from real_time_data_warehouse_spark.functions.windows import (
+            BOUNDED_PART,
+        )
+
+        def one_partition(e) -> bool:
+            return e.foldable() or BOUNDED_PART in e.sql()
+
         spec = node.partitionSpec()
-        return all(spec.apply(i).foldable() for i in range(spec.size()))
+        return all(one_partition(spec.apply(i)) for i in range(spec.size()))
 
     def walk(node) -> None:
         if (

@@ -63,64 +63,17 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-8 rotation (tools/rotation.py freshness order): tier 1 =
-    # the eight queries NEW this round (never driver-verified, incl.
-    # k6 — the last env-gated §2 row turned into a real JDBC
-    # execution); tier 2 = the stalest greens — the full r4 cohort up
-    # to the 50-slot cap (w11/c12/a5s, r5 signal, slide just below and
-    # lead the r9 refresh). Everything below the cap carries r5-r7
-    # green signal and rotates back by freshness in later rounds.
-    "st15_returning_user_stream_readback",
-    "st16_daily_uv_stream_readback",
-    "st17_visitor_fix_stream_readback",
-    "j13_interval_join_stream_readback",
-    "j14_left_outer_stream_readback",
-    "k5_config_ddl_readback",
-    "k6_jdbc_dim_roundtrip",
-    "st18_dws_update_upsert_readback",
-    "d12_shingle_containment",
-    "s6_bm25_topk",
-    "s7_hybrid_rerank",
-    "t7_ngram_stats",
-    "t8_pmi_bigrams",
-    "c9_doc_chunks",
-    "c3s_packing_replay",
-    "c1s_curation_replay",
-    "c10_corpus_profile",
-    "d6b_cluster_histogram",
-    "t9_unigram_surprisal",
-    "j11_range_join",
-    "w10_late_event_audit",
-    "t10_gopher_rules",
-    "a13_heavy_hitters",
-    "m4_media_phash_dedup",
-    "z1_zorder_layout",
-    "s8_mmr_rerank",
-    "a2c_hll_partial_union",
-    "c11_token_budget_plan",
-    "st10_changelog_fold",
-    "a13s_heavy_hitters_replay",
-    "d13_source_overlap",
-    "d2c_prefix_jaccard",
-    "a15_retention_cohorts",
-    "st11_funnel",
-    "a16_gapfill_locf",
-    "s9_ann_recall_audit",
-    "d14_minhash_recall_audit",
-    "a17_spike_detection",
-    "st12_transition_matrix",
-    "d15_substring_spans",
-    "d16_substring_strip",
-    "st13_sessionization",
-    "st13s_session_replay",
-    "s10_knn_label_noise",
-    "s11_hard_negatives",
-    "t11_pii_audit",
-    "m5_audio_energy",
-    "a1s_windowed_sum_replay",
-    "j4s_interval_join_replay",
-    "j2s_left_outer_join_replay",
-    # ---- driver cap (50): slots below refresh in later rounds ----
+    # Round-9 rotation (tools/rotation.py freshness order): tier 1 =
+    # the two queries NEW this round — x1s/x2s, the DwdBaseLog 5-way
+    # fan-out and the config-routed demux executed under the REAL
+    # streaming runtime with a mid-stream crash + checkpoint restart
+    # (the last execution family without driver signal, per the r8
+    # verdict); tier 2 = the stalest greens — a14 (last green r4) and
+    # the r5 cohort up to the 50-slot cap (m2/c2/c3 slide just below
+    # and lead the r10 refresh). Everything below the cap carries
+    # r5-r8 signal and rotates back by freshness in later rounds.
+    "x1s_log_split_stream_readback",
+    "x2s_dynamic_routing_stream_readback",
     "a14_window_topn",
     "w11_cumulate_window",
     "c12_quality_weighted_sample",
@@ -169,6 +122,7 @@ MANIFEST: tuple[str, ...] = (
     "t4_fingerprint",
     "p1_cdc_etl_filter",
     "m1_media_features",
+    # ---- driver cap (50): slots below refresh in later rounds ----
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",
@@ -272,6 +226,56 @@ MANIFEST: tuple[str, ...] = (
     "st8s_scd2_replay",
     "st9_retract_changelog",
     "c8_leakage_safe_split",
+    "st15_returning_user_stream_readback",
+    "st16_daily_uv_stream_readback",
+    "st17_visitor_fix_stream_readback",
+    "j13_interval_join_stream_readback",
+    "j14_left_outer_stream_readback",
+    "k5_config_ddl_readback",
+    "k6_jdbc_dim_roundtrip",
+    "st18_dws_update_upsert_readback",
+    "d12_shingle_containment",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
+    "t7_ngram_stats",
+    "t8_pmi_bigrams",
+    "c9_doc_chunks",
+    "c3s_packing_replay",
+    "c1s_curation_replay",
+    "c10_corpus_profile",
+    "d6b_cluster_histogram",
+    "t9_unigram_surprisal",
+    "j11_range_join",
+    "w10_late_event_audit",
+    "t10_gopher_rules",
+    "a13_heavy_hitters",
+    "m4_media_phash_dedup",
+    "z1_zorder_layout",
+    "s8_mmr_rerank",
+    "a2c_hll_partial_union",
+    "c11_token_budget_plan",
+    "st10_changelog_fold",
+    "a13s_heavy_hitters_replay",
+    "d13_source_overlap",
+    "d2c_prefix_jaccard",
+    "a15_retention_cohorts",
+    "st11_funnel",
+    "a16_gapfill_locf",
+    "s9_ann_recall_audit",
+    "d14_minhash_recall_audit",
+    "a17_spike_detection",
+    "st12_transition_matrix",
+    "d15_substring_spans",
+    "d16_substring_strip",
+    "st13_sessionization",
+    "st13s_session_replay",
+    "s10_knn_label_noise",
+    "s11_hard_negatives",
+    "t11_pii_audit",
+    "m5_audio_energy",
+    "a1s_windowed_sum_replay",
+    "j4s_interval_join_replay",
+    "j2s_left_outer_join_replay",
 )
 
 

@@ -212,15 +212,23 @@ def run_dynamic_routing_stream(
     config_rows: list[tuple[str, str]],
     out_dir: str,
     checkpoint_dir: str,
+    fault_injector=None,
 ):
     """X2/S5: config-driven demux (DwdBaseDb.java:43-110 + dynamic-topic
     sink FlinkSinkUtil.java:44-65). The routing config joins as a broadcast
     per micro-batch; records land under their routed ``sink_table`` via
     partitioned write — the file-sink analog of Spark's per-row `topic`
-    kafka column (sources/kafka.with_dynamic_topic is the Kafka form)."""
+    kafka column (sources/kafka.with_dynamic_topic is the Kafka form).
+
+    Exactly-once across failures mirrors ``run_log_split_stream``: each
+    epoch writes its own ``batch_id=N`` dir with overwrite, so a retried
+    epoch replaces partial output. ``fault_injector`` is a test/driver
+    hook called with each batch_id before any write."""
     events = stream_events(spark, src_path)
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        if fault_injector is not None:
+            fault_injector(batch_id)
         config = batch.sparkSession.createDataFrame(
             config_rows, ["source_type", "sink_table"]
         )

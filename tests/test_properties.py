@@ -701,6 +701,31 @@ def test_bucketed_prefix_equals_sequential(spark, rows, n_buckets):
         assert got[k] == acc
 
 
+def test_bucketed_prefix_understated_n_buckets_fails_loud(spark):
+    """The HARD CALLER CONTRACT in functions/prefix.bucketed_prefix:
+    an understated n_buckets makes limit() drop bucket totals — that
+    must kill the job with the contract message (assert_true on the
+    null-checked offsets join), never silently corrupt cum_* sums."""
+    import pytest as _pytest
+
+    from real_time_data_warehouse_spark.functions.prefix import (
+        bucketed_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7, 1) for i in range(50)], "k int, b int, x int"
+    )
+    bad = bucketed_prefix(
+        df,
+        F.col("b"),
+        ["b", "k"],
+        {"x": (F.col("x").cast("bigint"), F.lit(0).cast("bigint"))},
+        n_buckets=3,  # 7 distinct buckets — understated on purpose
+    )
+    with _pytest.raises(Exception, match="n_buckets understated"):
+        bad.collect()
+
+
 def test_u3_half_cent_lattice_cross_engine(spark, duck):
     """The advice-flagged divergence: pandas Series.round is
     half-to-EVEN while DuckDB ROUND is half-away — a true half-cent

@@ -2,11 +2,13 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-8 rotation
-(tools/rotation.py freshness order): tier 1 = the round-8 additions
-(never driver-verified); tier 2 = the stalest greens — the full r4
-cohort up to the cap (a14/w11/c12/a5s slide just below; r9 leads). Slots below the cap all
-carry r5-r7 green signal and rotate back by freshness later.
+manifest slots are the only hard-signal slots. Round-9 rotation
+(tools/rotation.py freshness order): tier 1 = the round-9 additions
+(never driver-verified — the X1/X2 fan-out rows under the real
+streaming runtime with crash + restart); tier 2 = the stalest greens —
+a14 (last green r4) and the r5 cohort up to the cap (m2/c2/c3 slide
+just below; they lead r10). Slots below the cap all carry r5-r8 green
+signal and rotate back by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -28,63 +30,63 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (the round-8 additions): lead the manifest
+# Never driver-verified (the round-9 additions): lead the manifest
 # unconditionally.
 TIER1 = (
-    "st15_returning_user_stream_readback",
-    "st16_daily_uv_stream_readback",
-    "st17_visitor_fix_stream_readback",
-    "j13_interval_join_stream_readback",
-    "j14_left_outer_stream_readback",
-    "k5_config_ddl_readback",
-    "k6_jdbc_dim_roundtrip",
-    "st18_dws_update_upsert_readback",
+    "x1s_log_split_stream_readback",
+    "x2s_dynamic_routing_stream_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
-    "d12_shingle_containment",
-    "s6_bm25_topk",
-    "s7_hybrid_rerank",
-    "t7_ngram_stats",
-    "t8_pmi_bigrams",
-    "c9_doc_chunks",
-    "c3s_packing_replay",
-    "c1s_curation_replay",
-    "c10_corpus_profile",
-    "d6b_cluster_histogram",
-    "t9_unigram_surprisal",
-    "j11_range_join",
-    "w10_late_event_audit",
-    "t10_gopher_rules",
-    "a13_heavy_hitters",
-    "m4_media_phash_dedup",
-    "z1_zorder_layout",
-    "s8_mmr_rerank",
-    "a2c_hll_partial_union",
-    "c11_token_budget_plan",
-    "st10_changelog_fold",
-    "a13s_heavy_hitters_replay",
-    "d13_source_overlap",
-    "d2c_prefix_jaccard",
-    "a15_retention_cohorts",
-    "st11_funnel",
-    "a16_gapfill_locf",
-    "s9_ann_recall_audit",
-    "d14_minhash_recall_audit",
-    "a17_spike_detection",
-    "st12_transition_matrix",
-    "d15_substring_spans",
-    "d16_substring_strip",
-    "st13_sessionization",
-    "st13s_session_replay",
-    "s10_knn_label_noise",
-    "s11_hard_negatives",
-    "t11_pii_audit",
-    "m5_audio_energy",
-    "a1s_windowed_sum_replay",
-    "j4s_interval_join_replay",
-    "j2s_left_outer_join_replay",
+    "a14_window_topn",
+    "w11_cumulate_window",
+    "c12_quality_weighted_sample",
+    "a5s_windowed_uu_replay",
+    "st3s_visitor_fix_replay",
+    "st5s_returning_user_replay",
+    "a6b_cjk_keyword_count",
+    "s12_label_partitioned_ann",
+    "u3_weighted_mean_udaf",
+    "c10s_profile_replay",
+    "d17_semantic_dedup",
+    "st1s_dedup_last_wins_replay",
+    "t12_char_entropy",
+    "t13_zipf_slope",
+    "c13_cluster_weighted_sample",
+    "d17b_semdedup_recall_audit",
+    "d17c_semantic_dedup_multiprobe",
+    "a18_running_total",
+    "t14_vocab_growth",
+    "s13_rrf_fusion",
+    "d19_chunk_dedup",
+    "t15_lang_confusion",
+    "st4s_daily_uv_replay",
+    "st6s_session_count_replay",
+    "p2_dirty_side_output",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_filtered_inner_join",
+    "j4_interval_join",
+    "j5_lookup_dim_join",
+    "p3_bootstrap_exclusion",
+    "p4_map_access_projection",
+    "p11_null_tombstone_filter",
+    "t5_normalize",
+    "t6_repetition",
+    "c4_corpus_shuffle",
+    "c5_pseudonymize",
+    "c6_mixture_weights",
+    "c1_corpus_curation",
+    "m3_corrupt_quarantine",
+    "t1b_trigram_langid",
+    "s2_lsh_ann_topk",
+    "t3_token_count",
+    "t2_quality_score",
+    "t1_lang_id",
+    "t4_fingerprint",
+    "p1_cdc_etl_filter",
+    "m1_media_features",
 )
 
 

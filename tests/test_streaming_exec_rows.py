@@ -273,12 +273,16 @@ def test_native_sink_checkpoint_resume_exactly_once(spark, tmp_path):
     names = [f"batch_{b}.parquet" for b in range(_SRC_FILES)]
     for n in names[:2]:  # wave 1: first half of the timeline
         _sh.copy2(os.path.join(shared, n), os.path.join(src, n))
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _await,
+    )
+
     q = run_dws_agg_stream(spark, src, out, ckpt)
-    q.awaitTermination(180)
+    _await(q, 180)
     for n in names[2:]:  # wave 2 arrives after the first query stopped
         _sh.copy2(os.path.join(shared, n), os.path.join(src, n))
     q2 = run_dws_agg_stream(spark, src, out, ckpt)  # resume, same ckpt
-    q2.awaitTermination(180)
+    _await(q2, 180)
 
     back = spark.read.parquet(out)
     # exactly-once: no window key appears twice across the two runs
@@ -350,7 +354,11 @@ def test_returning_user_under_rocksdb_state_store(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        from real_time_data_warehouse_spark.operators.streaming_exec import (
+            _await,
+        )
+
+        _await(q, 240)
     finally:
         if old is None:
             spark.conf.unset(key)
@@ -394,3 +402,77 @@ def test_k6_jdbc_scan_pushes_filters_to_the_database(spark):
     pushed = " ".join(pushed_filters(dim))
     assert "n_regionkey" in pushed, pushed
     assert dim.count() > 0
+
+
+def test_x1s_fanout_crash_restart_equals_batch(spark):
+    """The x1s row end-to-end: the injected crash must fire, the
+    checkpoint restart must overwrite the planted debris, and the 5-sink
+    read-back must equal the batch x1 split's per-side counts/checksums
+    — exactly-once across the foreachBatch failure."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _X1S_SIDES,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    got = {
+        tuple(r)
+        for r in QUERY_REGISTRY["x1s_log_split_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    ev = Tables(spark, SF_DIR).events
+    want = set()
+    for side, etype in _X1S_SIDES.items():
+        part = ev.where(F.col("event_type") == etype)
+        n, id_sum, uu = part.agg(
+            F.count("*").cast("bigint"),
+            F.sum("event_id").cast("bigint"),
+            F.countDistinct("user_id").cast("bigint"),
+        ).first()
+        want.add((side, n, id_sum, uu))
+    assert got == want
+
+
+def test_x2s_routing_drops_unconfigured_type(spark):
+    """x2s must route ONLY config-listed event types: the sink tree
+    holds exactly the 4 configured sink_tables (error is unconfigured
+    → dropped), and per-sink counts equal the batch derivation."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _X2S_CONFIG,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    rows = (
+        QUERY_REGISTRY["x2s_dynamic_routing_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert {r["sink_table"] for r in rows} == {t for _, t in _X2S_CONFIG}
+    ev = Tables(spark, SF_DIR).events
+    for src_type, sink in _X2S_CONFIG:
+        n = ev.where(F.col("event_type") == src_type).count()
+        got = next(r["n_rows"] for r in rows if r["sink_table"] == sink)
+        assert got == n, f"{sink}: {got} != {n}"
+
+
+def test_crash_once_fires_exactly_once():
+    """The one-shot fault injector: raises on the armed batch's first
+    attempt only — retries and other batches pass."""
+    import pytest as _pytest
+
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _crash_once,
+    )
+
+    fault, calls = _crash_once(2)
+    fault(0)
+    fault(1)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        fault(2)
+    fault(2)  # the retry passes
+    fault(3)
+    assert calls["n"] == 1

@@ -11,10 +11,27 @@ When a query appears in several freezes, the MOST RECENT table wins
 cache reads for artifact rows by design, and the current run's medians
 price the same thing, so the comparison is like-for-like.
 
-Exit 1 if any query exceeds RATIO_BOUND (the 2x contract), after
-host-probe normalization when the probe is present in both.
+Exit 1 if any query drifts past the 2x contract. Two methodology
+guards make a red line mean a real regression, not host weather:
 
-    python tools/bench_compare.py [--bound 2.0]
+- **Host normalization**: when the run's `host_probe` is present, every
+  ratio is divided by (probe / HEALTHY_PROBE). The probe is a fixed
+  single-core python loop (~0.23 s on the host class every freeze was
+  taken on — BASELINE.md round-8 calibration); query medians scale
+  ≈ linearly with it, so a 1.3x-slower host inflating every ratio 1.3x
+  normalizes back to ~1.0 instead of tripping 19 false drifts. The pre
+  and post probes are averaged when both exist (mid-run degradation
+  splits the difference).
+- **Noise floor**: a query only counts as OVER when its normalized
+  excess over the frozen bound also exceeds ABS_FLOOR_S (0.35 s).
+  Sub-second rows (artifact-cache reads, tiny dims) are dominated by
+  fixed job-scheduling cost, where 0.2 s of scheduler noise is a 2x
+  "regression" on a 0.197 s bound (round 8's st18 false red) but
+  invisible on any row that matters at scale. A real structural
+  regression on a small row still shows: 3x-5x ratios clear a 0.35 s
+  excess easily.
+
+    python tools/bench_compare.py [--bound 2.0] [--no-normalize]
 """
 
 from __future__ import annotations
@@ -25,6 +42,12 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Single-core yardstick on the host class all frozen bounds were taken
+# on (BASELINE.md "Round-8 re-freeze" calibration: 0.21-0.24 healthy).
+HEALTHY_PROBE_S = 0.23
+# Normalized excess below this is scheduler noise, not drift.
+ABS_FLOOR_S = 0.35
 
 _ROW = re.compile(
     r"^\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|(?:\s*[0-9.]+\s*\|)?\s*$"
@@ -52,6 +75,40 @@ def frozen_bounds() -> dict[str, float]:
     return bounds
 
 
+def host_factor(detail: dict) -> float:
+    """(probe / HEALTHY_PROBE): >1 on a degraded host. Pre/post probes
+    are averaged when both exist; missing probe → 1.0 (no normalization,
+    the pre-round-8 benches)."""
+    hp = detail.get("host_probe") or {}
+    probes = [hp[k] for k in ("pre", "post") if hp.get(k)]
+    if not probes:
+        return 1.0
+    return (sum(probes) / len(probes)) / HEALTHY_PROBE_S
+
+
+def drift_rows(
+    current: dict[str, float],
+    frozen: dict[str, float],
+    factor: float,
+) -> list[tuple[float, str, float, float]]:
+    """(normalized ratio, name, normalized seconds, frozen bound) per
+    query that has a frozen bound, most-drifted first."""
+    rows = []
+    for name, sec in sorted(current.items()):
+        if name not in frozen or frozen[name] <= 0:
+            continue
+        norm_sec = sec / factor
+        rows.append((norm_sec / frozen[name], name, norm_sec, frozen[name]))
+    rows.sort(reverse=True)
+    return rows
+
+
+def is_over(ratio: float, norm_sec: float, base: float, bound: float) -> bool:
+    """The contract: OVER only when both the relative bound and the
+    absolute noise floor are exceeded (see module docstring)."""
+    return ratio > bound and (norm_sec - base) > ABS_FLOOR_S
+
+
 def main() -> int:
     bound = 2.0
     if "--bound" in sys.argv:
@@ -61,21 +118,17 @@ def main() -> int:
     current: dict[str, float] = dict(d.get("queries", {}))
     current.update(d.get("extended", {}))
     frozen = frozen_bounds()
-    probe = (d.get("host_probe") or {}).get("pre")
+    factor = 1.0 if "--no-normalize" in sys.argv else host_factor(d)
 
-    rows = []
-    for name, sec in sorted(current.items()):
-        if name not in frozen or frozen[name] <= 0:
-            continue
-        ratio = sec / frozen[name]
-        rows.append((ratio, name, sec, frozen[name]))
-    rows.sort(reverse=True)
-    print(f"# {len(rows)} queries with frozen bounds; host_probe={probe}; "
-          f"contract: ratio <= {bound}")
-    over = [r for r in rows if r[0] > bound]
-    for ratio, name, sec, base in rows[:15]:
-        flag = "  <-- OVER" if ratio > bound else ""
-        print(f"{ratio:6.2f}x  {name:42s} {sec:8.3f} vs {base:.3f}{flag}")
+    rows = drift_rows(current, frozen, factor)
+    print(f"# {len(rows)} queries with frozen bounds; "
+          f"host_probe={d.get('host_probe')}; normalization /{factor:.3f}; "
+          f"contract: normalized ratio <= {bound} AND excess > "
+          f"{ABS_FLOOR_S}s")
+    over = [r for r in rows if is_over(r[0], r[2], r[3], bound)]
+    for ratio, name, norm_sec, base in rows[:15]:
+        flag = "  <-- OVER" if is_over(ratio, norm_sec, base, bound) else ""
+        print(f"{ratio:6.2f}x  {name:42s} {norm_sec:8.3f} vs {base:.3f}{flag}")
     if over:
         print(f"FAIL: {len(over)} queries exceed {bound}x")
         return 1
