@@ -571,33 +571,53 @@ def _d5_oracle() -> str:
     oracle=None,  # attached below (generated from the shared hyperplanes)
 )
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    emb = (
-        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-        # parallelize signature batches past a single-row-group input split
-        .repartition(spark.sparkContext.defaultParallelism)
+    from real_time_data_warehouse_spark.operators.frame_cache import (
+        cached_frame,
     )
-    # both join sides read sig — one matmul, not two (see s2b)
-    sig = _banded_sig(emb).localCheckpoint(eager=True)
-    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .where(sim >= _NEARDUP_COS)
-        .select(
-            "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cos_sim")
+
+    def build() -> DataFrame:
+        t = Tables(spark, sf_dir)
+        emb = (
+            t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+            # parallelize signature batches past a single-row-group split
+            .repartition(spark.sparkContext.defaultParallelism)
         )
-    )
+        # both join sides read sig — one matmul, not two (see s2b)
+        sig = _banded_sig(emb).localCheckpoint(eager=True)
+        a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        va = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        )
+        vb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        )
+        sim = cosine(F.col("va"), F.col("vb"))
+        return (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .where(sim >= _NEARDUP_COS)
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(sim, 6).cast("double").alias("cos_sim"),
+            )
+        )
+
+    # the verified near-dup PAIR TABLE is a deterministic artifact with
+    # several consumers (the d5 row itself, d17b's recall audit, d20's
+    # decontamination chain) — cache it per (session, sf_dir) with the
+    # d6 discipline (operators/frame_cache.py) so one session runs the
+    # LSH band join + cosine verify once; the r9 sf1 probe measured
+    # d17b paying the full d5 rebuild (~200 s at 10x scale) per call
+    # without this.
+    return cached_frame(spark, sf_dir, "d5_pairs", build)
 
 
 _QR["d5_embedding_neardup"] = _dc.replace(
@@ -1545,10 +1565,11 @@ def _d17b_oracle() -> str:
         "it as a query keeps the limitation measured instead of "
         "footnoted (SemDeDup raises it by raising k and/or multi-probe "
         "assignment — both knobs exist in s3). Cost: d5's candidate "
-        "pairs broadcast-joined twice against the bounded assignment "
-        "table, plus a SHUFFLE left-join against the multi-probe "
-        "candidate-pair set (its size is the sum of squared probe-cell "
-        "sizes — unbounded under skew, hence never broadcast).",
+        "pairs joined against the |emb|-bounded assignment table and "
+        "each side's ≤k-cell probe ARRAY; the probed flag is an "
+        "arrays_overlap per pair — the probe-pair set (Σ squared "
+        "probe-cell sizes, measured 53x on 10x data by the r9 sf1 "
+        "probe) is never materialized.",
     oracle=None,  # attached below (training chain + d5 oracle)
 )
 def d17b_semdedup_recall_audit(
@@ -1564,30 +1585,35 @@ def d17b_semdedup_recall_audit(
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
     cents = _trained_centroids(sf_dir, emb)
     topk = _topcells_udf(cents, _AUDIT_PROBES)
-    probes = (
-        emb.select("vec_id", F.explode(topk(F.col("v"))).alias("cell"))
+    # per-vec probe-cell ARRAY (≤ _AUDIT_PROBES cells), never the probe
+    # candidate-pair set: materializing same-probe-cell pairs costs the
+    # sum of squared probe-cell sizes — quadratic in corpus size (the
+    # r9 sf1 probe measured 53x time on 10x data for exactly that
+    # shape). The audit only needs "do a and b share ANY probe cell?",
+    # which is an arrays_overlap over two ≤k-element arrays joined onto
+    # the (small) d5 candidate-pair set — O(|pairs| · k²), linear.
+    probe_sets = (
+        emb.select("vec_id", topk(F.col("v")).alias("cells"))
         .localCheckpoint(eager=True)
     )
-    pa = probes.select(F.col("vec_id").alias("vec_a"), "cell")
-    pb = probes.select(F.col("vec_id").alias("vec_b"), "cell")
-    ov = (
-        pa.join(pb, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-        .withColumn("probed", F.lit(1))
+    pa = probe_sets.select(
+        F.col("vec_id").alias("vec_a"), F.col("cells").alias("cells_a")
     )
-    # a/b are |embeddings|-bounded assignment tables (broadcast-safe);
-    # ov is the multi-probe candidate PAIR set, which scales as the sum
-    # of squared probe-cell sizes — unbounded under skew, so it goes
-    # through a regular shuffle join, not a broadcast.
+    pb = probe_sets.select(
+        F.col("vec_id").alias("vec_b"), F.col("cells").alias("cells_b")
+    )
+    # a/b/pa/pb are |embeddings|-bounded per-vec tables: key-partitioned
+    # joins against the pair set, broadcast here at audit scale
     j = (
         pairs.join(F.broadcast(a), "vec_a")
         .join(F.broadcast(b), "vec_b")
-        .join(ov, ["vec_a", "vec_b"], "left")
+        .join(F.broadcast(pa), "vec_a")
+        .join(F.broadcast(pb), "vec_b")
         .select(
             (F.col("ca") == F.col("cb")).cast("int").alias("same"),
-            F.coalesce("probed", F.lit(0)).alias("probed"),
+            F.arrays_overlap("cells_a", "cells_b")
+            .cast("int")
+            .alias("probed"),
         )
     )
     agg = j.agg(
