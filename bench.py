@@ -133,6 +133,11 @@ EXTENDED = (
     "k5_config_ddl_readback",
     "k6_jdbc_dim_roundtrip",
     "st18_dws_update_upsert_readback",
+    # driver-round-9 additions (first recorded medians land in BENCH_r09;
+    # artifact rows — cold = crash+restart streaming build, median =
+    # cache read)
+    "x1s_log_split_stream_readback",
+    "x2s_dynamic_routing_stream_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.
