@@ -281,11 +281,26 @@ def s7_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    from real_time_data_warehouse_spark.functions.windows import (
+        bounded_part_col,
+        with_bounded_part,
+    )
+
+    # GLOBAL rank over the ≤top-K shortlist: partitionBy(lit(1)) gets
+    # folded out by the optimizer (the warning returns) — use the
+    # non-foldable constant partition (functions/windows.py). The
+    # limit(_TOPK) is a semantic no-op bound witness (scored is the
+    # s6 top-_TOPK shortlist inner-joined to its embeddings, ≤ _TOPK
+    # rows by construction) so Catalyst's maxRows proves the window
+    # input bounded for the registry-wide lint — an inner join's
+    # maxRows is undefined unless BOTH sides are bounded, and the
+    # embeddings side isn't.
+    w = Window.partitionBy(bounded_part_col()).orderBy(
         F.col("sim").desc(), F.col("doc_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        with_bounded_part(scored.limit(_TOPK), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _RERANK_K)
         .select(
             "doc_id",
