@@ -303,6 +303,128 @@ def a6b_cjk_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Demo lexicon for a6c — a fixture-scale stand-in for IK's bundled
+# dictionary (main2012.dic, ~275k entries): composites FIRST so the
+# longest-match behavior is exercised (数据+仓库 adjacent must merge to
+# the 4-char entry, exactly what distinguishes dictionary segmentation
+# from a6b's codepoint splitting).
+_CJK_DICT = ("数据仓库", "实时查询", *_CJK_WORDS)
+_CJK_DICT_SQL = "['" + "','".join(_CJK_DICT) + "']"
+_CJK_DICT_MAXLEN = max(len(w) for w in _CJK_DICT)
+
+
+@register(
+    "a6c_cjk_dict_segment",
+    survey="A6,U1",
+    doc="Dictionary-driven CJK segmentation — the IK-analyzer algorithm "
+        "(KeywordUtil.java:16-41 wraps IKSegmenter; its core is forward "
+        "maximum matching over a lexicon) rather than a6b's codepoint "
+        "splitting: each document derives a deterministic UNSEGMENTED "
+        "Han string (three doc_id-selected words + an embedded 4-char "
+        "composite, no separators), and an Arrow-batched pandas UDF "
+        "greedily matches the LONGEST lexicon entry at each position "
+        "(fallback: single char), so adjacent 数据+仓库 merge into the "
+        "composite entry exactly as IK's smart mode would. The lexicon "
+        "here is a fixture-scale stand-in for IK's shipped dictionary; "
+        "the ALGORITHM is the real one. U1's 'rich function' form: the "
+        "reference runs a per-record Java library, the Spark twin is a "
+        "vectorized pandas UDF (Arrow batches, not row-at-a-time). "
+        "Oracle: per-position longest-match jump table + a recursive "
+        "CTE walking each document's positions — engine-exact because "
+        "both sides do character-based substring matching against the "
+        "same lexicon. Scale: the UDF is embarrassingly parallel per "
+        "document; the lexicon broadcasts as a closure constant "
+        "(IK-scale ~275k entries is a few MB — same broadcast class as "
+        "the d8 eval-suite index).",
+    oracle=f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id,
+                   {_CJK_LIST_SQL}[CAST(doc_id % 6 + 1 AS INT)]
+                   || {_CJK_LIST_SQL}[CAST((doc_id * 3 + 1) % 6 + 1 AS INT)]
+                   || '数据仓库'
+                   || {_CJK_LIST_SQL}[CAST((doc_id * 5 + 2) % 6 + 1 AS INT)]
+                   AS txt
+            FROM documents
+        ),
+        dict(w) AS (SELECT unnest({_CJK_DICT_SQL})),
+        -- longest lexicon entry starting at each character position
+        jump AS (
+            SELECT d.doc_id, p.pos,
+                   COALESCE(
+                       (SELECT w FROM dict
+                        WHERE substr(d.txt, CAST(p.pos AS INT),
+                                     length(w)) = w
+                        ORDER BY length(w) DESC, w LIMIT 1),
+                       substr(d.txt, CAST(p.pos AS INT), 1)) AS tok
+            FROM docs d,
+                 LATERAL (SELECT unnest(range(1, length(d.txt) + 1))
+                          AS pos) p
+        ),
+        walk AS (
+            SELECT doc_id, CAST(1 AS BIGINT) AS pos FROM docs
+            UNION ALL
+            SELECT w.doc_id, w.pos + length(j.tok)
+            FROM walk w
+            JOIN jump j ON j.doc_id = w.doc_id AND j.pos = w.pos
+            JOIN docs d ON d.doc_id = w.doc_id
+            WHERE w.pos <= length(d.txt)
+        )
+        SELECT j.tok AS keyword, CAST(COUNT(*) AS BIGINT) AS keyword_ct
+        FROM walk w JOIN jump j ON j.doc_id = w.doc_id AND j.pos = w.pos
+        GROUP BY j.tok
+    """,
+)
+def a6c_cjk_dict_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dict_set = frozenset(_CJK_DICT)
+    max_len = _CJK_DICT_MAXLEN
+
+    def _fmm_segment(s):
+        def fmm(t: str) -> list[str]:
+            out, i, n = [], 0, len(t)
+            while i < n:
+                for ln in range(min(max_len, n - i), 1, -1):
+                    w = t[i : i + ln]
+                    if w in dict_set:
+                        out.append(w)
+                        i += ln
+                        break
+                else:
+                    out.append(t[i])
+                    i += 1
+            return out
+
+        return s.map(fmm)
+
+    # explicit annotations: the module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's
+    # signature inference can't resolve
+    _fmm_segment.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fmm_segment = pandas_udf(_fmm_segment, "array<string>")
+
+    t = Tables(spark, sf_dir)
+    words = F.array(*[F.lit(w) for w in _CJK_WORDS])
+    txt = t.documents.select(
+        F.concat(
+            F.element_at(words, (F.col("doc_id") % 6 + 1).cast("int")),
+            F.element_at(
+                words, ((F.col("doc_id") * 3 + 1) % 6 + 1).cast("int")
+            ),
+            F.lit("数据仓库"),
+            F.element_at(
+                words, ((F.col("doc_id") * 5 + 2) % 6 + 1).cast("int")
+            ),
+        ).alias("txt")
+    )
+    return (
+        txt.select(F.explode(fmm_segment("txt")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").cast("bigint").alias("keyword_ct"))
+    )
+
+
 @register(
     "a10_rollup",
     survey="A10",

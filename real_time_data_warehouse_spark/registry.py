@@ -74,6 +74,7 @@ MANIFEST: tuple[str, ...] = (
     # r5-r8 signal and rotates back by freshness in later rounds.
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
+    "a6c_cjk_dict_segment",
     "a14_window_topn",
     "w11_cumulate_window",
     "c12_quality_weighted_sample",
@@ -121,8 +122,8 @@ MANIFEST: tuple[str, ...] = (
     "t1_lang_id",
     "t4_fingerprint",
     "p1_cdc_etl_filter",
-    "m1_media_features",
     # ---- driver cap (50): slots below refresh in later rounds ----
+    "m1_media_features",
     "m2_frame_sampling",
     "c2_stratified_sample",
     "c3_sequence_packing",

@@ -661,3 +661,49 @@ def test_u3_div_semantics_cross_engine(spark, duck):
         s = spark.sql(f"SELECT {sf} AS q").first()["q"]
         o = duck.sql(f"SELECT {of} AS q").fetchone()[0]
         assert s == o, (wsum, w, s, o)
+
+
+def test_a6c_fmm_merges_composites_and_falls_back(spark):
+    """Dictionary FMM (a6c): adjacent 数据+仓库 must merge into the
+    4-char lexicon composite (longest match wins), non-lexicon chars
+    fall back to single-char tokens, and the derived-fixture query
+    emits only lexicon tokens (its construction never produces
+    unmatched chars)."""
+    from real_time_data_warehouse_spark.operators.aggregations import (
+        _CJK_DICT,
+        _CJK_DICT_MAXLEN,
+    )
+
+    dict_set = frozenset(_CJK_DICT)
+
+    def fmm(t):
+        out, i, n = [], 0, len(t)
+        while i < n:
+            for ln in range(min(_CJK_DICT_MAXLEN, n - i), 1, -1):
+                if t[i : i + ln] in dict_set:
+                    out.append(t[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(t[i])
+                i += 1
+        return out
+
+    assert fmm("数据仓库") == ["数据仓库"]          # composite, not 数据+仓库
+    assert fmm("数据查询") == ["数据", "查询"]      # no composite entry
+    assert fmm("实时查询") == ["实时查询"]          # the other composite
+    assert fmm("数据X仓库") == ["数据", "X", "仓库"]  # single-char fallback
+    assert fmm("流式数据仓库搜索") == ["流式", "数据仓库", "搜索"]
+
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+
+    query_map()
+    rows = (
+        QUERY_REGISTRY["a6c_cjk_dict_segment"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert all(r["keyword"] in dict_set for r in rows)
+    # the embedded composite appears in EVERY doc, so it must dominate
+    counts = {r["keyword"]: r["keyword_ct"] for r in rows}
+    assert counts["数据仓库"] >= max(counts.values()) // 2

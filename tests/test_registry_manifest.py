@@ -6,7 +6,7 @@ manifest slots are the only hard-signal slots. Round-9 rotation
 (tools/rotation.py freshness order): tier 1 = the round-9 additions
 (never driver-verified — the X1/X2 fan-out rows under the real
 streaming runtime with crash + restart); tier 2 = the stalest greens —
-a14 (last green r4) and the r5 cohort up to the cap (m2/c2/c3 slide
+a14 (last green r4) and the r5 cohort up to the cap (m1/m2/c2/c3 slide
 just below; they lead r10). Slots below the cap all carry r5-r8 green
 signal and rotate back by freshness later.
 
@@ -35,6 +35,7 @@ DRIVER_CAP = 50
 TIER1 = (
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
+    "a6c_cjk_dict_segment",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -86,7 +87,6 @@ TIER2 = (
     "t1_lang_id",
     "t4_fingerprint",
     "p1_cdc_etl_filter",
-    "m1_media_features",
 )
 
 
