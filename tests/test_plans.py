@@ -571,11 +571,15 @@ def test_t15_single_scan_totals_broadcast(spark):
 def test_s13_dense_list_is_take_ordered(spark):
     """s13: the dense candidate list must arrive via TakeOrdered (a
     global cosine sort of the corpus is the scale bug); the query
-    vector is a 1-row broadcast."""
+    vector is a 1-row broadcast. Budget 4: the r9 warning-free
+    bounded-window idiom (functions/windows.py) hash-partitions the
+    ≤2K-row fusion frame on its constant column where the old
+    partition-less spec rode TakeOrdered's single partition for free —
+    one extra exchange of ≤2K rows, not a data-scale shuffle."""
     df = q("s13_rrf_fusion", spark)
     plan = formatted_plan(df)
     assert "TakeOrdered" in plan, plan
-    assert shuffle_count(df) <= 3, plan
+    assert shuffle_count(df) <= 4, plan
 
 
 def test_c13_single_cluster_shuffle(spark):
