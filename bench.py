@@ -138,6 +138,7 @@ EXTENDED = (
     # cache read)
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
+    "a6c_cjk_dict_segment",
 )
 
 # Headline set: the flagship + one representative per operator family.
@@ -204,41 +205,44 @@ def main() -> None:
 
     spark.range(32).select(_noop(F.col("id"))).count()
 
-    # Median-of-3 per query: single-shot numbers proved untrustworthy on a
-    # shared machine (round-3 driver run was ~40% slower than round 2 with
-    # identical code and data — transient host load). Three runs per query,
-    # report the median; the first-run ("cold") times ride along so plan
-    # regressions that only bite cold caches stay visible.
+    # Median-of-3 per query, rounds INTERLEAVED across queries: single-
+    # shot numbers proved untrustworthy on a shared machine (round-3
+    # driver run was ~40% slower than round 2 with identical code), and
+    # CONSECUTIVE reps proved untrustworthy inside a long suite (the r9
+    # bench caught a ~60 s transient window — cleaner/GC class — that
+    # inflated every rep of a contiguous ~15-query cohort 2-8x while
+    # their isolated steady-state stayed ~1.3x; BASELINE.md "Round-9
+    # drift audit"). Running round-robin (all queries once, then again,
+    # then again) puts each query's reps in three different time
+    # regions, so one transient window can contaminate at most one rep
+    # and the median stays clean. Round-0 times ride along as "cold":
+    # artifact rows (d6, d23, k*, st14-18, j13, x1s...) BUILD there and
+    # read the cache on later rounds, so cold is the honest build+query
+    # number and the median prices the warm read.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     probe_pre = host_probe()  # after warmup, before timed queries
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in names:
-        samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        cold[name] = round(samples[0], 3)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
-    ext: dict[str, float] = {}
-    ext_cold: dict[str, float] = {}
-    run_ext = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
-    for name in (n for n in EXTENDED if n in QUERY_REGISTRY) if run_ext else ():
-        samples = []
+    def measure_interleaved(
+        qnames: list[str],
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        samples: dict[str, list[float]] = {n: [] for n in qnames}
         for _ in range(runs):
-            t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        # first/warm pair: artifact-cached rows (d6, d23, k*, st14-16,
-        # j13, s15s...) BUILD on run 1 and read the cache on runs 2-3,
-        # so the median alone would price a cache hit as the operator's
-        # cost. cold (run 1) is the honest build+query number.
-        ext_cold[name] = round(samples[0], 3)
-        ext[name] = round(sorted(samples)[len(samples) // 2], 3)
+            for name in qnames:
+                t0 = time.perf_counter()
+                df = qmap[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+        med = {
+            n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()
+        }
+        first = {n: round(s[0], 3) for n, s in samples.items()}
+        return med, first
+
+    times, cold = measure_interleaved(names)
+
+    run_ext = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
+    ext_names = [n for n in EXTENDED if n in QUERY_REGISTRY] if run_ext else []
+    ext, ext_cold = measure_interleaved(ext_names)
 
     probe_post = host_probe()  # detects mid-run host degradation
     total = round(sum(times.values()), 3)
