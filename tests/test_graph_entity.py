@@ -356,3 +356,75 @@ def test_g1s_boundary_chaining_matches_batch(spark, tmp_path):
     }
     assert stream_edges == batch_edges
     assert stream_edges == {(10, 20): 1, (20, 30): 1, (10, 10): 1}
+
+
+def test_entity_cluster_collapses_exact_duplicates_first(spark):
+    """The r9 scale fix: identical (name, brand) rows must cluster via
+    the EXACT-collapse path (one value representative), not via fuzzy
+    candidate pairs — 1000 copies of one name is one value-cluster with
+    the min master_id canonical, and the blocking self-join sees ONE
+    row for it (posting lists bounded by the entity domain)."""
+    from real_time_data_warehouse_spark.operators.entity import (
+        entity_cluster_frame,
+    )
+
+    pads = [
+        (i, n, "B2")
+        for i, n in enumerate(
+            ["aardvark kit", "bramble pot", "crumpet tin", "dingo bell",
+             "emerald fork", "fennel jar", "garnet hook", "hazel mug",
+             "iris plate", "jasper bowl", "kelp tray", "lotus pan",
+             "maple rack", "nutmeg bin", "onyx ladle", "poppy dish",
+             "quartz cup", "rowan lid"],
+            start=2000,
+        )
+    ]
+    rows = [(i, "acme widget", "B1") for i in range(100, 1100)]
+    rows += [(7, "acme widgit", "B1")]  # 1 edit away: fuzzy-links in
+    rows += [(5, "unrelated thing", "B1")]
+    # pads keep the shared acme-grams under the relative stop-gram cap
+    # (2 of 21 VALUES ≤ 20%): the cap is value-weighted post-collapse
+    masters = spark.createDataFrame(
+        rows + pads, "master_id long, name string, brand string"
+    )
+    got = {
+        r["master_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in entity_cluster_frame(masters).collect()
+    }
+    # the fuzzy edge links the typo row; 7 < 100 so 7 is the canonical
+    assert got[7] == (7, 1)
+    assert got[100] == (7, 0)
+    assert got[1099] == (7, 0)
+    assert got[5] == (5, 1)
+    assert all(got[i] == (i, 1) for i in range(2000, 2018))
+    assert len(got) == 1020
+
+
+def test_fuzzy_match_duplicate_masters_resolve_to_min_id(spark):
+    """fuzzy_match_frame's master collapse is lossless: with identical
+    master names the matched_id must be the MIN master_id (the same row
+    the uncollapsed (dist, master_id) ordering would pick)."""
+    from real_time_data_warehouse_spark.operators.entity import (
+        fuzzy_match_frame,
+    )
+
+    pads = [
+        (i, n, "B1")
+        for i, n in enumerate(
+            ["aardvark kit", "bramble pot", "crumpet tin", "dingo bell",
+             "emerald fork", "fennel jar", "garnet hook", "hazel mug",
+             "iris plate", "jasper bowl", "kelp tray", "lotus pan"],
+            start=3000,
+        )
+    ]
+    masters = spark.createDataFrame(
+        [(42, "zebra crossing", "B1"), (13, "zebra crossing", "B1"),
+         (99, "zebra crossing", "B1")] + pads,
+        "master_id long, name string, brand string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "zebra crossng", "B1")],  # 1 deletion
+        "probe_id long, qname string, brand string",
+    )
+    (row,) = fuzzy_match_frame(masters, probes).collect()
+    assert row["matched_id"] == 13 and row["dist"] == 1
