@@ -1022,3 +1022,166 @@ def x2s_dynamic_routing_stream_readback(
         F.sum("event_id").cast("bigint").alias("id_sum"),
         F.countDistinct("user_id").cast("bigint").alias("uu"),
     )
+
+
+# --- d7x: the ingestion dedup gate under the REAL runtime, with a
+# --- mid-stream crash + checkpoint restart ----------------------------------
+
+_D7X_FILES = _SRC_FILES
+
+
+def _doc_sliced_source(spark: SparkSession, sf_dir: str) -> str:
+    """documents → ``_D7X_FILES`` single-file parquet slices of ascending,
+    non-overlapping doc_id ranges (one file per micro-batch under
+    maxFilesPerTrigger=1), mtimes pinned in slice order. Ascending-id
+    batches are the gate's ordering contract (arrival order IS dedup
+    precedence) — the same slicing _replay_batches uses, now as files the
+    real file source schedules."""
+
+    def build(base: str) -> None:
+        docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        span = (int(max_id) if max_id is not None else 0) + 1
+        sliced = docs.withColumn(
+            "b",
+            F.expr(
+                f"CAST(least({_D7X_FILES - 1}, "
+                f"doc_id * {_D7X_FILES} div {span}L) AS INT)"
+            ),
+        )
+        stage = tempfile.mkdtemp(prefix="rtdw_docslice_stage_")
+        sliced.repartition(_D7X_FILES, "b").write.mode(
+            "overwrite"
+        ).partitionBy("b").parquet(stage)
+        import time as _time
+
+        now = _time.time()
+        for b in range(_D7X_FILES):
+            bdir = os.path.join(stage, f"b={b}")
+            if not os.path.isdir(bdir):
+                continue
+            part = next(
+                p for p in os.listdir(bdir) if p.endswith(".parquet")
+            )
+            dst = os.path.join(base, f"batch_{b}.parquet")
+            shutil.move(os.path.join(bdir, part), dst)
+            # pin mtimes one second apart: same-ms moves make the file
+            # source's mtime ordering a listing coin flip (st15 lesson)
+            os.utime(dst, (now - _D7X_FILES + b, now - _D7X_FILES + b))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return _artifact_dir(spark, sf_dir, f"docsrc{_D7X_FILES}", build)
+
+
+def _d7x_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.dedup_gate import (
+        run_dedup_gate_stream,
+    )
+
+    def build(base: str) -> None:
+        src = _doc_sliced_source(spark, sf_dir)
+        store = os.path.join(base, "store")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start(fault):
+            docs_source = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return run_dedup_gate_stream(
+                spark, docs_source, store, out, ckpt, fault_injector=fault
+            )
+
+        def plant_debris() -> None:
+            # what a mid-write crash leaves behind in BOTH sinks of the
+            # crashed epoch: a few decision rows with WRONG statuses in
+            # the out partition (retry must REPLACE them — any survivor
+            # breaks the hash against the one-pass oracle) and a partial
+            # signature segment in the store (retry must overwrite it;
+            # classify_batch's sid < doc_id bound keeps the partial
+            # segment from corrupting the retry's own classification)
+            docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+            max_id = int(docs.agg(F.max("doc_id")).first()[0])
+            span = max_id + 1
+            lo = span * _X1S_CRASH_BATCH // _D7X_FILES
+            hi = span * (_X1S_CRASH_BATCH + 1) // _D7X_FILES
+            crashed = docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).limit(5)
+            crashed.select(
+                "doc_id",
+                F.lit("exact_dup").alias("status"),
+                F.lit(0).cast("bigint").alias("dup_of"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={_X1S_CRASH_BATCH}")
+            )
+            from real_time_data_warehouse_spark.operators.dedup import (
+                minhash_sigs_for,
+            )
+
+            crashed.select(
+                "doc_id", F.md5(F.lower("text")).alias("th")
+            ).join(minhash_sigs_for(crashed), "doc_id", "left").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(store, f"batch_id={_X1S_CRASH_BATCH}"))
+
+        with _stream_shuffle_partitions(spark):
+            _run_crash_restart(spark, start, plant_debris)
+
+    return _artifact_dir(spark, sf_dir, "d7x", build)
+
+
+@register(
+    "d7x_dedup_gate_stream_readback",
+    survey="ext-dedup",
+    doc="The ingestion dedup gate under the REAL streaming runtime WITH "
+        "a mid-stream crash, driver-checked: streaming/dedup_gate."
+        "run_dedup_gate_stream runs as readStream(maxFilesPerTrigger=1) "
+        f"over a {_D7X_FILES}-file ascending-doc_id source → foreachBatch "
+        "classifying each micro-batch against the persistent signature "
+        "store (exact md5 + MinHash-LSH band candidates) and appending "
+        "the batch's signatures to the store — per-epoch overwrite "
+        "partitions on both sinks. A one-shot fault crashes epoch "
+        f"{_X1S_CRASH_BATCH}'s first attempt after two committed epochs; "
+        "partial-write debris is planted in BOTH the crashed epoch's "
+        "decision partition (wrong statuses) and its store segment "
+        "(partial signatures); the query restarts from the same "
+        "checkpoint. The decision sink is read back whole and compared "
+        "to the ONE-PASS d7 batch oracle — a green row certifies the "
+        "full claim at once: sequential gate ≡ batch query under the "
+        "production trigger/checkpoint path, AND exactly-once across "
+        "the failure (epoch replay overwrote the debris in both sinks, "
+        "committed epochs did not re-emit, the partial store segment "
+        "did not poison the retry's classification).",
+    oracle=None,  # attached below: the d7 batch-form oracle, verbatim
+)
+def d7x_dedup_gate_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _d7x_build(spark, sf_dir)
+    out = os.path.join(base, "out")
+    return (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .drop("batch_id")
+        .select("doc_id", "status", "dup_of")
+    )
+
+
+def _attach_d7x_oracle() -> None:
+    from dataclasses import replace
+
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        dedup as _dedup_mod,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    QUERY_REGISTRY["d7x_dedup_gate_stream_readback"] = replace(
+        QUERY_REGISTRY["d7x_dedup_gate_stream_readback"],
+        oracle=QUERY_REGISTRY["d7_dedup_gate"].oracle,
+    )
+
+
+_attach_d7x_oracle()

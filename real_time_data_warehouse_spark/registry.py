@@ -77,6 +77,7 @@ MANIFEST: tuple[str, ...] = (
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
+    "d7x_dedup_gate_stream_readback",
     "a14_window_topn",
     "w11_cumulate_window",
     "c12_quality_weighted_sample",

@@ -211,15 +211,21 @@ def run_dedup_gate_stream(
     store_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    fault_injector=None,
 ):
     """Wire the gate as an availableNow/continuous foreachBatch query over
-    a streaming (doc_id, text) source."""
+    a streaming (doc_id, text) source. ``fault_injector`` is a test/driver
+    hook called with the batch_id BEFORE any writes — raising from it
+    simulates a mid-stream crash so restart-from-checkpoint coverage can
+    assert the overwrite partitions heal partial epochs."""
+
+    def _body(b: DataFrame, bid: int) -> None:
+        if fault_injector is not None:
+            fault_injector(bid)
+        apply_gate_batch(b.sparkSession, b, bid, store_dir, out_dir)
+
     return (
-        docs_source.writeStream.foreachBatch(
-            lambda b, bid: apply_gate_batch(
-                b.sparkSession, b, bid, store_dir, out_dir
-            )
-        )
+        docs_source.writeStream.foreachBatch(_body)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -36,6 +36,7 @@ TIER1 = (
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
+    "d7x_dedup_gate_stream_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -86,7 +87,6 @@ TIER2 = (
     "t2_quality_score",
     "t1_lang_id",
     "t4_fingerprint",
-    "p1_cdc_etl_filter",
 )
 
 

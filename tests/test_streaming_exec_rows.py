@@ -459,6 +459,32 @@ def test_x2s_routing_drops_unconfigured_type(spark):
         assert got == n, f"{sink}: {got} != {n}"
 
 
+def test_d7x_gate_crash_restart_equals_one_pass_batch(spark):
+    """The d7x row end-to-end: the real-runtime dedup gate (readStream →
+    foreachBatch classify-against-store) with injected crash + planted
+    debris in BOTH sinks + checkpoint restart must equal the one-pass
+    batch gate — per-doc status AND dup_of, not just counts. Any debris
+    survivor (wrong status, duplicate doc row) or store poisoning on the
+    retry shows up as a row diff."""
+    from real_time_data_warehouse_spark.operators.dedup import (
+        dedup_gate_batch,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    got = {
+        tuple(r)
+        for r in QUERY_REGISTRY["d7x_dedup_gate_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    docs = Tables(spark, SF_DIR).documents
+    want = {tuple(r) for r in dedup_gate_batch(docs).collect()}
+    assert got == want
+    assert len(got) == docs.count()  # exactly-once: one decision per doc
+
+
 def test_crash_once_fires_exactly_once():
     """The one-shot fault injector: raises on the armed batch's first
     attempt only — retries and other batches pass."""
