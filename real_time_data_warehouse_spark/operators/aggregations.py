@@ -885,6 +885,121 @@ def a2c_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min Sketch geometry: d independent hash rows × w buckets. The
+# point estimate min_r(cell[r][h_r(k)]) NEVER undercounts (each cell is
+# a sum over a superset of k's rows) and overcounts by ≤ e·N/w with
+# prob 1−e^−d. The hashes are the portable md5-prefix integers both
+# engines compute bit-identically, so the whole sketch — not just the
+# claim about it — is oracle-checked.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOPK = 20
+
+
+def _cms_cells(col, r: int):
+    """(row, bucket) for key column ``col`` under hash row ``r``."""
+    from real_time_data_warehouse_spark.functions.text import md5_hash
+
+    return F.struct(
+        F.lit(r).alias("r"),
+        (md5_hash(F.concat_ws(":", F.lit(str(r)), col)) % _CMS_W).alias(
+            "bucket"
+        ),
+    )
+
+
+def _cms_sql_bucket(expr: str) -> str:
+    from real_time_data_warehouse_spark.functions.text import md5_hash_sql
+
+    return f"{md5_hash_sql(expr)} % {_CMS_W}"
+
+
+@register(
+    "a19_cms_point_estimates",
+    survey="A2,ext-scale",
+    doc="Count-Min-Sketch frequency estimation with MERGEABLE partials — "
+        "the third sketch family next to a2c's HLL (distinct) and a13's "
+        "Misra-Gries (candidates): one events scan explodes each key "
+        f"into its {_CMS_D} (row, bucket) cells map-side and partial→"
+        f"final-counts them into a fixed {_CMS_D}×{_CMS_W} integer grid "
+        "(≤2048 rows total, broadcastable; shards/days merge by plain "
+        "cell addition — the property that makes CMS a streaming/"
+        "pre-aggregation state). Point estimates for the exact top-"
+        f"{_CMS_TOPK} keys are min-over-rows via a broadcast join of "
+        "the probe cells against the grid. Hashes are the portable "
+        "md5-prefix integers, so exact_ct, cms_est AND overcount are "
+        "all hash-compared against DuckDB computing the identical "
+        "sketch — overcount ≥ 0 is the CMS no-undercount guarantee, "
+        "checked per key, not asserted.",
+    oracle=f"""
+        WITH rs(r) AS (VALUES (0),(1),(2),(3)),
+        cells AS (
+            SELECT rs.r AS r,
+                   {_cms_sql_bucket(
+                       "CAST(rs.r AS VARCHAR) || ':' || "
+                       "CAST(e.user_id AS VARCHAR)")} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events e CROSS JOIN rs
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_ct
+            FROM events GROUP BY user_id
+            ORDER BY exact_ct DESC, user_id LIMIT {_CMS_TOPK}
+        )
+        SELECT t.user_id,
+               t.exact_ct,
+               CAST(MIN(c.c) AS BIGINT) AS cms_est,
+               CAST(MIN(c.c) - t.exact_ct AS BIGINT) AS overcount
+        FROM top t CROSS JOIN rs
+        JOIN cells c
+          ON c.r = rs.r
+         AND c.bucket = {_cms_sql_bucket(
+             "CAST(rs.r AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")}
+        GROUP BY t.user_id, t.exact_ct
+    """,
+)
+def a19_cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.col("user_id").cast("string")
+    cells = (
+        t.events.select(
+            F.explode(
+                F.array(*[_cms_cells(k, r) for r in range(_CMS_D)])
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = (
+        t.events.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_ct"))
+        .orderBy(F.desc("exact_ct"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_ct",
+        F.explode(
+            F.array(*[_cms_cells(k, r) for r in range(_CMS_D)])
+        ).alias("cell"),
+    ).select("user_id", "exact_ct", "cell.r", "cell.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "exact_ct")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_ct",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_ct"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
 @register(
     "a15_retention_cohorts",
     survey="A2,A3,ext-scale",

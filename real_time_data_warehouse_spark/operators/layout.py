@@ -445,3 +445,273 @@ def z4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_cents"),
     )
+
+
+# --- z5: per-file Bloom-filter index + file-skipping audit ------------------
+
+# Point-lookup indexing geometry: events land in _Z5_FILES ingestion-
+# order files (event_id ranges), so a given user's rows scatter across
+# ~all files and zone maps (z2) prune NOTHING for "events of user X" —
+# this is precisely the workload Bloom file indexes exist for
+# (Parquet bloom_filter_enabled / Delta BLOOMFILTER INDEX). The filter
+# is sized from the data: _Z5_BPK bits per distinct key in the fullest
+# file, rounded UP to a power of two via the all-integer
+# 1 << length(bin(n-1)) trick — both engines compute the identical m,
+# so the whole index, not a claim about it, is oracle-checked.
+_Z5_FILES = 16
+_Z5_K = 3  # hash functions per key
+_Z5_BPK = 8  # bits per key before power-of-two rounding
+_Z5_WORD = 32  # filter stored as 32-bit words inside BIGINTs
+_Z5_PROBES = 25  # present probes; the same number of ABSENT keys ride along
+
+
+@register(
+    "z5_bloom_file_skip",
+    survey="ext-scale",
+    doc="Bloom-filter FILE INDEX + skipping audit (the z2 zone-map "
+        f"complement for point lookups): events are split into "
+        f"{_Z5_FILES} ingestion-order files, each file builds a Bloom "
+        f"filter over its distinct user_ids ({_Z5_K} md5-prefix hashes "
+        f"into m bits, m = {_Z5_BPK}·max-distinct-per-file rounded to a "
+        f"power of two, stored as bit_or-merged {_Z5_WORD}-bit words — "
+        "the per-file index is O(m) words regardless of rows, and "
+        "word-wise bit_or makes it MERGEABLE across row groups). The "
+        f"probe set is {_Z5_PROBES} hash-selected PRESENT users plus "
+        f"{_Z5_PROBES} ABSENT keys (max_uid+1…): present probes prove "
+        "no-false-negatives (n_bloom ≥ n_actual per row, re-proved by "
+        "the hash comparison), absent probes are the negative-lookup "
+        "payoff — n_actual = 0 and n_skipped ≈ all files, with "
+        "false_pos the measured fp rate of the sized filter. Every "
+        "number is exact integer arithmetic; the grid is tiny and "
+        "broadcast; the only data-scale work is one distinct-pairs "
+        "shuffle.",
+    oracle=f"""
+        WITH span AS (
+            SELECT CAST(MAX(event_id) + 1 AS BIGINT) AS sp FROM events
+        ),
+        pairs AS (
+            SELECT DISTINCT
+                   CAST(least({_Z5_FILES - 1},
+                        e.event_id * {_Z5_FILES} // s.sp) AS BIGINT)
+                       AS file_id,
+                   e.user_id
+            FROM events e CROSS JOIN span s
+        ),
+        mx AS (
+            SELECT CAST(MAX(c) AS BIGINT) AS mx
+            FROM (SELECT COUNT(*) AS c FROM pairs GROUP BY file_id)
+        ),
+        geom AS (
+            SELECT CAST(1 AS BIGINT)
+                   << length(bin({_Z5_BPK} * mx - 1)) AS m_bits
+            FROM mx
+        ),
+        hs(h) AS (VALUES (0), (1), (2)),
+        cells AS (
+            SELECT p.file_id,
+                   pos // {_Z5_WORD} AS word,
+                   CAST(bit_or(CAST(1 AS BIGINT)
+                        << CAST(pos % {_Z5_WORD} AS INT)) AS BIGINT) AS bits
+            FROM (
+                SELECT p0.file_id,
+                       {{hash}} % g.m_bits AS pos
+                FROM pairs p0 CROSS JOIN hs CROSS JOIN geom g
+            ) p
+            GROUP BY 1, 2
+        ),
+        probe_users AS (
+            SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events
+                ORDER BY {{phash}}, user_id
+                LIMIT {_Z5_PROBES}
+            )
+            UNION ALL
+            SELECT mu.m + 1 + range FROM range({_Z5_PROBES})
+            CROSS JOIN (SELECT CAST(MAX(user_id) AS BIGINT) AS m
+                        FROM events) mu
+        ),
+        files(file_id) AS (
+            SELECT CAST(range AS BIGINT) FROM range({_Z5_FILES})
+        ),
+        probe_pos AS (
+            SELECT u.user_id, f.file_id, hs.h,
+                   {{uhash}} % g.m_bits AS pos
+            FROM probe_users u CROSS JOIN files f
+            CROSS JOIN hs CROSS JOIN geom g
+        ),
+        hits AS (
+            SELECT pp.user_id, pp.file_id,
+                   CAST(SUM(CASE WHEN c.bits IS NOT NULL AND
+                        (c.bits & (CAST(1 AS BIGINT)
+                            << CAST(pp.pos % {_Z5_WORD} AS INT))) != 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+            FROM probe_pos pp
+            LEFT JOIN cells c
+              ON c.file_id = pp.file_id AND c.word = pp.pos // {_Z5_WORD}
+            GROUP BY 1, 2
+        ),
+        actual AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_actual
+            FROM pairs JOIN probe_users USING (user_id)
+            GROUP BY user_id
+        )
+        SELECT h.user_id,
+               CAST(COALESCE(a.n_actual, 0) AS BIGINT) AS n_actual,
+               CAST(SUM(CASE WHEN h.n_set = {_Z5_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bloom,
+               CAST({_Z5_FILES} - SUM(CASE WHEN h.n_set = {_Z5_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+               CAST(SUM(CASE WHEN h.n_set = {_Z5_K} THEN 1 ELSE 0 END)
+                    - COALESCE(a.n_actual, 0) AS BIGINT) AS false_pos
+        FROM hits h LEFT JOIN actual a USING (user_id)
+        GROUP BY h.user_id, a.n_actual
+    """.format(
+        hash="CAST(concat('0x', substr(md5(CAST(hs.h AS VARCHAR) || ':' || "
+             "CAST(p0.user_id AS VARCHAR)), 1, 8)) AS BIGINT)",
+        uhash="CAST(concat('0x', substr(md5(CAST(hs.h AS VARCHAR) || ':' || "
+              "CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT)",
+        phash="CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+              " AS BIGINT)",
+    ),
+)
+def z5_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.text import md5_hash
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id")
+    span = ev.agg((F.max("event_id") + 1).cast("bigint").alias("sp"))
+    pairs = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            # integer `div`, not double `/`: a double quotient landing an
+            # ulp under an integer would truncate into the wrong file
+            F.expr(
+                f"CAST(least({_Z5_FILES - 1}, "
+                f"event_id * {_Z5_FILES} div sp) AS BIGINT)"
+            ).alias("file_id"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds cells, geometry AND actual
+    )
+    geom = (
+        pairs.groupBy("file_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mc"))
+        # python F.shiftleft takes only literal bit counts; the SQL
+        # builtin accepts a column expression
+        .select(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                f"length(bin({_Z5_BPK} * mc - 1))) AS BIGINT)"
+            ).alias("m_bits")
+        )
+    )
+
+    def _pos(h_col, key_col):
+        return md5_hash(
+            F.concat_ws(":", h_col.cast("string"), key_col.cast("string"))
+        ) % F.col("m_bits")
+
+    hs = F.explode(F.array(*[F.lit(h) for h in range(_Z5_K)])).alias("h")
+    cells = (
+        pairs.crossJoin(F.broadcast(geom))
+        .select("file_id", "user_id", "m_bits", hs)
+        .select(
+            "file_id",
+            _pos(F.col("h"), F.col("user_id")).alias("pos"),
+        )
+        .select(
+            "file_id",
+            (F.col("pos") / _Z5_WORD).cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_Z5_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("file_id", "word")
+        .agg(F.bit_or("bit").cast("bigint").alias("bits"))
+    )
+    present = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(md5_hash(F.col("user_id").cast("string")), F.col("user_id"))
+        .limit(_Z5_PROBES)
+    )
+    # the same number of ABSENT keys — the negative-lookup case a Bloom
+    # file index exists for (expected n_actual=0, n_skipped≈all files,
+    # false_pos = the measured fp rate of the sized filter)
+    mx_uid = ev.agg(F.max("user_id").cast("bigint").alias("m"))
+    absent = (
+        spark.range(_Z5_PROBES)
+        .crossJoin(F.broadcast(mx_uid))
+        .select((F.col("m") + 1 + F.col("id")).alias("user_id"))
+    )
+    probe_users = present.unionByName(absent)
+    files = spark.range(_Z5_FILES).select(F.col("id").alias("file_id"))
+    probe_pos = (
+        probe_users.crossJoin(F.broadcast(files))
+        .crossJoin(F.broadcast(geom))
+        .select("user_id", "file_id", "m_bits", hs)
+        .select(
+            "user_id",
+            "file_id",
+            _pos(F.col("h"), F.col("user_id")).alias("pos"),
+        )
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(cells),
+            (probe_pos["file_id"] == cells["file_id"])
+            # / 32 is a power-of-two divide — exact in doubles, same
+            # value as the oracle's integer // 32
+            & ((F.col("pos") / _Z5_WORD).cast("bigint") == cells["word"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            probe_pos["file_id"].alias("file_id"),
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {_Z5_WORD} AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("set_flag"),
+        )
+        .groupBy("user_id", "file_id")
+        .agg(F.sum("set_flag").cast("bigint").alias("n_set"))
+    )
+    actual = (
+        pairs.join(F.broadcast(probe_users), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_actual"))
+    )
+    is_hit = F.when(F.col("n_set") == _Z5_K, 1).otherwise(0)
+    return (
+        hits.groupBy("user_id")
+        .agg(F.sum(is_hit).cast("bigint").alias("n_bloom"))
+        .join(F.broadcast(actual), "user_id", "left")
+        .withColumn(
+            "n_actual", F.coalesce("n_actual", F.lit(0)).cast("bigint")
+        )
+        .select(
+            "user_id",
+            "n_actual",
+            "n_bloom",
+            (F.lit(_Z5_FILES) - F.col("n_bloom"))
+            .cast("bigint")
+            .alias("n_skipped"),
+            (F.col("n_bloom") - F.col("n_actual"))
+            .cast("bigint")
+            .alias("false_pos"),
+        )
+    )

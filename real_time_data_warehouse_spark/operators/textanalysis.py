@@ -1225,3 +1225,170 @@ import dataclasses as _dct16  # noqa: E402
 _QRT["t16_bigram_perplexity"] = _dct16.replace(
     _QRT["t16_bigram_perplexity"], oracle=_t16_oracle()
 )
+
+
+# --- t18: per-source Jensen-Shannon drift vs the rest of the corpus --------
+
+# Drift-monitor geometry: distributions live on a CAPPED vocabulary —
+# the top _T18_V tokens by global count (deterministic tie-break) plus
+# one '<oov>' bucket holding everything else, so each side's
+# distribution still sums to 1 and the per-source relation is
+# O(sources × (V+1)) rows regardless of corpus vocabulary. V is set
+# below the fixture's vocabulary on purpose so the OOV bucket is
+# exercised, not a dead branch.
+_T18_V = 25
+_T18_Q = 1_000_000  # ln-lattice quantum (micro-nats, t9's discipline)
+
+
+@register(
+    "t18_js_source_drift",
+    survey="ext-text,ext-curation",
+    doc="Corpus drift monitor: per-source Jensen-Shannon divergence "
+        "between the source's token distribution and the REST of the "
+        "corpus — the mixture-health signal a training pipeline tracks "
+        "across crawl snapshots (a drifting source gets re-reviewed "
+        "before it shifts the mixture). Distributions are over the top-"
+        f"{_T18_V} global tokens + an '<oov>' bucket (both sides sum to "
+        "1; the per-source relation is O(sources × V), never O(vocab)). "
+        "Exactness: JSD = ½·KL(P‖M) + ½·KL(Q‖M) with every ln argument "
+        "a ratio of exact BIGINT products (2aN_r vs aN_r + bN_s — the "
+        "mixture denominator cleared of fractions), ln-quantized once "
+        "to integer micro-nats and summed count-weighted as bigints "
+        "(associative, reduction-order free); one final double divide. "
+        "Zero-count terms are exact algebraic zeros, guarded, not "
+        "epsilon-smoothed.",
+    oracle=f"""
+        WITH raw AS (
+            SELECT source, unnest({{t}}) AS w FROM documents
+        ),
+        rw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM raw GROUP BY 1, 2
+        ),
+        gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM rw GROUP BY w),
+        vocab AS (SELECT w FROM gw ORDER BY g DESC, w LIMIT {_T18_V}),
+        mapped AS (
+            SELECT rw.source,
+                   CASE WHEN v.w IS NOT NULL THEN rw.w
+                        ELSE '<oov>' END AS w,
+                   CAST(SUM(c) AS BIGINT) AS a
+            FROM rw LEFT JOIN vocab v ON rw.w = v.w
+            GROUP BY 1, 2
+        ),
+        g2 AS (SELECT w, CAST(SUM(a) AS BIGINT) AS g FROM mapped GROUP BY w),
+        ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s
+               FROM mapped GROUP BY source),
+        ntot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot FROM g2),
+        pairs AS (
+            SELECT ns.source, g2.w, ns.n_s, ntot.n_tot,
+                   COALESCE(m.a, 0) AS a, g2.g AS g
+            FROM ns CROSS JOIN g2 CROSS JOIN ntot
+            LEFT JOIN mapped m ON m.source = ns.source AND m.w = g2.w
+        ),
+        terms AS (
+            SELECT source, n_s, n_tot,
+                   CASE WHEN a > 0 THEN a * CAST(floor(ln(
+                        CAST(2 * a * (n_tot - n_s) AS DOUBLE)
+                        / CAST(a * (n_tot - n_s) + (g - a) * n_s AS DOUBLE))
+                        * {_T18_Q} + 0.5) AS BIGINT) ELSE 0 END AS s1,
+                   CASE WHEN g - a > 0 THEN (g - a) * CAST(floor(ln(
+                        CAST(2 * (g - a) * n_s AS DOUBLE)
+                        / CAST(a * (n_tot - n_s) + (g - a) * n_s AS DOUBLE))
+                        * {_T18_Q} + 0.5) AS BIGINT) ELSE 0 END AS s2
+            FROM pairs
+        )
+        SELECT source,
+               n_s AS n_tokens,
+               CAST((CAST(SUM(s1) AS DOUBLE) / n_s
+                     + CAST(SUM(s2) AS DOUBLE) / (n_tot - n_s))
+                    / 2 / {_T18_Q} AS DOUBLE) AS jsd
+        FROM terms GROUP BY source, n_s, n_tot
+    """.format(t=tokenize_sql("text")),
+)
+def t18_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # per-(source, token) counts — ONE corpus scan feeds the vocab cut,
+    # the bucketed recount and the totals (the t9/s6 discipline)
+    rw = (
+        t.documents.select("source", F.explode(tokenize("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    gw = rw.groupBy("w").agg(F.sum("c").alias("g"))
+    vocab = (
+        gw.orderBy(F.desc("g"), F.asc("w"))
+        .limit(_T18_V)
+        .select("w", F.lit(True).alias("in_v"))
+    )
+    mapped = (
+        rw.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "source",
+            F.when(F.col("in_v"), F.col("w"))
+            .otherwise(F.lit("<oov>"))
+            .alias("w"),
+            "c",
+        )
+        .groupBy("source", "w")
+        .agg(F.sum("c").cast("bigint").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    g2 = mapped.groupBy("w").agg(F.sum("a").cast("bigint").alias("g"))
+    ns = mapped.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_s"))
+    ntot = g2.agg(F.sum("g").cast("bigint").alias("n_tot"))
+    pairs = (
+        ns.crossJoin(F.broadcast(g2))
+        .join(mapped, ["source", "w"], "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "n_s",
+            "n_tot",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+            "g",
+        )
+    )
+    b = F.col("g") - F.col("a")
+    nr = F.col("n_tot") - F.col("n_s")
+    den = (F.col("a") * nr + b * F.col("n_s")).cast("double")
+    ln1 = (
+        F.floor(
+            F.log((F.lit(2) * F.col("a") * nr).cast("double") / den)
+            * _T18_Q
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    ln2 = (
+        F.floor(
+            F.log((F.lit(2) * b * F.col("n_s")).cast("double") / den)
+            * _T18_Q
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    terms = pairs.select(
+        "source",
+        "n_s",
+        "n_tot",
+        F.when(F.col("a") > 0, F.col("a") * ln1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.when(b > 0, b * ln2).otherwise(F.lit(0)).cast("bigint").alias("s2"),
+    )
+    return terms.groupBy("source", "n_s", "n_tot").agg(
+        F.sum("s1").alias("S1"), F.sum("s2").alias("S2")
+    ).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        (
+            (
+                F.col("S1").cast("double") / F.col("n_s")
+                + F.col("S2").cast("double") / (F.col("n_tot") - F.col("n_s"))
+            )
+            / 2
+            / _T18_Q
+        )
+        .cast("double")
+        .alias("jsd"),
+    )

@@ -64,20 +64,25 @@ def register(
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
     # Round-9 rotation (tools/rotation.py freshness order): tier 1 =
-    # the three queries NEW this round — x1s/x2s, the DwdBaseLog 5-way
-    # fan-out and the config-routed demux executed under the REAL
-    # streaming runtime with a mid-stream crash + checkpoint restart
-    # (the last execution family without driver signal, per the r8
-    # verdict), and a6c, dictionary forward-max-match CJK segmentation
-    # (the last non-env parity deviation); tier 2 = the stalest greens
-    # — a14 (last green r4) and the r5 cohort up to the 50-slot cap
-    # (m1/m2/c2/c3 slide just below and lead the r10 refresh).
-    # Everything below the cap carries r5-r8 signal and rotates back
-    # by freshness in later rounds.
+    # the seven queries NEW this round — x1s/x2s (the DwdBaseLog 5-way
+    # fan-out and the config-routed demux under the REAL streaming
+    # runtime with a mid-stream crash + checkpoint restart), a6c
+    # (dictionary forward-max-match CJK segmentation), d7x (the dedup
+    # ingestion gate under the real runtime with crash + restart),
+    # a19 (Count-Min-Sketch point estimates, mergeable partials), t18
+    # (per-source Jensen-Shannon corpus drift) and z5 (Bloom-filter
+    # file index + skipping audit); tier 2 = the stalest greens — a14
+    # (last green r4) and the r5 cohort up to the 50-slot cap
+    # (t2/t1/t4/p1 + m1/m2/c2/c3 slide just below and lead the r10
+    # refresh). Everything below the cap carries r5-r8 signal and
+    # rotates back by freshness in later rounds.
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
     "d7x_dedup_gate_stream_readback",
+    "a19_cms_point_estimates",
+    "t18_js_source_drift",
+    "z5_bloom_file_skip",
     "a14_window_topn",
     "w11_cumulate_window",
     "c12_quality_weighted_sample",

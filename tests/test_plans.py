@@ -325,6 +325,45 @@ def test_a13_shuffles_candidates_not_vocabulary(spark):
     assert shuffle_count(df) <= 3, plan
 
 
+def test_a19_cms_grid_is_broadcast_and_bounded(spark):
+    """a19: the probe side joins the ≤ d·w-row sketch grid as a
+    BROADCAST hash join (a shuffle join here would repartition the fact
+    by (r, bucket) — pointless for a 2048-row grid), and the whole plan
+    stays within the grid agg + top-k + probe-group shuffles."""
+    df = q("a19_cms_point_estimates", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_t18_drift_joins_are_broadcast_and_vocab_capped(spark):
+    """t18: the vocab cut and the sources×vocab pair grid must come back
+    as broadcasts (the per-source relation is O(sources·V), never
+    O(vocab)); the corpus-scale work is the one token-count shuffle
+    plus the small regroup/final aggregates."""
+    df = q("t18_js_source_drift", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 5, plan
+
+
+def test_z5_bloom_grid_is_broadcast(spark):
+    """z5: the bloom grid, geometry scalar, file dim and probe set all
+    join as broadcasts — no shuffle join anywhere. The only DATA-SCALE
+    shuffle is the distinct-pairs dedup (behind the checkpoint); the
+    rest of the exchange count is grid/probe/scalar-sized relations
+    (≤ files·m_words rows), so the budget is loose on count but every
+    exchange moves kilobytes."""
+    df = q("z5_bloom_file_skip", spark)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_count(df) <= 12, plan
+
+
 def test_z1_single_wide_shuffle_and_broadcast_bounds(spark):
     """z1: range bounds come back as ONE broadcast row; the only wide
     shuffle is the final per-file stats aggregate."""

@@ -4,11 +4,12 @@ The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
 manifest slots are the only hard-signal slots. Round-9 rotation
 (tools/rotation.py freshness order): tier 1 = the round-9 additions
-(never driver-verified — the X1/X2 fan-out rows under the real
-streaming runtime with crash + restart); tier 2 = the stalest greens —
-a14 (last green r4) and the r5 cohort up to the cap (m1/m2/c2/c3 slide
-just below; they lead r10). Slots below the cap all carry r5-r8 green
-signal and rotate back by freshness later.
+(never driver-verified — x1s/x2s/d7x under the real streaming runtime
+with crash + restart, a6c, a19 CMS, t18 JS-drift, z5 bloom index);
+tier 2 = the stalest greens — a14 (last green r4) and the r5 cohort up
+to the cap (t2/t1/t4/p1 + m1/m2/c2/c3 slide just below; they lead
+r10). Slots below the cap all carry r5-r8 green signal and rotate back
+by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -37,6 +38,9 @@ TIER1 = (
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
     "d7x_dedup_gate_stream_readback",
+    "a19_cms_point_estimates",
+    "t18_js_source_drift",
+    "z5_bloom_file_skip",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -84,9 +88,6 @@ TIER2 = (
     "t1b_trigram_langid",
     "s2_lsh_ann_topk",
     "t3_token_count",
-    "t2_quality_score",
-    "t1_lang_id",
-    "t4_fingerprint",
 )
 
 
