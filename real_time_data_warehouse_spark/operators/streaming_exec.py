@@ -1030,45 +1030,46 @@ def x2s_dynamic_routing_stream_readback(
 _D7X_FILES = _SRC_FILES
 
 
-def _doc_sliced_source(spark: SparkSession, sf_dir: str) -> str:
-    """documents → ``_D7X_FILES`` single-file parquet slices of ascending,
-    non-overlapping doc_id ranges (one file per micro-batch under
+def _write_id_sliced(rows: DataFrame, base: str, id_col: str) -> None:
+    """``rows`` → ``_D7X_FILES`` single-file parquet slices of ascending,
+    non-overlapping ``id_col`` ranges (one file per micro-batch under
     maxFilesPerTrigger=1), mtimes pinned in slice order. Ascending-id
-    batches are the gate's ordering contract (arrival order IS dedup
+    batches are the gates' ordering contract (arrival order IS dedup
     precedence) — the same slicing _replay_batches uses, now as files the
     real file source schedules."""
+    max_id = rows.agg(F.max(id_col)).first()[0]
+    span = (int(max_id) if max_id is not None else 0) + 1
+    sliced = rows.withColumn(
+        "b",
+        F.expr(
+            f"CAST(least({_D7X_FILES - 1}, "
+            f"{id_col} * {_D7X_FILES} div {span}L) AS INT)"
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="rtdw_idslice_stage_")
+    sliced.repartition(_D7X_FILES, "b").write.mode(
+        "overwrite"
+    ).partitionBy("b").parquet(stage)
+    import time as _time
 
+    now = _time.time()
+    for b in range(_D7X_FILES):
+        bdir = os.path.join(stage, f"b={b}")
+        if not os.path.isdir(bdir):
+            continue
+        part = next(p for p in os.listdir(bdir) if p.endswith(".parquet"))
+        dst = os.path.join(base, f"batch_{b}.parquet")
+        shutil.move(os.path.join(bdir, part), dst)
+        # pin mtimes one second apart: same-ms moves make the file
+        # source's mtime ordering a listing coin flip (st15 lesson)
+        os.utime(dst, (now - _D7X_FILES + b, now - _D7X_FILES + b))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _doc_sliced_source(spark: SparkSession, sf_dir: str) -> str:
     def build(base: str) -> None:
         docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
-        max_id = docs.agg(F.max("doc_id")).first()[0]
-        span = (int(max_id) if max_id is not None else 0) + 1
-        sliced = docs.withColumn(
-            "b",
-            F.expr(
-                f"CAST(least({_D7X_FILES - 1}, "
-                f"doc_id * {_D7X_FILES} div {span}L) AS INT)"
-            ),
-        )
-        stage = tempfile.mkdtemp(prefix="rtdw_docslice_stage_")
-        sliced.repartition(_D7X_FILES, "b").write.mode(
-            "overwrite"
-        ).partitionBy("b").parquet(stage)
-        import time as _time
-
-        now = _time.time()
-        for b in range(_D7X_FILES):
-            bdir = os.path.join(stage, f"b={b}")
-            if not os.path.isdir(bdir):
-                continue
-            part = next(
-                p for p in os.listdir(bdir) if p.endswith(".parquet")
-            )
-            dst = os.path.join(base, f"batch_{b}.parquet")
-            shutil.move(os.path.join(bdir, part), dst)
-            # pin mtimes one second apart: same-ms moves make the file
-            # source's mtime ordering a listing coin flip (st15 lesson)
-            os.utime(dst, (now - _D7X_FILES + b, now - _D7X_FILES + b))
-        shutil.rmtree(stage, ignore_errors=True)
+        _write_id_sliced(docs, base, "doc_id")
 
     return _artifact_dir(spark, sf_dir, f"docsrc{_D7X_FILES}", build)
 
@@ -1170,11 +1171,120 @@ def d7x_dedup_gate_stream_readback(
     )
 
 
-def _attach_d7x_oracle() -> None:
+# --- d9x: the SEMANTIC ingestion gate under the REAL runtime, with a
+# --- mid-stream crash + checkpoint restart ----------------------------------
+
+
+def _vec_sliced_source(spark: SparkSession, sf_dir: str) -> str:
+    def build(base: str) -> None:
+        vecs = Tables(spark, sf_dir).embeddings.select(
+            "vec_id", "embedding"
+        )
+        _write_id_sliced(vecs, base, "vec_id")
+
+    return _artifact_dir(spark, sf_dir, f"vecsrc{_D7X_FILES}", build)
+
+
+def _d9x_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming import embedding_gate
+
+    def build(base: str) -> None:
+        src = _vec_sliced_source(spark, sf_dir)
+        store = os.path.join(base, "store")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start(fault):
+            vec_source = (
+                spark.readStream.schema(
+                    "vec_id long, embedding array<float>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return embedding_gate.run_embedding_gate_stream(
+                spark, vec_source, store, out, ckpt, fault_injector=fault
+            )
+
+        def plant_debris() -> None:
+            # mid-write leftovers in both sinks of the crashed epoch:
+            # wrong-status decision rows, plus a PARTIAL store segment
+            # written through the real banded layout (what the crashed
+            # attempt's write job would have landed before dying)
+            vecs = Tables(spark, sf_dir).embeddings.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            max_id = int(vecs.agg(F.max("vec_id")).first()[0])
+            span = max_id + 1
+            lo = span * _X1S_CRASH_BATCH // _D7X_FILES
+            hi = span * (_X1S_CRASH_BATCH + 1) // _D7X_FILES
+            crashed = vecs.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).limit(3)
+            crashed.select(
+                "vec_id",
+                F.lit("near_dup").alias("status"),
+                F.lit(0).cast("bigint").alias("dup_of"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={_X1S_CRASH_BATCH}")
+            )
+            _, entry = embedding_gate.classify_batch(
+                spark, crashed, store
+            )
+            entry.write.mode("overwrite").partitionBy(
+                "band", "bucket"
+            ).parquet(os.path.join(store, f"batch_id={_X1S_CRASH_BATCH}"))
+
+        with _stream_shuffle_partitions(spark):
+            _run_crash_restart(spark, start, plant_debris)
+
+    return _artifact_dir(spark, sf_dir, "d9x", build)
+
+
+@register(
+    "d9x_semantic_gate_stream_readback",
+    survey="ext-dedup,ext-similarity",
+    doc="The SemDeDup-style semantic ingestion gate under the REAL "
+        "streaming runtime WITH a mid-stream crash, driver-checked: "
+        "streaming/embedding_gate.run_embedding_gate_stream runs as "
+        f"readStream(maxFilesPerTrigger=1) over a {_D7X_FILES}-file "
+        "ascending-vec_id source → foreachBatch classifying each "
+        "micro-batch against the banded-LSH vector store (candidates "
+        "only on band collision) and appending the batch's vectors to "
+        "the (band, bucket)-partitioned store — per-epoch overwrite "
+        f"partitions on both sinks. A one-shot fault crashes epoch "
+        f"{_X1S_CRASH_BATCH}'s first attempt after two committed "
+        "epochs; debris lands in both the decision partition (wrong "
+        "statuses) and a PARTIAL banded store segment; the query "
+        "restarts from the same checkpoint. The decision sink reads "
+        "back whole against the ONE-PASS d9 batch oracle — stream ≡ "
+        "batch under the production trigger/checkpoint path plus "
+        "exactly-once across the failure, for the vector half of the "
+        "ingestion-gate pair (d7x is the lexical half).",
+    oracle=None,  # attached below: the d9 batch-form oracle, verbatim
+)
+def d9x_semantic_gate_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _d9x_build(spark, sf_dir)
+    out = os.path.join(base, "out")
+    return (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .drop("batch_id")
+        .select("vec_id", "status", "dup_of")
+    )
+
+
+def _attach_gate_stream_oracles() -> None:
     from dataclasses import replace
 
     from real_time_data_warehouse_spark.operators import (  # noqa: F401
         dedup as _dedup_mod,
+    )
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        similarity as _sim_mod,
     )
     from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
 
@@ -1182,6 +1292,10 @@ def _attach_d7x_oracle() -> None:
         QUERY_REGISTRY["d7x_dedup_gate_stream_readback"],
         oracle=QUERY_REGISTRY["d7_dedup_gate"].oracle,
     )
+    QUERY_REGISTRY["d9x_semantic_gate_stream_readback"] = replace(
+        QUERY_REGISTRY["d9x_semantic_gate_stream_readback"],
+        oracle=QUERY_REGISTRY["d9_semantic_gate"].oracle,
+    )
 
 
-_attach_d7x_oracle()
+_attach_gate_stream_oracles()

@@ -139,15 +139,21 @@ def run_embedding_gate_stream(
     store_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    fault_injector=None,
 ):
     """Wire the semantic gate as a foreachBatch query over a streaming
-    (vec_id, embedding) source (ordered-batch contract as the text gate)."""
+    (vec_id, embedding) source (ordered-batch contract as the text
+    gate). ``fault_injector`` is the same pre-write crash hook as the
+    text gate's — raising simulates a mid-stream failure for
+    restart-from-checkpoint coverage."""
+
+    def _body(b: DataFrame, bid: int) -> None:
+        if fault_injector is not None:
+            fault_injector(bid)
+        apply_gate_batch(b.sparkSession, b, bid, store_dir, out_dir)
+
     return (
-        vec_source.writeStream.foreachBatch(
-            lambda b, bid: apply_gate_batch(
-                b.sparkSession, b, bid, store_dir, out_dir
-            )
-        )
+        vec_source.writeStream.foreachBatch(_body)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -485,6 +485,30 @@ def test_d7x_gate_crash_restart_equals_one_pass_batch(spark):
     assert len(got) == docs.count()  # exactly-once: one decision per doc
 
 
+def test_d9x_semantic_gate_crash_restart_equals_one_pass_batch(spark):
+    """The d9x row end-to-end: the real-runtime SEMANTIC gate with
+    injected crash + debris in both the decision and banded-store sinks
+    + checkpoint restart must equal the one-pass d9 batch query row for
+    row (status and dup_of), with exactly one decision per vector."""
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    got = {
+        tuple(r)
+        for r in QUERY_REGISTRY["d9x_semantic_gate_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERY_REGISTRY["d9_semantic_gate"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    n_vecs = Tables(spark, SF_DIR).embeddings.count()
+    assert len(got) == n_vecs
+
+
 def test_crash_once_fires_exactly_once():
     """The one-shot fault injector: raises on the armed batch's first
     attempt only — retries and other batches pass."""
