@@ -141,6 +141,7 @@ EXTENDED = (
     "a6c_cjk_dict_segment",
     "d7x_dedup_gate_stream_readback",
     "d9x_semantic_gate_stream_readback",
+    "w12_session_window_stream_readback",
     "a19_cms_point_estimates",
     "t18_js_source_drift",
     "z5_bloom_file_skip",

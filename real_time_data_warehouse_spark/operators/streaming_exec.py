@@ -1277,6 +1277,138 @@ def d9x_semantic_gate_stream_readback(
     )
 
 
+# --- w12: native session_window aggregation under the REAL runtime ---------
+
+_W12_GAP_S = 28800  # st13's 8 h inactivity gap
+_W12_DELAY_S = 10  # watermark delay
+_W12_HORIZON_S = 20  # closed-session margin behind max event ts
+
+
+def _w12_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.functions.money import dec_sum
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+        agg = (
+            ev.withWatermark("ts", f"{_W12_DELAY_S} seconds")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", f"{_W12_GAP_S} seconds").alias("sw"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                dec_sum("value", "value_sum"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("stt_ts"),
+                F.col("sw.end").alias("edt_ts"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+
+    return _artifact_dir(spark, sf_dir, "w12", build)
+
+
+@register(
+    "w12_session_window_stream_readback",
+    survey="W8,ST6,ext-scale",
+    doc="Spark-native session_window aggregation under the REAL "
+        "streaming runtime, driver-checked — the MERGING-window state "
+        "type none of the other real-runtime rows exercise (tumbling "
+        "agg = st14, dedup = st16, arbitrary keyed state = st15/st17, "
+        "stream-stream joins = j13/j14, foreachBatch = d7x/d9x/x1s/"
+        f"x2s): readStream → withWatermark({_W12_DELAY_S} s) → "
+        f"groupBy(user_id, session_window(ts, {_W12_GAP_S} s)) → "
+        "count + exact DECIMAL sum, append sink over the 4-file "
+        "time-ordered source — sessions MERGE as later micro-batches "
+        "extend them, and a session is emitted only when the watermark "
+        "passes its end (last event + gap). Read back on the closed-"
+        f"session horizon (end ≤ max ts − {_W12_HORIZON_S} s) against "
+        "a gap-island batch oracle with the session_window boundary "
+        "convention (diff ≥ gap starts a new session — window ends "
+        "are exclusive). st13 is the batch twin; this is its "
+        "production delivery path.",
+    oracle=f"""
+        WITH mx AS (
+            SELECT MAX(ts) - INTERVAL {_W12_HORIZON_S} SECOND AS horizon
+            FROM events
+        ),
+        brk AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w)
+                             >= {_W12_GAP_S}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS seq
+            FROM brk
+        ),
+        rolled AS (
+            SELECT user_id,
+                   MIN(ts) AS stt_ts,
+                   MAX(ts) + INTERVAL {_W12_GAP_S} SECOND AS edt_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {oracle_dec_sum('value', 'value_sum')}
+            FROM sess GROUP BY user_id, seq
+        )
+        SELECT r.user_id,
+               strftime(r.stt_ts, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(r.edt_ts, '%Y-%m-%d %H:%M:%S') AS edt,
+               r.n_events, r.value_sum
+        FROM rolled r CROSS JOIN mx
+        WHERE r.edt_ts <= mx.horizon
+    """,
+)
+def w12_session_window_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _w12_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    horizon = (
+        Tables(spark, sf_dir)
+        .events.agg(
+            (F.max("ts") - F.expr(f"INTERVAL {_W12_HORIZON_S} SECOND"))
+            .alias("h")
+        )
+    )
+    return (
+        back.crossJoin(F.broadcast(horizon))
+        .where(F.col("edt_ts") <= F.col("h"))
+        .select(
+            "user_id",
+            F.date_format("stt_ts", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("edt_ts", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def _attach_gate_stream_oracles() -> None:
     from dataclasses import replace
 

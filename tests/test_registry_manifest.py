@@ -39,6 +39,7 @@ TIER1 = (
     "a6c_cjk_dict_segment",
     "d7x_dedup_gate_stream_readback",
     "d9x_semantic_gate_stream_readback",
+    "w12_session_window_stream_readback",
     "a19_cms_point_estimates",
     "t18_js_source_drift",
     "z5_bloom_file_skip",
@@ -87,7 +88,6 @@ TIER2 = (
     "c1_corpus_curation",
     "m3_corrupt_quarantine",
     "t1b_trigram_langid",
-    "s2_lsh_ann_topk",
 )
 
 

@@ -485,6 +485,40 @@ def test_d7x_gate_crash_restart_equals_one_pass_batch(spark):
     assert len(got) == docs.count()  # exactly-once: one decision per doc
 
 
+def test_w12_sessions_merge_across_micro_batches(spark):
+    """w12's whole point is MERGING window state: at least one emitted
+    session must straddle a source-slice boundary (its events arrived
+    in different micro-batches, so the session was extended/merged
+    across batches — not assembled within one)."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _SRC_FILES,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY, query_map
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    rows = (
+        QUERY_REGISTRY["w12_session_window_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert rows
+    ev = Tables(spark, SF_DIR).events
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    import datetime as _dt
+
+    span = (hi - lo) + _dt.timedelta(microseconds=1)
+    bounds = [lo + span * b / _SRC_FILES for b in range(1, _SRC_FILES)]
+    fmt = "%Y-%m-%d %H:%M:%S"
+    straddles = 0
+    for r in rows:
+        stt = _dt.datetime.strptime(r["stt"], fmt)
+        edt = _dt.datetime.strptime(r["edt"], fmt)
+        if any(stt < b.replace(tzinfo=None) < edt for b in bounds):
+            straddles += 1
+    assert straddles > 0, "no session crossed a micro-batch boundary"
+
+
 def test_d9x_semantic_gate_crash_restart_equals_one_pass_batch(spark):
     """The d9x row end-to-end: the real-runtime SEMANTIC gate with
     injected crash + debris in both the decision and banded-store sinks
