@@ -39,9 +39,14 @@ from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
 _CACHE: dict[tuple[str, str, str], str] = {}  # (app, sf_dir, kind) → dir
-# sized above the number of artifact kinds one full sweep touches
-# (k1-k5, st14-16, j13, evsrc4, ...) so a sweep never thrashes rebuilds
-_CACHE_MAX = 16
+# MUST stay above the number of artifact kinds one full bench/sweep
+# touches (k1-k6, st14-18, j13/j14, x1s/x2s, d7x/d9x, w12, the three
+# sliced sources, d6/d23/s15s, ...) or interleaved reps evict every
+# artifact before its next read and the whole run silently degrades to
+# cold rebuilds (round-9 session 2: extended_total 145 s → 271 s the
+# moment kinds crossed 16). Each artifact is MBs at bench scale, so
+# the disk cost of headroom is trivial next to a single rebuild.
+_CACHE_MAX = 48
 _ATEXIT_ARMED = False
 
 
@@ -63,6 +68,11 @@ def _artifact_dir(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     cached = _CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
+        # LRU touch (dicts iterate in insert order; eviction pops the
+        # front): a hit must move the entry to the back, or a full
+        # rotation of OTHER builds evicts the hottest artifact first
+        del _CACHE[key]
+        _CACHE[key] = cached
         return cached
     _evict(key)
     while len(_CACHE) >= _CACHE_MAX:

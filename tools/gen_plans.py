@@ -91,6 +91,17 @@ SHOWCASE = (
      "JDBCRelation scan with 4 partition predicates on n_nationkey (a "
      "REAL parallel database read), broadcast onto customer; one agg "
      "exchange"),
+    # round-9 session-2 additions
+    ("a19_cms_point_estimates",
+     "d×w sketch grid as ONE partial→final aggregate off a map-side "
+     "explode; top-k probes join the grid as a broadcast hash join"),
+    ("t18_js_source_drift",
+     "one (source, token) count shuffle; vocab cut via TakeOrdered; "
+     "the sources×vocab pair grid and totals all broadcast"),
+    ("z5_bloom_file_skip",
+     "bloom grid built by bit_or partial→final off the distinct-pairs "
+     "dedup; probe/grid/geometry joins all broadcast — no shuffle join "
+     "anywhere"),
 )
 
 
