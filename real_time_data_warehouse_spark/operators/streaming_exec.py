@@ -1409,6 +1409,225 @@ def w12_session_window_stream_readback(
     )
 
 
+# --- j15: stream-static dim enrichment under the REAL runtime (J5/J6) ------
+
+def _j15_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        t = Tables(spark, sf_dir)
+        dim = (
+            t.customer.join(
+                F.broadcast(t.nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ).select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("n_name").alias("nation_name"),
+            )
+        )
+        ev = stream_events(spark, src).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        # stream-static LEFT join, static side broadcast: the per-batch
+        # hash-join against the hot dim IS the reference's async-IO +
+        # Redis cache (DimAsyncFunction) — no state store involved, so
+        # every enriched row is emitted exactly once in append mode
+        enriched = ev.join(F.broadcast(dim), "user_id", "left").withColumn(
+            "nation_name", F.coalesce("nation_name", F.lit("unknown"))
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                enriched.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+
+    return _artifact_dir(spark, sf_dir, "j15", build)
+
+
+@register(
+    "j15_dim_join_stream_readback",
+    survey="J5,J6,S10,S11",
+    doc="Stream-STATIC dim enrichment under the REAL streaming runtime, "
+        "driver-checked — the one join family the real-runtime program "
+        "had not executed (j13/j14 are stream-STREAM): readStream events "
+        "→ LEFT join against the broadcast customer⨝nation dim (the "
+        "lookup/async-dim chain of DimAsyncFunction/DimUtil, reference "
+        "DwsTradeSkuOrderWindow.java:480-619, re-expressed as Spark's "
+        "stream-static broadcast hash join — stateless, re-planned per "
+        "micro-batch, no state store) → append parquet sink over the "
+        f"{_SRC_FILES}-file time-ordered source, checkpointed. The sink "
+        "is read back whole (stateless join ⇒ no watermark horizon) and "
+        "aggregated per nation: row counts, integer id checksum, "
+        "distinct users and the exact DECIMAL value sum — a routing or "
+        "join-key regression breaks the checksum, not a plan assertion. "
+        "Scale: the dim is |customer|-bounded and broadcast once per "
+        "batch; the stream side never shuffles (no state, no "
+        "repartition), which is the 100 TB shape for hot-dim "
+        "enrichment.",
+    oracle=f"""
+        SELECT COALESCE(n.n_name, 'unknown') AS nation_name,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS uu,
+               {oracle_dec_sum('e.value', 'value_sum')}
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY COALESCE(n.n_name, 'unknown')
+    """,
+)
+def j15_dim_join_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    base = _j15_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("nation_name").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("uu"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
+    )
+
+
+# --- w13: sliding event-time window under the REAL runtime (W8) -------------
+
+_W13_SIZE_S = 30
+_W13_SLIDE_S = 10
+_W13_DELAY_S = 10
+_W13_HORIZON_S = 20  # one slide past the watermark delay, like st14
+
+
+def _w13_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.functions.money import dec_sum
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _sliced_source(spark, sf_dir, _SRC_FILES)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+        agg = (
+            ev.withWatermark("ts", f"{_W13_DELAY_S} seconds")
+            .groupBy(
+                F.window(
+                    "ts", f"{_W13_SIZE_S} seconds", f"{_W13_SLIDE_S} seconds"
+                ).alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                dec_sum("value", "value_sum"),
+            )
+            .select(
+                F.col("w.start").alias("stt_ts"),
+                F.col("w.end").alias("edt_ts"),
+                "event_type",
+                "n_events",
+                "value_sum",
+            )
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+
+    return _artifact_dir(spark, sf_dir, "w13", build)
+
+
+_W13_K = _W13_SIZE_S // _W13_SLIDE_S  # overlapping windows per event
+_W13_OFFSETS = ", ".join(
+    f"floor((epoch(e.ts) - {_W13_SIZE_S}) / {_W13_SLIDE_S} + {i + 1})"
+    f" * {_W13_SLIDE_S}"
+    for i in range(_W13_K)
+)
+
+
+@register(
+    "w13_sliding_window_stream_readback",
+    survey="W8,W5,ext-scale",
+    doc="Sliding (hopping) event-time window under the REAL streaming "
+        "runtime, driver-checked — the overlapping-window state type "
+        "the real-runtime program had not exercised (tumbling = st14, "
+        "session/MERGING = w12): readStream → withWatermark("
+        f"{_W13_DELAY_S} s) → groupBy(window(ts, {_W13_SIZE_S} s, "
+        f"{_W13_SLIDE_S} s), event_type) → count + exact DECIMAL sum, "
+        f"append sink over the {_SRC_FILES}-file time-ordered source. "
+        f"Each event lands in {_W13_K} overlapping windows whose state "
+        "is carried across micro-batches and emitted individually as "
+        "the watermark passes each window end. Read back on the "
+        f"closed-window horizon (edt ≤ max ts − {_W13_HORIZON_S} s) "
+        "against an oracle that expands each event into its "
+        f"{_W13_K} slide-aligned windows. w8 is the batch twin; this "
+        "is its production delivery path.",
+    oracle=f"""
+        WITH mx AS (
+            SELECT MAX(ts) - INTERVAL {_W13_HORIZON_S} SECOND AS horizon
+            FROM events
+        ),
+        slides AS (
+            SELECT to_timestamp(s.start_s)::TIMESTAMP AS wstart,
+                   e.event_type, e.value
+            FROM events e,
+            LATERAL (SELECT unnest([{_W13_OFFSETS}]) AS start_s) s
+            WHERE epoch(e.ts) >= s.start_s
+              AND epoch(e.ts) < s.start_s + {_W13_SIZE_S}
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(wstart + INTERVAL {_W13_SIZE_S} SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {oracle_dec_sum('value', 'value_sum')}
+        FROM slides CROSS JOIN mx
+        GROUP BY wstart, event_type, mx.horizon
+        HAVING wstart + INTERVAL {_W13_SIZE_S} SECOND <= mx.horizon
+    """,
+)
+def w13_sliding_window_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _w13_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    horizon = (
+        Tables(spark, sf_dir)
+        .events.agg(
+            (F.max("ts") - F.expr(f"INTERVAL {_W13_HORIZON_S} SECOND"))
+            .alias("h")
+        )
+    )
+    return (
+        back.crossJoin(F.broadcast(horizon))  # one-row horizon scalar
+        .where(F.col("edt_ts") <= F.col("h"))
+        .select(
+            F.date_format("stt_ts", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("edt_ts", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def _attach_gate_stream_oracles() -> None:
     from dataclasses import replace
 

@@ -64,7 +64,10 @@ def register(
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
     # Round-9 rotation (tools/rotation.py freshness order): tier 1 =
-    # the seven queries NEW this round — x1s/x2s (the DwdBaseLog 5-way
+    # the queries NEW this round — j15 (stream-static broadcast dim
+    # enrichment under the REAL streaming runtime) and w13 (sliding
+    # event-time windows under the real runtime), then x1s/x2s (the
+    # DwdBaseLog 5-way
     # fan-out and the config-routed demux under the REAL streaming
     # runtime with a mid-stream crash + checkpoint restart), a6c
     # (dictionary forward-max-match CJK segmentation), d7x (the dedup
@@ -76,6 +79,8 @@ MANIFEST: tuple[str, ...] = (
     # (t2/t1/t4/p1 + m1/m2/c2/c3 slide just below and lead the r10
     # refresh). Everything below the cap carries r5-r8 signal and
     # rotates back by freshness in later rounds.
+    "j15_dim_join_stream_readback",
+    "w13_sliding_window_stream_readback",
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",

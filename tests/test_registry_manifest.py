@@ -4,12 +4,13 @@ The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
 manifest slots are the only hard-signal slots. Round-9 rotation
 (tools/rotation.py freshness order): tier 1 = the round-9 additions
-(never driver-verified — x1s/x2s/d7x under the real streaming runtime
-with crash + restart, a6c, a19 CMS, t18 JS-drift, z5 bloom index);
-tier 2 = the stalest greens — a14 (last green r4) and the r5 cohort up
-to the cap (t2/t1/t4/p1 + m1/m2/c2/c3 slide just below; they lead
-r10). Slots below the cap all carry r5-r8 green signal and rotate back
-by freshness later.
+(never driver-verified — j15 stream-static dim join and w13 sliding
+window under the real streaming runtime, x1s/x2s/d7x with crash +
+restart, a6c, a19 CMS, t18 JS-drift, z5 bloom index); tier 2 = the
+stalest greens — a14 (last green r4) and the r5 cohort up to the cap
+(m3/t1b/t2/t1/t4/p1 + m1/m2/c2/c3 slide just below; they lead r10).
+Slots below the cap all carry r5-r8 green signal and rotate back by
+freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -34,6 +35,8 @@ DRIVER_CAP = 50
 # Never driver-verified (the round-9 additions): lead the manifest
 # unconditionally.
 TIER1 = (
+    "j15_dim_join_stream_readback",
+    "w13_sliding_window_stream_readback",
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
@@ -86,8 +89,6 @@ TIER2 = (
     "c5_pseudonymize",
     "c6_mixture_weights",
     "c1_corpus_curation",
-    "m3_corrupt_quarantine",
-    "t1b_trigram_langid",
 )
 
 

@@ -1,6 +1,7 @@
-"""Real-streaming driver rows (st14-16, j13) and the S9 DDL row (k5):
-source slicing determinism, stream ≡ batch on the full horizon, state
-eviction evidence, and DDL fold semantics."""
+"""Real-streaming driver rows (st14-18, j13-j15, w12/w13, x1s/x2s,
+d7x/d9x) and the S9 DDL row (k5): source slicing determinism, stream ≡
+batch on the full horizon, state eviction evidence, crash + checkpoint
+restart exactly-once, and DDL fold semantics."""
 
 from __future__ import annotations
 
@@ -560,3 +561,121 @@ def test_crash_once_fires_exactly_once():
     fault(2)  # the retry passes
     fault(3)
     assert calls["n"] == 1
+
+
+def test_j15_stream_static_join_equals_batch_and_is_exactly_once(spark):
+    """The j15 row end-to-end: the stream-static broadcast dim join's
+    sink must hold EXACTLY one enriched row per source event (stateless
+    append = exactly-once delivery), and the per-nation aggregate must
+    equal the batch join twin computed directly from the base tables."""
+    import os as _os
+
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _j15_build,
+    )
+    from real_time_data_warehouse_spark.registry import (
+        QUERY_REGISTRY,
+        query_map,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    got = {
+        tuple(r)
+        for r in QUERY_REGISTRY["j15_dim_join_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    t = Tables(spark, SF_DIR)
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    dim = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+    want = {
+        tuple(r)
+        for r in t.events.join(dim, "user_id", "left")
+        .withColumn("nation_name", F.coalesce("nation_name", F.lit("unknown")))
+        .groupBy("nation_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("user_id").cast("bigint").alias("uu"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+    sink = spark.read.parquet(_os.path.join(_j15_build(spark, SF_DIR), "out"))
+    assert sink.count() == t.events.count()
+    # the join really enriched: every row carries a non-null nation and
+    # the distinct ids round-trip bit-exact
+    assert sink.where(F.col("nation_name").isNull()).count() == 0
+
+
+def test_w13_sliding_windows_overlap_and_match_batch_twin(spark):
+    """The w13 row's emitted horizon must equal the batch twin (same
+    window(size, slide) over the events table, same horizon), and the
+    emitted windows must genuinely OVERLAP — adjacent starts one slide
+    apart sharing event time — or the row silently degraded to
+    tumbling."""
+    import datetime as _dt
+
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _W13_HORIZON_S,
+        _W13_SIZE_S,
+        _W13_SLIDE_S,
+    )
+    from real_time_data_warehouse_spark.functions.money import dec_sum
+    from real_time_data_warehouse_spark.registry import (
+        QUERY_REGISTRY,
+        query_map,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    query_map()
+    rows = (
+        QUERY_REGISTRY["w13_sliding_window_stream_readback"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert rows
+    got = {tuple(r) for r in rows}
+    ev = Tables(spark, SF_DIR).events
+    hz = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {_W13_HORIZON_S} SECOND")).alias("h")
+    )
+    want = {
+        tuple(r)
+        for r in ev.groupBy(
+            F.window(
+                "ts", f"{_W13_SIZE_S} seconds", f"{_W13_SLIDE_S} seconds"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dec_sum("value", "value_sum"),
+        )
+        .crossJoin(F.broadcast(hz))
+        .where(F.col("w.end") <= F.col("h"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .collect()
+    }
+    assert got == want
+    # overlap evidence: some pair of emitted windows one slide apart
+    fmt = "%Y-%m-%d %H:%M:%S"
+    starts = sorted({_dt.datetime.strptime(r["stt"], fmt) for r in rows})
+    assert any(
+        (b - a).total_seconds() == _W13_SLIDE_S
+        for a, b in zip(starts, starts[1:])
+    ), "no adjacent overlapping windows were emitted"
