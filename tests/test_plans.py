@@ -778,3 +778,54 @@ def test_j12_bucketed_join_no_exchange_no_sort(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_j15_stream_side_is_broadcast_join_no_shuffle(spark):
+    """j15: the stream-static enrichment must plan as a broadcast hash
+    join with NO stream-side shuffle — the 100 TB posture the row's
+    docstring claims. Asserted on the streaming frame itself (explain
+    works pre-start), not on a batch stand-in."""
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _SRC_FILES,
+        _sliced_source,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    src = _sliced_source(spark, SF_DIR, _SRC_FILES)
+    t = Tables(spark, SF_DIR)
+    dim = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+    enriched = (
+        stream_events(spark, src)
+        .select("event_id", "user_id", "event_type", "value")
+        .join(F.broadcast(dim), "user_id", "left")
+    )
+    # a streaming frame only plans once started: run one availableNow
+    # pass into a throwaway memory sink and read the EXECUTED plan back
+    q_ = (
+        enriched.writeStream.format("memory")
+        .queryName("j15_plan_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q_.awaitTermination(180)
+        physical = q_._jsq.explainInternal(False)
+    finally:
+        q_.stop()
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+    # no Exchange on the streaming side: the only exchange allowed is
+    # the broadcast one
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning", physical)
+    assert not shuffles, physical
