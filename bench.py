@@ -145,6 +145,8 @@ EXTENDED = (
     "a19_cms_point_estimates",
     "t18_js_source_drift",
     "z5_bloom_file_skip",
+    "j15_dim_join_stream_readback",
+    "w13_sliding_window_stream_readback",
 )
 
 # Headline set: the flagship + one representative per operator family.
