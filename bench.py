@@ -147,6 +147,7 @@ EXTENDED = (
     "z5_bloom_file_skip",
     "j15_dim_join_stream_readback",
     "w13_sliding_window_stream_readback",
+    "u4_python_udtf_keywords",
 )
 
 # Headline set: the flagship + one representative per operator family.

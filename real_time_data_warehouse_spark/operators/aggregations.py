@@ -1475,3 +1475,100 @@ def a18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
         F.col("cum_amt").cast("double").alias("cum_amount"),
     )
+
+
+# --- u4: the U1 TableFunction contract through Spark's NATIVE Python UDTF ---
+#
+# KeywordUtil.java:16-41 is a Flink TableFunction applied with LATERAL
+# TABLE(...) (DwsTrafficSourceKeywordPageViewWindow.java:60-79). a6/a6b
+# re-express it as codegen explode — the scale path, and the one every
+# other row uses. This row executes the SAME contract through Spark's
+# first-class UDTF API (spark.udtf.register + SQL LATERAL), the direct
+# analog of Flink's @FunctionHint TableFunction registration, so the
+# API surface itself is driver-verified, not just the semantics. The
+# UDTF is Arrow-batched when the build supports it; the deliberate
+# rule "no row-Python in hot paths" stands — a production corpus scan
+# stays on a6's explode, and the docstring is the contract making that
+# choice explicit.
+
+
+def _keyword_udtf_cls():
+    """Build the UDTF class lazily: the decorator needs no JVM, but
+    keeping construction out of import time keeps operator imports
+    JVM-free and lets the Arrow kwarg be feature-detected."""
+    from pyspark.sql.functions import udtf
+
+    class SplitKeywords:
+        def __init__(self) -> None:
+            import re
+
+            self._pat = re.compile("[^a-z0-9]+")  # functions.text twin
+
+        def eval(self, text):
+            pos = 0
+            for tok in self._pat.split((text or "").lower()):
+                if tok:
+                    pos += 1
+                    yield tok, pos
+
+    try:  # Arrow-batched UDTF exchange when this build exposes the kwarg
+        return udtf(
+            SplitKeywords, returnType="keyword string, pos bigint",
+            useArrow=True,
+        )
+    except TypeError:
+        return udtf(SplitKeywords, returnType="keyword string, pos bigint")
+
+
+@register(
+    "u4_python_udtf_keywords",
+    survey="U1",
+    doc="U1's TableFunction CONTRACT through Spark's native Python UDTF "
+        "API: the tokenizer runs as a registered UDTF applied with SQL "
+        "LATERAL (spark.udtf.register — the analog of Flink's "
+        "TableFunction registration in KeywordUtil.java:16-41), "
+        "Arrow-batched where the build supports it, and emits each "
+        "keyword WITH its within-document ordinal. The aggregate checks "
+        "count AND the ordinal checksum (SUM(pos)) per keyword, so the "
+        "row-local iteration order of the UDTF — the part explode-based "
+        "twins take from Catalyst — survives distributed execution and "
+        "is hash-compared against DuckDB's ordinality twin. a6 is the "
+        "codegen scale path for production corpus scans; this row "
+        "pins the API parity.",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 0)) AS keyword,
+                   generate_subscripts(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 0), 1) AS pos
+            FROM documents
+        )
+        SELECT keyword,
+               CAST(COUNT(*) AS BIGINT) AS keyword_ct,
+               CAST(SUM(pos) AS BIGINT) AS pos_sum
+        FROM toks GROUP BY keyword
+    """,
+)
+def u4_python_udtf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import weakref
+
+    t = Tables(spark, sf_dir)
+    # register once per live session: re-registration works but logs a
+    # replaced-function WARN on every repeat call, and sweep logs are
+    # kept warning-free by contract
+    reg = globals().setdefault("_U4_SESSIONS", weakref.WeakSet())
+    if spark not in reg:
+        spark.udtf.register("rtdw_split_keywords", _keyword_udtf_cls())
+        reg.add(spark)
+    t.documents.select("text").createOrReplaceTempView("u4_docs")
+    return spark.sql(
+        """
+        SELECT k.keyword,
+               CAST(COUNT(*) AS BIGINT) AS keyword_ct,
+               CAST(SUM(k.pos) AS BIGINT) AS pos_sum
+        FROM u4_docs d, LATERAL rtdw_split_keywords(d.text) k
+        GROUP BY k.keyword
+        """
+    )

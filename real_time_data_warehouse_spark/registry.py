@@ -81,6 +81,7 @@ MANIFEST: tuple[str, ...] = (
     # rotates back by freshness in later rounds.
     "j15_dim_join_stream_readback",
     "w13_sliding_window_stream_readback",
+    "u4_python_udtf_keywords",
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",

@@ -707,3 +707,38 @@ def test_a6c_fmm_merges_composites_and_falls_back(spark):
     # the embedded composite appears in EVERY doc, so it must dominate
     counts = {r["keyword"]: r["keyword_ct"] for r in rows}
     assert counts["数据仓库"] >= max(counts.values()) // 2
+
+
+def test_u4_udtf_matches_explode_twin_and_emits_ordinals(spark):
+    """u4's keyword counts must equal a6's explode-path counts exactly
+    (same tokenizer contract through a different execution API), its
+    ordinal checksum must be consistent (pos_sum ≥ keyword_ct, equality
+    iff every occurrence is document-leading), and a repeat call in the
+    same session must not re-register the function."""
+    from real_time_data_warehouse_spark.registry import (
+        QUERY_REGISTRY,
+        query_map,
+    )
+
+    query_map()
+    u4 = {
+        r["keyword"]: (r["keyword_ct"], r["pos_sum"])
+        for r in QUERY_REGISTRY["u4_python_udtf_keywords"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    a6 = {
+        r["keyword"]: r["keyword_ct"]
+        for r in QUERY_REGISTRY["a6_keyword_count"].fn(spark, SF_DIR).collect()
+    }
+    assert {k: v[0] for k, v in u4.items()} == a6
+    assert all(pos_sum >= ct for ct, pos_sum in u4.values())
+    assert any(pos_sum > ct for ct, pos_sum in u4.values())
+    # idempotent second call (the WeakSet registration guard)
+    again = {
+        r["keyword"]: (r["keyword_ct"], r["pos_sum"])
+        for r in QUERY_REGISTRY["u4_python_udtf_keywords"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert again == u4

@@ -37,6 +37,7 @@ DRIVER_CAP = 50
 TIER1 = (
     "j15_dim_join_stream_readback",
     "w13_sliding_window_stream_readback",
+    "u4_python_udtf_keywords",
     "x1s_log_split_stream_readback",
     "x2s_dynamic_routing_stream_readback",
     "a6c_cjk_dict_segment",
@@ -88,7 +89,6 @@ TIER2 = (
     "c4_corpus_shuffle",
     "c5_pseudonymize",
     "c6_mixture_weights",
-    "c1_corpus_curation",
 )
 
 
