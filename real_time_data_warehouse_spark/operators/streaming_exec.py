@@ -823,12 +823,24 @@ def _run_crash_restart(spark: SparkSession, start_query, plant_debris) -> None:
     fault, calls = _crash_once(_X1S_CRASH_BATCH)
     q = start_query(fault)
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         crashed = False
     except Exception as exc:  # StreamingQueryException wrapping the fault
+        finished = True  # terminated (by the fault), not timed out
         crashed = "injected crash" in str(exc)
         if not crashed:
             raise
+    if not finished:
+        # distinguish a slow host from a dead injector: a timeout with
+        # calls['n']==1 means the fault DID fire but the failed query
+        # took >300 s to surface termination — misreporting that as
+        # "injector never fired" sends the debugger to the wrong place
+        q.stop()
+        raise TimeoutError(
+            "crash-restart build: first query did not terminate within "
+            f"300 s (fault injector fired: {calls['n'] == 1}) — slow "
+            "host or hung micro-batch, NOT an injector coverage gap"
+        )
     if not (crashed and calls["n"] == 1):
         raise AssertionError(
             "fault injector never fired — the source produced fewer than "

@@ -9,7 +9,27 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from real_time_data_warehouse_spark.operators import sink_readback as sr
+
+
+@pytest.fixture(autouse=True)
+def _isolated_cache():
+    """Swap in a FRESH cache dict for the test's duration: mutating the
+    live module-global here would rmtree any Spark-test artifact dirs
+    built earlier in the suite (forcing slow rebuilds), and a mid-test
+    assert failure would leak ~48 fake entries into later tests."""
+    saved = sr._CACHE
+    sr._CACHE = {}
+    try:
+        yield
+    finally:
+        # evict only what THIS test created (fake marker dirs), then
+        # restore the live cache untouched
+        for k in list(sr._CACHE):
+            sr._evict(k)
+        sr._CACHE = saved
 
 
 class _Ctx:
@@ -35,7 +55,6 @@ def test_hit_returns_same_dir_without_rebuild():
     d1 = sr._artifact_dir(sp, "/sf/a", "kind_hit", _build_marker(calls))
     d2 = sr._artifact_dir(sp, "/sf/a", "kind_hit", _build_marker(calls))
     assert d1 == d2 and len(calls) == 1
-    sr._evict((sp.sparkContext.applicationId, "/sf/a", "kind_hit"))
 
 
 def test_capacity_covers_a_full_bench_rotation():
@@ -49,8 +68,6 @@ def test_hits_lru_touch_so_rotation_does_not_evict_hot_entries():
     full rotation of other builds; a hit must move the entry to the
     back of the eviction order."""
     sp = _Spark()
-    for k in list(sr._CACHE):
-        sr._evict(k)
     calls = []
     hot = sr._artifact_dir(sp, "/sf/b", "hot", _build_marker(calls))
     # fill to one below capacity, touching `hot` after each insert
@@ -64,5 +81,3 @@ def test_hits_lru_touch_so_rotation_does_not_evict_hot_entries():
     assert (sp.sparkContext.applicationId, "/sf/b", "hot") in sr._CACHE
     assert sr._artifact_dir(sp, "/sf/b", "hot", _build_marker(calls)) == hot
     assert calls.count(hot) == 1  # never rebuilt
-    for k in list(sr._CACHE):
-        sr._evict(k)
