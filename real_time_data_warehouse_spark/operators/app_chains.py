@@ -1,0 +1,415 @@
+"""Whole-app topologies as ONE streaming query each — driver-checked.
+
+Every operator of every reference app is individually driver-verified
+(COVERAGE.md app table), but until round 10 no registry row executed a
+complete multi-operator app chain as a single Structured Streaming
+query against a composed oracle. These two rows close that gap:
+
+- ``app1s``: the reference's DwdTradeOrderDetail
+  (DwdTradeOrderDetail.java:84-135) — one topic_db stream filtered into
+  per-table sub-streams, then chained through ST1 LWW dedup on each
+  branch, the J1 stream-stream INNER equi-join (order_detail ⋈
+  order_info), and the J2 stream-stream LEFT OUTER join (⟕
+  order_detail_activity) — FIVE stateful operators in one query plan.
+- ``app2s``: its DWS consumer DwsTradeProvinceOrderWindow
+  (DwsTradeProvinceOrderWindow.java:74-191) — ST1 dedup by detail id
+  (:74-99, the reference's retract-dedup state machine), the tumbling
+  per-province windowed reduce with EXACT distinct-order counting
+  (:139-168, ``orderIdSet`` → ``collect_set``), and the J5/J6 province
+  dim enrichment (:171-191, DimAsyncFunction → per-batch broadcast
+  hash join) — chained stateful ops ending in a stateless stream-static
+  join.
+
+Three execution-model facts make these rows exact (not
+horizon-truncated like st14/j14):
+
+1. **Duplicate injection.** The app source replays the last hour of
+   each time slice into the following file (Maxwell/at-least-once
+   redelivery). The watermark delay (2 h) exceeds the replay window,
+   so the duplicates are on-time rows that ONLY the dedup state can
+   suppress — remove ``dropDuplicatesWithinWatermark`` and both rows'
+   checksums break. Dedup is load-bearing, not decorative.
+2. **Sentinel flush.** Chained stateful operators emit with a
+   one-batch watermark lag (a depth-2 outer join's null-padded rows
+   flush against the PREVIOUS batch's watermark), so end-of-input
+   would strand the tail region in state forever under availableNow.
+   A final sentinel slice — three non-joinable far-future rows (the
+   idle-source heartbeat idiom) — pushes every branch's watermark past
+   all real data, and the trailing no-data batch flushes every window
+   and every null-padded row. The sink then equals the UNRESTRICTED
+   batch oracle: no closed-region horizon math at all.
+3. **Branch watermarks.** Each per-table sub-stream gets its own
+   watermark AFTER its filter; the global watermark is the min across
+   branches, which the sentinel advances on all three types at once.
+
+Scale: the joins are key-partitioned symmetric hash joins whose state
+is bounded by the time-range conditions (1 day back / 6 h forward ⇒
+state ∝ arrival rate × range, independent of stream length); the
+window agg keeps one row per (province, open window); the dim join is
+a per-batch broadcast of the 25-row nation table. All of it shuffles
+once on user_id/province and never collects to the driver — the same
+plan shape survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_warehouse_spark.functions.money import (
+    dec_sum,
+    oracle_dec_sum,
+)
+from real_time_data_warehouse_spark.operators.sink_readback import (
+    _artifact_dir,
+)
+from real_time_data_warehouse_spark.operators.streaming_exec import (
+    _SRC_FILES,
+    _await,
+    _sliced_source,
+    _stream_shuffle_partitions,
+)
+from real_time_data_warehouse_spark.registry import register
+from real_time_data_warehouse_spark.tables import Tables
+
+_DELAY = "2 hours"  # watermark delay — must exceed the replay window
+_REPLAY_NS = 3600 * 10**9  # 1 h of each slice re-delivered in the next
+_SENT_NS = 30 * 86400 * 10**9  # sentinel 30 days past max event time
+_OI_BACK = "INTERVAL 1 DAY"  # order_info lookback (J1 range)
+_ACT_FWD = "INTERVAL 6 HOUR"  # activity lookahead (J2 range)
+_N_PROVINCES = 25  # nation-table domain; province_id = user_id % 25
+
+
+def _app_source(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached app-row source: the shared time-sliced events
+    plus (a) tail-replay duplicates — the last _REPLAY_NS of slice k
+    re-delivered inside slice k+1, at-least-once style — and (b) a
+    final sentinel slice of three far-future rows with non-matching
+    negative keys, one per joined event type, to advance every branch
+    watermark past all real data (flushing chained stateful state).
+
+    One file per micro-batch; mtimes pinned in slice order (the file
+    source follows modification time — same discipline as
+    streaming_exec._write_time_sliced_source)."""
+
+    def build(base: str) -> None:
+        src0 = _sliced_source(spark, sf_dir, _SRC_FILES)
+        files = sorted(glob.glob(src0 + "/*.parquet"), key=os.path.getmtime)
+        now = time.time()
+
+        def write_one(df: DataFrame, name: str, mtime: float) -> None:
+            stage = os.path.join(base, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                p for p in os.listdir(stage) if p.endswith(".parquet")
+            )
+            dst = os.path.join(base, name)
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (mtime, mtime))
+
+        for i, f in enumerate(files):
+            cur = spark.read.parquet(f)
+            if i > 0:
+                prev = spark.read.parquet(files[i - 1])
+                pmx = prev.agg(F.max("ts")).first()[0]
+                cur = cur.unionByName(
+                    prev.where(F.col("ts") >= pmx - _REPLAY_NS)
+                )
+            write_one(cur, f"batch_{i}.parquet", now - 10 + i)
+        mx = spark.read.parquet(src0).agg(F.max("ts")).first()[0]
+        sent = spark.createDataFrame(
+            [
+                (-1, mx + _SENT_NS, -1, "purchase", 0.0, "{}"),
+                (-2, mx + _SENT_NS, -2, "signup", 0.0, "{}"),
+                (-3, mx + _SENT_NS, -3, "click", 0.0, "{}"),
+            ],
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        write_one(sent, "batch_z_sentinel.parquet", now)
+
+    return _artifact_dir(spark, sf_dir, "appsrc", build)
+
+
+def _dump_progress(q, base: str) -> list[dict]:
+    records = [json.loads(p.json) for p in q.recentProgress]
+    with open(os.path.join(base, "progress.jsonl"), "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return records
+
+
+def _assert_state_operators(records: list[dict], expect: int) -> None:
+    """The row's claim is the CHAIN — fail loud if Spark planned fewer
+    stateful operators than the topology declares (e.g. an optimizer
+    change collapsing a dedup would silently degrade the coverage)."""
+    counts = {
+        len(r.get("stateOperators", []))
+        for r in records
+        if r.get("stateOperators")
+    }
+    if counts != {expect}:
+        raise AssertionError(
+            f"app chain expected {expect} stateful operators per batch, "
+            f"saw {sorted(counts)} — the composed topology is no longer "
+            "what this row verifies"
+        )
+
+
+# --------------------------------------------------------------------------
+# app1s: DwdTradeOrderDetail — ST1 + J1 + J2 as ONE streaming query
+# --------------------------------------------------------------------------
+
+
+def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+
+        def table_stream(
+            etype: str, idn: str, keyn: str, tsn: str, with_amount: bool
+        ) -> DataFrame:
+            # BaseSQLApp.readOdsDb + the per-table filter views
+            # (DwdTradeOrderDetail.java:30-82), each branch LWW-deduped
+            # (ST1 — the DWS consumer's retract-dedup pulled up to the
+            # producer, same observable stream)
+            cols = [
+                F.col("event_id").alias(idn),
+                F.col("user_id").alias(keyn),
+                F.col("ts").alias(tsn),
+            ]
+            if with_amount:
+                cols.append(F.col("value").alias("amount"))
+            return (
+                ev.where(F.col("event_type") == etype)
+                .select(*cols)
+                .withWatermark(tsn, _DELAY)
+                .dropDuplicatesWithinWatermark([idn])
+            )
+
+        od = table_stream("purchase", "od_id", "order_key", "od_ts", True)
+        oi = table_stream("signup", "oi_id", "oi_key", "oi_ts", False)
+        act = table_stream("click", "act_id", "act_key", "act_ts", False)
+        # J1: od ⋈ oi (DwdTradeOrderDetail.java:105 "join order_info");
+        # the 10 s idle-state TTL (:26) becomes the explicit event-time
+        # range bounding the symmetric-hash-join state. oi_ts is
+        # projected AWAY after the join — chained stateful operators
+        # require exactly one event-time column flowing downstream.
+        inner = od.join(
+            oi,
+            (F.col("order_key") == F.col("oi_key"))
+            & (F.col("oi_ts") >= F.col("od_ts") - F.expr(_OI_BACK))
+            & (F.col("oi_ts") <= F.col("od_ts")),
+        ).select("od_id", "order_key", "amount", "od_ts", "oi_id")
+        # J2: ⟕ order_detail_activity (:106-108) — null-padded rows
+        # emit when the watermark passes od_ts + _ACT_FWD
+        left = inner.join(
+            act,
+            (F.col("order_key") == F.col("act_key"))
+            & (F.col("act_ts") >= F.col("od_ts"))
+            & (F.col("act_ts") <= F.col("od_ts") + F.expr(_ACT_FWD)),
+            "left",
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                left.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # 3 dedups + 2 symmetric hash joins = 5 stateful operators
+            _assert_state_operators(_dump_progress(q, base), 5)
+
+    return _artifact_dir(spark, sf_dir, "app1s", build)
+
+
+@register(
+    "app1s_order_detail_stream_chain",
+    survey="J1,J2,ST1,S1,W5",
+    doc="The reference's DwdTradeOrderDetail app END-TO-END as one "
+        "Structured Streaming query (DwdTradeOrderDetail.java:84-135): "
+        "one topic_db stream filtered into order_detail/order_info/"
+        "activity branches, each LWW-deduped within the watermark (ST1; "
+        "the source re-delivers the last hour of every slice, so dedup "
+        "state is load-bearing), then order_detail ⋈ order_info "
+        "(J1, event-time-range-bounded symmetric hash join = the 10 s "
+        "idle-state TTL) ⟕ activity (J2, null-padded on watermark) — "
+        "five stateful operators in ONE query plan, asserted from the "
+        "progress records. A far-future sentinel slice flushes the "
+        "chained state at end-of-input, so the sink equals the "
+        "UNRESTRICTED batch oracle — no closed-region horizon. "
+        "Read-back aggregates per order_key: row/match counts, id "
+        "checksums, exact DECIMAL amount sum.",
+    oracle=f"""
+        SELECT od.user_id AS order_key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(act.event_id) AS BIGINT) AS n_clicks,
+               CAST(SUM(od.event_id) AS BIGINT) AS od_id_sum,
+               CAST(SUM(oi.event_id) AS BIGINT) AS oi_id_sum,
+               {oracle_dec_sum('od.value', 'amount_sum')}
+        FROM events od
+        JOIN events oi ON od.user_id = oi.user_id
+         AND oi.event_type = 'signup'
+         AND oi.ts BETWEEN od.ts - {_OI_BACK} AND od.ts
+        LEFT JOIN events act ON od.user_id = act.user_id
+         AND act.event_type = 'click'
+         AND act.ts BETWEEN od.ts AND od.ts + {_ACT_FWD}
+        WHERE od.event_type = 'purchase'
+        GROUP BY od.user_id
+    """,
+)
+def app1s_order_detail_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app1s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return (
+        back.groupBy("order_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("act_id").cast("bigint").alias("n_clicks"),
+            F.sum("od_id").cast("bigint").alias("od_id_sum"),
+            F.sum("oi_id").cast("bigint").alias("oi_id_sum"),
+            dec_sum("amount", "amount_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# app2s: DwsTradeProvinceOrderWindow — ST1 + A1/A2 + J5 as ONE query
+# --------------------------------------------------------------------------
+
+
+def _app2s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        # ST1: dedup by the detail's unique key (DwsTradeProvince
+        # OrderWindow.java:74-99 — the retract-dedup ValueState with a
+        # 10 s TTL, re-expressed as dropDuplicatesWithinWatermark: the
+        # first arrival is emitted once, redelivered copies within the
+        # watermark are suppressed by state)
+        ded = (
+            stream_events(spark, src)
+            .where(F.col("event_type") == "purchase")
+            .withWatermark("ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .withColumn(
+                "province_id",
+                F.pmod(F.col("user_id"), F.lit(_N_PROVINCES)).cast(
+                    "bigint"
+                ),
+            )
+        )
+        # A1+A2: per-province tumbling reduce with EXACT distinct-order
+        # counting (:139-168 — the bean's orderIdSet union is exactly
+        # collect_set; user_id plays the order-id role here)
+        agg = ded.groupBy(
+            F.window("ts", "1 day").alias("w"), "province_id"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_details"),
+            F.size(F.collect_set("user_id"))
+            .cast("bigint")
+            .alias("order_count"),
+            dec_sum("value", "order_amount"),
+        )
+        # J5/J6: province-name enrichment (:171-191, DimAsyncFunction
+        # over HBase+Redis) — per-batch broadcast hash join against the
+        # 25-row dim; stateless, emits with the window row
+        nation = Tables(spark, sf_dir).nation.select(
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+        )
+        res = agg.join(F.broadcast(nation), "province_id", "left").select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "province_id",
+            "province_name",
+            "n_details",
+            "order_count",
+            "order_amount",
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                res.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # dedup + windowed agg = 2 stateful operators
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app2s", build)
+
+
+@register(
+    "app2s_province_order_stream_chain",
+    survey="ST1,A1,A2,W1,W7,J5,S7",
+    doc="The reference's DwsTradeProvinceOrderWindow app END-TO-END as "
+        "one Structured Streaming query (DwsTradeProvinceOrderWindow"
+        ".java:74-191): ST1 LWW dedup by detail id (the source "
+        "re-delivers slice tails, so the dedup is load-bearing) → "
+        "per-province tumbling event-time window with the window-meta "
+        "stt/edt columns (W1/W7), exact DECIMAL amount sum (A1) and "
+        "EXACT distinct-order count via collect_set — the reference's "
+        "orderIdSet union (A2) — → broadcast province-dim enrichment "
+        "(J5). Two stateful operators chained into a stateless "
+        "stream-static join, asserted from the progress records; the "
+        "sentinel slice flushes every window at end-of-input so the "
+        "read-back (restricted only to real, non-sentinel windows) "
+        "equals the unrestricted batch oracle.",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts),
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL 1 DAY, e.ts)
+                        + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+               e.user_id % {_N_PROVINCES} AS province_id,
+               n.n_name AS province_name,
+               CAST(COUNT(*) AS BIGINT) AS n_details,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS order_count,
+               {oracle_dec_sum('e.value', 'order_amount')}
+        FROM events e
+        LEFT JOIN nation n ON n.n_nationkey = e.user_id % {_N_PROVINCES}
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def app2s_province_order_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app2s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    # the sentinel's own far-future window is the only non-real row:
+    # real windows all start at or before the real max event time
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("stt") <= F.col("mx"))
+        .drop("mx")
+    )

@@ -114,10 +114,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_trade_order_detail",
         "realtime-dwd/.../DwdTradeOrderDetail.java",
         "dwd",
-        ("j1_inner_equi_join", "j2_left_outer_join", "st1_dedup_last_wins"),
-        _q("j1_inner_equi_join"),
+        ("j1_inner_equi_join", "j2_left_outer_join", "st1_dedup_last_wins",
+         "app1s_order_detail_stream_chain"),
+        _q("app1s_order_detail_stream_chain"),
         "Regular inner + left joins with 10 s idle-state TTL (:26,84-108); "
-        "downstream dedup of retract duplicates = st1.",
+        "downstream dedup of retract duplicates = st1. app1s runs the WHOLE "
+        "chain (3x dedup + inner + left-outer, 5 stateful ops) as ONE "
+        "streaming query against a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_order_cancel",
@@ -210,10 +213,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_trade_province_order",
         "realtime-dws/.../DwsTradeProvinceOrderWindow.java",
         "dws",
-        ("st1_dedup_last_wins", "a2_distinct_count", "j5_lookup_dim_join"),
-        _q("a2_distinct_count"),
+        ("st1_dedup_last_wins", "a2_distinct_count", "j5_lookup_dim_join",
+         "app2s_province_order_stream_chain"),
+        _q("app2s_province_order_stream_chain"),
         "Dedup (:74-99) + sum+distinct-orders window (:139-168) + province "
-        "dim join (:171-191).",
+        "dim join (:171-191). app2s runs the WHOLE chain (dedup + windowed "
+        "exact-distinct reduce + broadcast dim join) as ONE streaming query "
+        "against a composed oracle.",
     ),
 )
 

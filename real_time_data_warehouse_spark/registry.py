@@ -63,236 +63,230 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-9 rotation (tools/rotation.py freshness order): tier 1 =
-    # the queries NEW this round — j15 (stream-static broadcast dim
-    # enrichment under the REAL streaming runtime) and w13 (sliding
-    # event-time windows under the real runtime), then x1s/x2s (the
-    # DwdBaseLog 5-way
-    # fan-out and the config-routed demux under the REAL streaming
-    # runtime with a mid-stream crash + checkpoint restart), a6c
-    # (dictionary forward-max-match CJK segmentation), d7x (the dedup
-    # ingestion gate under the real runtime with crash + restart),
-    # a19 (Count-Min-Sketch point estimates, mergeable partials), t18
-    # (per-source Jensen-Shannon corpus drift) and z5 (Bloom-filter
-    # file index + skipping audit); tier 2 = the stalest greens — a14
-    # (last green r4) and the r5 cohort up to the 50-slot cap
-    # (t2/t1/t4/p1 + m1/m2/c2/c3 slide just below and lead the r10
-    # refresh). Everything below the cap carries r5-r8 signal and
-    # rotates back by freshness in later rounds.
-    "j15_dim_join_stream_readback",
-    "w13_sliding_window_stream_readback",
-    "u4_python_udtf_keywords",
-    "x1s_log_split_stream_readback",
-    "x2s_dynamic_routing_stream_readback",
-    "a6c_cjk_dict_segment",
-    "d7x_dedup_gate_stream_readback",
-    "d9x_semantic_gate_stream_readback",
-    "w12_session_window_stream_readback",
-    "a19_cms_point_estimates",
-    "t18_js_source_drift",
-    "z5_bloom_file_skip",
-    "a14_window_topn",
-    "w11_cumulate_window",
-    "c12_quality_weighted_sample",
-    "a5s_windowed_uu_replay",
-    "st3s_visitor_fix_replay",
-    "st5s_returning_user_replay",
-    "a6b_cjk_keyword_count",
-    "s12_label_partitioned_ann",
-    "u3_weighted_mean_udaf",
-    "c10s_profile_replay",
-    "d17_semantic_dedup",
-    "st1s_dedup_last_wins_replay",
-    "t12_char_entropy",
-    "t13_zipf_slope",
-    "c13_cluster_weighted_sample",
-    "d17b_semdedup_recall_audit",
-    "d17c_semantic_dedup_multiprobe",
-    "a18_running_total",
-    "t14_vocab_growth",
-    "s13_rrf_fusion",
-    "d19_chunk_dedup",
-    "t15_lang_confusion",
-    "st4s_daily_uv_replay",
-    "st6s_session_count_replay",
-    "p2_dirty_side_output",
-    "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_filtered_inner_join",
-    "j4_interval_join",
-    "j5_lookup_dim_join",
-    "p3_bootstrap_exclusion",
-    "p4_map_access_projection",
-    "p11_null_tombstone_filter",
-    "t5_normalize",
-    "t6_repetition",
-    "c4_corpus_shuffle",
-    "c5_pseudonymize",
-    "c6_mixture_weights",
-    "c1_corpus_curation",
-    "m3_corrupt_quarantine",
-    "t1b_trigram_langid",
-    "s2_lsh_ann_topk",
-    "t3_token_count",
-    "t2_quality_score",
-    "t1_lang_id",
-    "t4_fingerprint",
-    "p1_cdc_etl_filter",
-    # ---- driver cap (50): slots below refresh in later rounds ----
-    "m1_media_features",
-    "m2_frame_sampling",
-    "c2_stratified_sample",
-    "c3_sequence_packing",
-    "z2_column_stats",
-    "c15_curriculum_phases",
-    "d20_semantic_decontamination",
-    "t16_bigram_perplexity",
-    "s14_sq8_ann_topk",
-    "s14b_sq8_recall_audit",
-    "z3_compaction_plan",
-    "c16_dedup_adjusted_mixture",
-    "z3s_compaction_replay",
-    "s15_ivf_sq8_topk",
-    "j12_bucketed_join",
-    "s15s_ivf_ingest_replay",
-    "m6_keyframe_dedup",
-    "g1_pagerank",
-    "d22_fuzzy_entity_match",
-    "t17_bpe_merges",
-    "t17b_bpe_encode",
-    "c17_perceptron_quality",
-    "c19_dsir_importance",
-    "c18_k_anonymity_audit",
-    "d23_entity_clusters",
-    "d22b_er_recall_audit",
-    "g1b_personalized_pagerank",
-    "g2_triangle_count",
-    "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
-    "d7s_dedup_gate_replay",
-    "q0_flagship_trade_summary",
-    "f_json_roundtrip",
-    "j6_dim_chain_join",
-    "j7_broadcast_config_join",
-    "j8_semi_anti_join",
-    "j8b_full_outer_join",
-    "a1_windowed_sum",
-    "a2_distinct_count",
-    "s10b_knn_noise_ivf",
-    "s10c_knn_shortlist_recall",
-    "g1s_pagerank_replay",
-    "k1_dynamic_topic_readback",
-    "k2_serving_partition_readback",
-    "k3_fixed_topic_readback",
-    "k4_keyed_upsert_readback",
-    "p12_maxwell_envelope_parse",
-    "z4_snapshot_diff",
-    "st14_dws_stream_readback",
-    "a3_multikey_window",
-    "a4_global_window",
-    "a5_windowed_uu",
-    "a6_keyword_count",
-    "a7_daily_gmv",
-    "a8_province_amount",
-    "a9_topk_channel",
-    "a10_rollup",
-    "a10b_cube",
-    "a11_percentiles",
-    "w8_sliding_window",
-    "w8b_session_window",
-    "w9_over_analytics",
-    "st1_dedup_last_wins",
-    "st3_visitor_state_fix",
-    "st4_first_per_day_uv",
-    "st5_returning_user",
-    "st6_session_count",
-    "x1_log_split",
-    "x1b_explode_children",
-    "x3_set_ops",
-    "s4_cluster_stats",
-    "s2b_lsh_multiband_topk",
-    "d7_dedup_gate",
-    "s3_ivf_ann_topk",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d2b_jaccard_capped",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "d6_dedup_clusters",
-    "d8_decontamination",
-    "s1_cosine_topk",
-    "j10_asof_join",
-    "st8_scd2_intervals",
-    "c7_quota_sample",
-    "s5_pq_adc_topk",
-    "st8s_scd2_replay",
-    "st9_retract_changelog",
-    "c8_leakage_safe_split",
-    "st15_returning_user_stream_readback",
-    "st16_daily_uv_stream_readback",
-    "st17_visitor_fix_stream_readback",
-    "j13_interval_join_stream_readback",
-    "j14_left_outer_stream_readback",
-    "k5_config_ddl_readback",
-    "k6_jdbc_dim_roundtrip",
-    "st18_dws_update_upsert_readback",
-    "d12_shingle_containment",
-    "s6_bm25_topk",
-    "s7_hybrid_rerank",
-    "t7_ngram_stats",
-    "t8_pmi_bigrams",
-    "c9_doc_chunks",
-    "c3s_packing_replay",
-    "c1s_curation_replay",
-    "c10_corpus_profile",
-    "d6b_cluster_histogram",
-    "t9_unigram_surprisal",
-    "j11_range_join",
-    "w10_late_event_audit",
-    "t10_gopher_rules",
-    "a13_heavy_hitters",
-    "m4_media_phash_dedup",
-    "z1_zorder_layout",
-    "s8_mmr_rerank",
-    "a2c_hll_partial_union",
-    "c11_token_budget_plan",
-    "st10_changelog_fold",
-    "a13s_heavy_hitters_replay",
-    "d13_source_overlap",
-    "d2c_prefix_jaccard",
-    "a15_retention_cohorts",
-    "st11_funnel",
-    "a16_gapfill_locf",
-    "s9_ann_recall_audit",
-    "d14_minhash_recall_audit",
-    "a17_spike_detection",
-    "st12_transition_matrix",
-    "d15_substring_spans",
-    "d16_substring_strip",
-    "st13_sessionization",
-    "st13s_session_replay",
-    "s10_knn_label_noise",
-    "s11_hard_negatives",
-    "t11_pii_audit",
-    "m5_audio_energy",
-    "a1s_windowed_sum_replay",
-    "j4s_interval_join_replay",
-    "j2s_left_outer_join_replay",
+    # Round-10 rotation (tools/rotation.py freshness order): tier 1 =
+    # the two queries NEW this round — app1s and app2s, the reference's
+    # DwdTradeOrderDetail and DwsTradeProvinceOrderWindow apps each
+    # executed END-TO-END as one multi-stateful-operator streaming
+    # query against a composed oracle (the round-9 verdict's last
+    # composition gap); tier 2 = the stalest greens — the 13-query r5
+    # cohort (c1/m3/t1b/s2/t3/t2/t1/t4/p1/m1/m2/c2/c3), then the
+    # oldest r6 rows up to the 50-slot cap. Everything below the cap
+    # carries r6-r9 signal and rotates back by freshness next round.
+    "app1s_order_detail_stream_chain",  # NEW r10
+    "app2s_province_order_stream_chain",  # NEW r10
+    "c1_corpus_curation",  # r5
+    "m3_corrupt_quarantine",  # r5
+    "t1b_trigram_langid",  # r5
+    "s2_lsh_ann_topk",  # r5
+    "t3_token_count",  # r5
+    "t2_quality_score",  # r5
+    "t1_lang_id",  # r5
+    "t4_fingerprint",  # r5
+    "p1_cdc_etl_filter",  # r5
+    "m1_media_features",  # r5
+    "m2_frame_sampling",  # r5
+    "c2_stratified_sample",  # r5
+    "c3_sequence_packing",  # r5
+    "z2_column_stats",  # r6
+    "c15_curriculum_phases",  # r6
+    "d20_semantic_decontamination",  # r6
+    "t16_bigram_perplexity",  # r6
+    "s14_sq8_ann_topk",  # r6
+    "s14b_sq8_recall_audit",  # r6
+    "z3_compaction_plan",  # r6
+    "c16_dedup_adjusted_mixture",  # r6
+    "z3s_compaction_replay",  # r6
+    "s15_ivf_sq8_topk",  # r6
+    "j12_bucketed_join",  # r6
+    "s15s_ivf_ingest_replay",  # r6
+    "m6_keyframe_dedup",  # r6
+    "g1_pagerank",  # r6
+    "d22_fuzzy_entity_match",  # r6
+    "t17_bpe_merges",  # r6
+    "t17b_bpe_encode",  # r6
+    "c17_perceptron_quality",  # r6
+    "c19_dsir_importance",  # r6
+    "c18_k_anonymity_audit",  # r6
+    "d23_entity_clusters",  # r6
+    "d22b_er_recall_audit",  # r6
+    "g1b_personalized_pagerank",  # r6
+    "g2_triangle_count",  # r6
+    "p5_cdc_state_transition",  # r6
+    "p6_cart_delta",  # r6
+    "p7_dynamic_column_pruning",  # r6
+    "p8_page_filter",  # r6
+    "p9_login_filter",  # r6
+    "p10_search_filter",  # r6
+    "sql1_order_detail_app",  # r6
+    "sql2_keyword_window_app",  # r6
+    "sql3_serving_gmv_app",  # r6
+    "d5_embedding_neardup",  # r6
+    "d9_semantic_gate",  # r6
+    "d9s_semantic_gate_replay",  # r6  # --- driver cap (50) ---
+    "f_scalar_suite",  # r6
+    "a2b_approx_distinct",  # r6
+    "j9_salted_skew_join",  # r6
+    "a12_salted_skew_agg",  # r6
+    "a11b_approx_percentiles",  # r6
+    "d7s_dedup_gate_replay",  # r6
+    "q0_flagship_trade_summary",  # r6
+    "f_json_roundtrip",  # r6
+    "j6_dim_chain_join",  # r6
+    "j7_broadcast_config_join",  # r6
+    "j8_semi_anti_join",  # r6
+    "j8b_full_outer_join",  # r6
+    "a1_windowed_sum",  # r6
+    "a2_distinct_count",  # r6
+    "s10b_knn_noise_ivf",  # r7
+    "s10c_knn_shortlist_recall",  # r7
+    "g1s_pagerank_replay",  # r7
+    "k1_dynamic_topic_readback",  # r7
+    "k2_serving_partition_readback",  # r7
+    "k3_fixed_topic_readback",  # r7
+    "k4_keyed_upsert_readback",  # r7
+    "p12_maxwell_envelope_parse",  # r7
+    "z4_snapshot_diff",  # r7
+    "st14_dws_stream_readback",  # r7
+    "a3_multikey_window",  # r7
+    "a4_global_window",  # r7
+    "a5_windowed_uu",  # r7
+    "a6_keyword_count",  # r7
+    "a7_daily_gmv",  # r7
+    "a8_province_amount",  # r7
+    "a9_topk_channel",  # r7
+    "a10_rollup",  # r7
+    "a10b_cube",  # r7
+    "a11_percentiles",  # r7
+    "w8_sliding_window",  # r7
+    "w8b_session_window",  # r7
+    "w9_over_analytics",  # r7
+    "st1_dedup_last_wins",  # r7
+    "st3_visitor_state_fix",  # r7
+    "st4_first_per_day_uv",  # r7
+    "st5_returning_user",  # r7
+    "st6_session_count",  # r7
+    "x1_log_split",  # r7
+    "x1b_explode_children",  # r7
+    "x3_set_ops",  # r7
+    "s4_cluster_stats",  # r7
+    "s2b_lsh_multiband_topk",  # r7
+    "d7_dedup_gate",  # r7
+    "s3_ivf_ann_topk",  # r7
+    "d1_exact_dedup",  # r7
+    "d2_ngram_jaccard_pairs",  # r7
+    "d2b_jaccard_capped",  # r7
+    "d3_minhash_lsh_pairs",  # r7
+    "d4_simhash",  # r7
+    "d6_dedup_clusters",  # r7
+    "d8_decontamination",  # r7
+    "s1_cosine_topk",  # r7
+    "j10_asof_join",  # r7
+    "st8_scd2_intervals",  # r7
+    "c7_quota_sample",  # r7
+    "s5_pq_adc_topk",  # r7
+    "st8s_scd2_replay",  # r7
+    "st9_retract_changelog",  # r7
+    "c8_leakage_safe_split",  # r7
+    "st15_returning_user_stream_readback",  # r8
+    "st16_daily_uv_stream_readback",  # r8
+    "st17_visitor_fix_stream_readback",  # r8
+    "j13_interval_join_stream_readback",  # r8
+    "j14_left_outer_stream_readback",  # r8
+    "k5_config_ddl_readback",  # r8
+    "k6_jdbc_dim_roundtrip",  # r8
+    "st18_dws_update_upsert_readback",  # r8
+    "d12_shingle_containment",  # r8
+    "s6_bm25_topk",  # r8
+    "s7_hybrid_rerank",  # r8
+    "t7_ngram_stats",  # r8
+    "t8_pmi_bigrams",  # r8
+    "c9_doc_chunks",  # r8
+    "c3s_packing_replay",  # r8
+    "c1s_curation_replay",  # r8
+    "c10_corpus_profile",  # r8
+    "d6b_cluster_histogram",  # r8
+    "t9_unigram_surprisal",  # r8
+    "j11_range_join",  # r8
+    "w10_late_event_audit",  # r8
+    "t10_gopher_rules",  # r8
+    "a13_heavy_hitters",  # r8
+    "m4_media_phash_dedup",  # r8
+    "z1_zorder_layout",  # r8
+    "s8_mmr_rerank",  # r8
+    "a2c_hll_partial_union",  # r8
+    "c11_token_budget_plan",  # r8
+    "st10_changelog_fold",  # r8
+    "a13s_heavy_hitters_replay",  # r8
+    "d13_source_overlap",  # r8
+    "d2c_prefix_jaccard",  # r8
+    "a15_retention_cohorts",  # r8
+    "st11_funnel",  # r8
+    "a16_gapfill_locf",  # r8
+    "s9_ann_recall_audit",  # r8
+    "d14_minhash_recall_audit",  # r8
+    "a17_spike_detection",  # r8
+    "st12_transition_matrix",  # r8
+    "d15_substring_spans",  # r8
+    "d16_substring_strip",  # r8
+    "st13_sessionization",  # r8
+    "st13s_session_replay",  # r8
+    "s10_knn_label_noise",  # r8
+    "s11_hard_negatives",  # r8
+    "t11_pii_audit",  # r8
+    "m5_audio_energy",  # r8
+    "a1s_windowed_sum_replay",  # r8
+    "j4s_interval_join_replay",  # r8
+    "j2s_left_outer_join_replay",  # r8
+    "j15_dim_join_stream_readback",  # r9
+    "w13_sliding_window_stream_readback",  # r9
+    "u4_python_udtf_keywords",  # r9
+    "x1s_log_split_stream_readback",  # r9
+    "x2s_dynamic_routing_stream_readback",  # r9
+    "a6c_cjk_dict_segment",  # r9
+    "d7x_dedup_gate_stream_readback",  # r9
+    "d9x_semantic_gate_stream_readback",  # r9
+    "w12_session_window_stream_readback",  # r9
+    "a19_cms_point_estimates",  # r9
+    "t18_js_source_drift",  # r9
+    "z5_bloom_file_skip",  # r9
+    "a14_window_topn",  # r9
+    "w11_cumulate_window",  # r9
+    "c12_quality_weighted_sample",  # r9
+    "a5s_windowed_uu_replay",  # r9
+    "st3s_visitor_fix_replay",  # r9
+    "st5s_returning_user_replay",  # r9
+    "a6b_cjk_keyword_count",  # r9
+    "s12_label_partitioned_ann",  # r9
+    "u3_weighted_mean_udaf",  # r9
+    "c10s_profile_replay",  # r9
+    "d17_semantic_dedup",  # r9
+    "st1s_dedup_last_wins_replay",  # r9
+    "t12_char_entropy",  # r9
+    "t13_zipf_slope",  # r9
+    "c13_cluster_weighted_sample",  # r9
+    "d17b_semdedup_recall_audit",  # r9
+    "d17c_semantic_dedup_multiprobe",  # r9
+    "a18_running_total",  # r9
+    "t14_vocab_growth",  # r9
+    "s13_rrf_fusion",  # r9
+    "d19_chunk_dedup",  # r9
+    "t15_lang_confusion",  # r9
+    "st4s_daily_uv_replay",  # r9
+    "st6s_session_count_replay",  # r9
+    "p2_dirty_side_output",  # r9
+    "j1_inner_equi_join",  # r9
+    "j2_left_outer_join",  # r9
+    "j3_filtered_inner_join",  # r9
+    "j4_interval_join",  # r9
+    "j5_lookup_dim_join",  # r9
+    "p3_bootstrap_exclusion",  # r9
+    "p4_map_access_projection",  # r9
+    "p11_null_tombstone_filter",  # r9
+    "t5_normalize",  # r9
+    "t6_repetition",  # r9
+    "c4_corpus_shuffle",  # r9
+    "c5_pseudonymize",  # r9
+    "c6_mixture_weights",  # r9
 )
 
 

@@ -1,0 +1,124 @@
+"""Whole-app topology rows (app1s/app2s): chained-stateful-operator
+streaming queries equal the composed batch oracle EXACTLY (sentinel
+flush — no horizon), the injected duplicates make the dedup stage
+load-bearing, and the progress records pin the operator chain."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, make_duck
+from parity import compare
+
+
+def _reg(name):
+    from real_time_data_warehouse_spark.registry import ordered_registry
+
+    return ordered_registry()[name]
+
+
+def test_app_source_injects_duplicates_and_sentinel(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app_source,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    src = _app_source(spark, SF_DIR)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert files[-1] == "batch_z_sentinel.parquet"
+    df = spark.read.parquet(src)
+    base_n = Tables(spark, SF_DIR).events.count()
+    n = df.count()
+    # 3 sentinel rows + at least a few replayed-tail duplicates: remove
+    # either and the app rows stop exercising dedup / state flush
+    assert n > base_n + 3, (n, base_n)
+    assert df.where(F.col("event_id") < 0).count() == 3
+    dups = (
+        df.where(F.col("event_id") >= 0)
+        .groupBy("event_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dups > 0, "no duplicate event_ids — dedup is decorative"
+
+
+def test_app1s_matches_composed_oracle(spark):
+    q = _reg("app1s_order_detail_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app2s_matches_composed_oracle(spark):
+    q = _reg("app2s_province_order_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def _progress(spark, build, name):
+    base = build(spark, SF_DIR)
+    path = os.path.join(base, "progress.jsonl")
+    assert os.path.exists(path), f"{name}: no progress records"
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_app1s_chain_is_five_stateful_operators(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app1s_build,
+    )
+
+    records = _progress(spark, _app1s_build, "app1s")
+    ops = {
+        s["operatorName"]
+        for r in records
+        for s in r.get("stateOperators", [])
+    }
+    # 3 per-branch dedups + 2 symmetric hash joins
+    assert ops == {"dedupeWithinWatermark", "symmetricHashJoin"}, ops
+    batch_counts = {
+        len(r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    }
+    assert batch_counts == {5}, batch_counts
+    # the dedup stage actually suppressed the replayed duplicates:
+    # dedup output rows < dedup input rows in at least one batch
+    suppressed = sum(
+        s.get("numRowsUpdated", 0)
+        for r in records
+        for s in r.get("stateOperators", [])
+        if s["operatorName"] == "dedupeWithinWatermark"
+    )
+    assert suppressed > 0
+
+
+def test_app2s_chain_is_dedup_then_window_agg(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app2s_build,
+    )
+
+    records = _progress(spark, _app2s_build, "app2s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert all(
+        n == ["dedupeWithinWatermark", "stateStoreSave"] for n in names
+    ), names
+
+
+def test_app1s_sink_has_no_sentinel_rows(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app1s_build,
+    )
+
+    base = _app1s_build(spark, SF_DIR)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    assert back.where(F.col("od_id") < 0).count() == 0

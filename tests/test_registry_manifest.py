@@ -2,15 +2,14 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-9 rotation
-(tools/rotation.py freshness order): tier 1 = the round-9 additions
-(never driver-verified — j15 stream-static dim join and w13 sliding
-window under the real streaming runtime, x1s/x2s/d7x with crash +
-restart, a6c, a19 CMS, t18 JS-drift, z5 bloom index); tier 2 = the
-stalest greens — a14 (last green r4) and the r5 cohort up to the cap
-(m3/t1b/t2/t1/t4/p1 + m1/m2/c2/c3 slide just below; they lead r10).
-Slots below the cap all carry r5-r8 green signal and rotate back by
-freshness later.
+manifest slots are the only hard-signal slots. Round-10 rotation
+(tools/rotation.py freshness order): tier 1 = the round-10 additions
+(never driver-verified — app1s/app2s, the DwdTradeOrderDetail and
+DwsTradeProvinceOrderWindow apps end-to-end as single
+multi-stateful-operator streaming queries); tier 2 = the stalest
+greens — the 13-query r5 cohort (c1/m3/t1b/s2/t3/t2/t1/t4/p1/m1/m2/
+c2/c3) and the oldest r6 rows up to the cap. Slots below the cap all
+carry r6-r9 green signal and rotate back by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -32,63 +31,63 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (the round-9 additions): lead the manifest
+# Never driver-verified (the round-10 additions): lead the manifest
 # unconditionally.
 TIER1 = (
-    "j15_dim_join_stream_readback",
-    "w13_sliding_window_stream_readback",
-    "u4_python_udtf_keywords",
-    "x1s_log_split_stream_readback",
-    "x2s_dynamic_routing_stream_readback",
-    "a6c_cjk_dict_segment",
-    "d7x_dedup_gate_stream_readback",
-    "d9x_semantic_gate_stream_readback",
-    "w12_session_window_stream_readback",
-    "a19_cms_point_estimates",
-    "t18_js_source_drift",
-    "z5_bloom_file_skip",
+    "app1s_order_detail_stream_chain",
+    "app2s_province_order_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
-    "a14_window_topn",
-    "w11_cumulate_window",
-    "c12_quality_weighted_sample",
-    "a5s_windowed_uu_replay",
-    "st3s_visitor_fix_replay",
-    "st5s_returning_user_replay",
-    "a6b_cjk_keyword_count",
-    "s12_label_partitioned_ann",
-    "u3_weighted_mean_udaf",
-    "c10s_profile_replay",
-    "d17_semantic_dedup",
-    "st1s_dedup_last_wins_replay",
-    "t12_char_entropy",
-    "t13_zipf_slope",
-    "c13_cluster_weighted_sample",
-    "d17b_semdedup_recall_audit",
-    "d17c_semantic_dedup_multiprobe",
-    "a18_running_total",
-    "t14_vocab_growth",
-    "s13_rrf_fusion",
-    "d19_chunk_dedup",
-    "t15_lang_confusion",
-    "st4s_daily_uv_replay",
-    "st6s_session_count_replay",
-    "p2_dirty_side_output",
-    "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_filtered_inner_join",
-    "j4_interval_join",
-    "j5_lookup_dim_join",
-    "p3_bootstrap_exclusion",
-    "p4_map_access_projection",
-    "p11_null_tombstone_filter",
-    "t5_normalize",
-    "t6_repetition",
-    "c4_corpus_shuffle",
-    "c5_pseudonymize",
-    "c6_mixture_weights",
+    "c1_corpus_curation",
+    "m3_corrupt_quarantine",
+    "t1b_trigram_langid",
+    "s2_lsh_ann_topk",
+    "t3_token_count",
+    "t2_quality_score",
+    "t1_lang_id",
+    "t4_fingerprint",
+    "p1_cdc_etl_filter",
+    "m1_media_features",
+    "m2_frame_sampling",
+    "c2_stratified_sample",
+    "c3_sequence_packing",
+    "z2_column_stats",
+    "c15_curriculum_phases",
+    "d20_semantic_decontamination",
+    "t16_bigram_perplexity",
+    "s14_sq8_ann_topk",
+    "s14b_sq8_recall_audit",
+    "z3_compaction_plan",
+    "c16_dedup_adjusted_mixture",
+    "z3s_compaction_replay",
+    "s15_ivf_sq8_topk",
+    "j12_bucketed_join",
+    "s15s_ivf_ingest_replay",
+    "m6_keyframe_dedup",
+    "g1_pagerank",
+    "d22_fuzzy_entity_match",
+    "t17_bpe_merges",
+    "t17b_bpe_encode",
+    "c17_perceptron_quality",
+    "c19_dsir_importance",
+    "c18_k_anonymity_audit",
+    "d23_entity_clusters",
+    "d22b_er_recall_audit",
+    "g1b_personalized_pagerank",
+    "g2_triangle_count",
+    "p5_cdc_state_transition",
+    "p6_cart_delta",
+    "p7_dynamic_column_pruning",
+    "p8_page_filter",
+    "p9_login_filter",
+    "p10_search_filter",
+    "sql1_order_detail_app",
+    "sql2_keyword_window_app",
+    "sql3_serving_gmv_app",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
 )
 
 
