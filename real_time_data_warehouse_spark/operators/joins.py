@@ -642,7 +642,15 @@ def j12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on, ln = _j12_tables(spark, sf_dir)
     orders = read_bucketed(spark, on)
     lineitem = read_bucketed(spark, ln)
-    joined = orders.join(
+    # hint("merge"): pin the SortMergeJoin path DECLARATIVELY. At
+    # bench scale the orders side slips under the broadcast threshold
+    # and the planner would pick BroadcastHashJoin — trivially
+    # shuffle-free and proving nothing about co-location (round-10
+    # drift adjudication found exactly that had happened). The hint
+    # travels with the plan (no session-conf scoping race) and at
+    # 100 TB — where neither fact side broadcasts — it is what the
+    # planner picks anyway.
+    joined = orders.hint("merge").join(
         lineitem, F.col("o_orderkey") == F.col("l_orderkey")
     )
     revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))

@@ -97,6 +97,35 @@ def test_bucketed_join_matches_shuffled_join(bucketed):
     assert (plain.n, plain.q) == (b.n, b.q)
 
 
+def test_j12_registry_row_keeps_colocated_smj_shape(spark):
+    """The DRIVER-BENCHED j12 row itself — not just this module's
+    fixture — must keep the co-located SortMergeJoin shape under the
+    engine's normal conf stack (broadcast enabled, AQE on). Round-10
+    drift adjudication found the planner had silently switched the row
+    to BroadcastHashJoin once the orders side slipped under the
+    broadcast threshold at bench scale — shuffle-free but proving
+    nothing about bucketing, and the source of the j12 drift line. The
+    hint('merge') in the operator pins the path; this test pins the
+    hint."""
+    from real_time_data_warehouse_spark.operators.joins import (
+        j12_bucketed_join,
+    )
+
+    df = j12_bucketed_join(spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert sort_merge_join_count(df) == 1, plan
+    assert "BroadcastHashJoin" not in tree, plan
+    # exactly ONE exchange: the partial→final aggregation on the
+    # 5-value priority key. The JOIN contributes zero — both inputs
+    # are bucket-local scans — and the write-time sortBy means no
+    # per-query Sort below the join either.
+    assert shuffle_count(df) == 1, plan
+    join_subtree = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, plan
+    assert " Sort (" not in join_subtree, plan
+
+
 def test_path_read_loses_bucketing(bucketed, tmp_path_factory):
     """The documented failure mode: reading the same files via
     spark.read.parquet drops the bucket metadata — the join shuffles
