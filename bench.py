@@ -148,6 +148,11 @@ EXTENDED = (
     "j15_dim_join_stream_readback",
     "w13_sliding_window_stream_readback",
     "u4_python_udtf_keywords",
+    # driver-round-10 additions (first recorded medians land in
+    # BENCH_r10; whole-app chain rows — cold = the 5-stateful-op /
+    # dedup+window+dim-join streaming builds, median = cache read)
+    "app1s_order_detail_stream_chain",
+    "app2s_province_order_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.
