@@ -153,6 +153,7 @@ EXTENDED = (
     # dedup+window+dim-join streaming builds, median = cache read)
     "app1s_order_detail_stream_chain",
     "app2s_province_order_stream_chain",
+    "app3s_sku_order_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

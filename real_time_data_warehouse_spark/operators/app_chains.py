@@ -413,3 +413,154 @@ def app2s_province_order_stream_chain(
         .where(F.col("stt") <= F.col("mx"))
         .drop("mx")
     )
+
+
+# --------------------------------------------------------------------------
+# app3s: DwsTradeSkuOrderWindow — P1/P11 + ST1 + A1/W1 + J6 as ONE query
+# --------------------------------------------------------------------------
+
+_APP3_DROP_MOD = 10  # JSON-prop filter drops k % 10 == 0 (~10% of rows)
+
+
+def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        # P1/P11: per-row JSON parse + predicate filter — the
+        # reference's tombstone/dirty-row gate ahead of the dedup
+        # (DwsTradeSkuOrderWindow.java:133-142 drops null-'old' CDC
+        # deletes after parsing the envelope). Native get_json_object,
+        # no Python in the hot path.
+        kept = (
+            stream_events(spark, src)
+            .where(F.col("event_type") == "purchase")
+            .withColumn(
+                "k", F.get_json_object("props", "$.k").cast("int")
+            )
+            .where(
+                F.col("k").isNull()  # sentinel rows carry no k
+                | (F.pmod(F.col("k"), F.lit(_APP3_DROP_MOD)) != 0)
+            )
+        )
+        # ST1: retract-dedup by detail id (:190-223) — same LWW
+        # semantics as app2s; the replayed slice tails are what it eats
+        ded = kept.withWatermark("ts", _DELAY).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        # A1/W1/W7: per-sku tumbling reduce with window meta (:271-302);
+        # user_id plays the sku_id role
+        agg = ded.groupBy(F.window("ts", "1 day").alias("w"), "user_id").agg(
+            F.count("*").cast("bigint").alias("order_count"),
+            dec_sum("value", "order_amount"),
+        )
+        # J6: the 6-stage async dim chain (:480-619) as CHAINED
+        # per-batch broadcast hash joins — sku→spu→trademark→category
+        # becomes user→customer→nation→region; each hop is a
+        # |dim|-bounded broadcast, the window rows never shuffle again
+        t = Tables(spark, sf_dir)
+        cust = t.customer.select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        )
+        nation = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+        region = t.region.select("r_regionkey", "r_name")
+        res = (
+            agg.join(F.broadcast(cust), "user_id", "left")
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+                "left",
+            )
+            .join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+                "left",
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "user_id",
+                F.coalesce("n_name", F.lit("unknown")).alias(
+                    "nation_name"
+                ),
+                F.coalesce("r_name", F.lit("unknown")).alias(
+                    "region_name"
+                ),
+                "order_count",
+                "order_amount",
+            )
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                res.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # dedup + windowed agg = 2 stateful operators; the dim
+            # chain is stateless per-batch broadcasts
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app3s", build)
+
+
+@register(
+    "app3s_sku_order_stream_chain",
+    survey="P1,P11,ST1,A1,W1,W7,J6",
+    doc="The reference's DwsTradeSkuOrderWindow app END-TO-END as one "
+        "Structured Streaming query (DwsTradeSkuOrderWindow.java:"
+        "133-619): per-row JSON envelope parse + tombstone-style "
+        "predicate filter (P1/P11, native get_json_object) → ST1 LWW "
+        "dedup by detail id (the replayed slice tails are suppressed "
+        "by state) → per-sku tumbling event-time reduce with window "
+        "meta stt/edt (A1/W1/W7, exact DECIMAL sums) → the 6-stage "
+        "async dim chain re-expressed as CHAINED per-batch broadcast "
+        "hash joins, user→customer→nation→region (J6) — two stateful "
+        "operators plus a stateless broadcast chain, asserted from the "
+        "progress records. Sentinel flush ⇒ the sink equals the "
+        "unrestricted composed batch oracle (the sentinel carries no "
+        "JSON key, so the filter must KEEP null-k rows — dropping them "
+        "would stall the watermark — and the read-back excludes its "
+        "one far-future window row, app2s-style).",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts),
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL 1 DAY, e.ts)
+                        + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+               e.user_id,
+               COALESCE(n.n_name, 'unknown') AS nation_name,
+               COALESCE(r.r_name, 'unknown') AS region_name,
+               CAST(COUNT(*) AS BIGINT) AS order_count,
+               {oracle_dec_sum('e.value', 'order_amount')}
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE e.event_type = 'purchase'
+          AND CAST(json_extract_string(e.props, 'k') AS INT)
+              % {_APP3_DROP_MOD} != 0
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def app3s_sku_order_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app3s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("stt") <= F.col("mx"))
+        .drop("mx")
+    )

@@ -203,11 +203,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "realtime-dws/.../DwsTradeSkuOrderWindow.java",
         "dws",
         ("p11_null_tombstone_filter", "st1_dedup_last_wins", "a1_windowed_sum",
-         "j6_dim_chain_join"),
-        _q("a1_windowed_sum"),
+         "j6_dim_chain_join", "app3s_sku_order_stream_chain"),
+        _q("app3s_sku_order_stream_chain"),
         "Tombstone filter (:133-142) + retract dedup (:190-223) + windowed "
         "reduce (:271-302) + 6-stage async dim chain (:480-619) → broadcast "
-        "chain j6.",
+        "chain j6. app3s runs the WHOLE chain (JSON filter + dedup + window "
+        "reduce + chained broadcast dims) as ONE streaming query against a "
+        "composed oracle.",
     ),
     AppTopology(
         "dws_trade_province_order",

@@ -60,6 +60,29 @@ def test_app2s_matches_composed_oracle(spark):
     assert ok, msg
 
 
+def test_app3s_matches_composed_oracle(spark):
+    q = _reg("app3s_sku_order_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app3s_chain_is_dedup_then_window_agg(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app3s_build,
+    )
+
+    records = _progress(spark, _app3s_build, "app3s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert all(
+        n == ["dedupeWithinWatermark", "stateStoreSave"] for n in names
+    ), names
+
+
 def _progress(spark, build, name):
     base = build(spark, SF_DIR)
     path = os.path.join(base, "progress.jsonl")
