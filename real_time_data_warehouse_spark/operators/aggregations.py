@@ -303,6 +303,45 @@ def a6b_cjk_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fmm_tokens(t: str, dict_set: frozenset, max_len: int) -> list[str]:
+    """Forward maximum matching — IK's core segmentation step: at each
+    position take the LONGEST lexicon entry (fallback: one char). A
+    module-level function so tests/test_cjk_dict_scale.py can run the
+    SAME code against an IK-scale (275k-entry) lexicon, not just the
+    fixture dict."""
+    out, i, n = [], 0, len(t)
+    while i < n:
+        for ln in range(min(max_len, n - i), 1, -1):
+            w = t[i : i + ln]
+            if w in dict_set:
+                out.append(w)
+                i += ln
+                break
+        else:
+            out.append(t[i])
+            i += 1
+    return out
+
+
+def fmm_segment_udf(dict_set: frozenset, max_len: int):
+    """Arrow-batched pandas UDF over ``fmm_tokens`` with the lexicon
+    captured as a closure constant (broadcast once per executor via
+    task-closure serialization — a few MB at IK's 275k-entry scale,
+    same broadcast class as the d8 eval-suite index)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fmm_segment(s):
+        return s.map(lambda t: fmm_tokens(t, dict_set, max_len))
+
+    # explicit annotations: the module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's
+    # signature inference can't resolve
+    _fmm_segment.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fmm_segment, "array<string>")
+
+
+
 # Demo lexicon for a6c — a fixture-scale stand-in for IK's bundled
 # dictionary (main2012.dic, ~275k entries): composites FIRST so the
 # longest-match behavior is exercised (数据+仓库 adjacent must merge to
@@ -382,21 +421,7 @@ def a6c_cjk_dict_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_len = _CJK_DICT_MAXLEN
 
     def _fmm_segment(s):
-        def fmm(t: str) -> list[str]:
-            out, i, n = [], 0, len(t)
-            while i < n:
-                for ln in range(min(max_len, n - i), 1, -1):
-                    w = t[i : i + ln]
-                    if w in dict_set:
-                        out.append(w)
-                        i += ln
-                        break
-                else:
-                    out.append(t[i])
-                    i += 1
-            return out
-
-        return s.map(fmm)
+        return s.map(lambda t: fmm_tokens(t, dict_set, max_len))
 
     # explicit annotations: the module's `from __future__ import
     # annotations` stringifies inline hints, which pandas_udf's

@@ -4,9 +4,9 @@ The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
 manifest slots are the only hard-signal slots. Round-10 rotation
 (tools/rotation.py freshness order): tier 1 = the round-10 additions
-(never driver-verified — app1s/app2s, the DwdTradeOrderDetail and
-DwsTradeProvinceOrderWindow apps end-to-end as single
-multi-stateful-operator streaming queries); tier 2 = the stalest
+(never driver-verified — app1s/app2s/app3s: the DwdTradeOrderDetail,
+DwsTradeProvinceOrderWindow and DwsTradeSkuOrderWindow apps
+end-to-end as single multi-stateful-operator streaming queries); tier 2 = the stalest
 greens — the 13-query r5 cohort (c1/m3/t1b/s2/t3/t2/t1/t4/p1/m1/m2/
 c2/c3) and the oldest r6 rows up to the cap. Slots below the cap all
 carry r6-r9 green signal and rotate back by freshness later.
