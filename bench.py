@@ -154,6 +154,7 @@ EXTENDED = (
     "app1s_order_detail_stream_chain",
     "app2s_province_order_stream_chain",
     "app3s_sku_order_stream_chain",
+    "app4s_dim_app_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -3,7 +3,7 @@
 Every operator of every reference app is individually driver-verified
 (COVERAGE.md app table), but until round 10 no registry row executed a
 complete multi-operator app chain as a single Structured Streaming
-query against a composed oracle. These two rows close that gap:
+query against a composed oracle. These rows close that gap:
 
 - ``app1s``: the reference's DwdTradeOrderDetail
   (DwdTradeOrderDetail.java:84-135) — one topic_db stream filtered into
@@ -19,6 +19,13 @@ query against a composed oracle. These two rows close that gap:
   dim enrichment (:171-191, DimAsyncFunction → per-batch broadcast
   hash join) — chained stateful ops ending in a stateless stream-static
   join.
+- ``app3s``: DwsTradeSkuOrderWindow (:133-619) — JSON envelope filter,
+  ST1 dedup, per-sku windowed reduce, and the 6-stage async dim chain
+  as chained per-batch broadcasts.
+- ``app4s``: the DIM-layer DimApp — CDC parse, broadcast config
+  routing (TableProcessDim), per-table column pruning, keyed LWW
+  upsert/delete into per-table dim stores, WITH a mid-stream crash +
+  checkpoint restart (replay ≡ no-op under LWW).
 
 Three execution-model facts make these rows exact (not
 horizon-truncated like st14/j14):
@@ -564,3 +571,197 @@ def app3s_sku_order_stream_chain(
         .where(F.col("stt") <= F.col("mx"))
         .drop("mx")
     )
+
+
+# --------------------------------------------------------------------------
+# app4s: DimApp — P1 + J7/ST7 + P7 + S8 as ONE streaming query (DIM layer)
+# --------------------------------------------------------------------------
+
+# TableProcessDim analog (TableProcessDim.java:14-32): source event type →
+# (sink dim table, kept columns). Unmapped types (purchase/error) are
+# DROPPED by the config join — the reference's "not a dim table" filter.
+_APP4_CONFIG = (
+    ("view", "dim_page", ("value", "k")),
+    ("click", "dim_action", ("value",)),
+    ("signup", "dim_user", ("k",)),
+)
+_APP4_DELETE_MOD = 17  # k % 17 == 0 → CDC delete, else upsert
+
+
+def _app4s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _run_crash_restart,
+    )
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        dim_base = os.path.join(base, "dim")
+        ckpt = os.path.join(base, "ckpt")
+        config = spark.createDataFrame(
+            [(s, t, ",".join(c)) for s, t, c in _APP4_CONFIG],
+            "event_type string, sink_table string, sink_columns string",
+        )
+
+        def body(b: DataFrame, bid: int, fault) -> None:
+            if fault is not None:
+                fault(bid)
+            # P1: envelope parse + op derivation (Maxwell type analog);
+            # sentinels carry no JSON key and negative ids — dropped
+            cdc = (
+                b.where(F.col("event_id") >= 0)
+                .withColumn(
+                    "k", F.get_json_object("props", "$.k").cast("int")
+                )
+                .withColumn(
+                    "op",
+                    F.when(
+                        F.pmod(F.col("k"), F.lit(_APP4_DELETE_MOD)) == 0,
+                        F.lit("delete"),
+                    ).otherwise(F.lit("upsert")),
+                )
+                .withColumn(
+                    # k4's commit-order key: epoch-seconds · 2^20 + id —
+                    # LWW-comparable across batches, overflow-safe.
+                    # Integer `div` on the wire-ns ts: a double division
+                    # would lose precision above 2^53 and could flip a
+                    # second boundary
+                    "ord",
+                    (
+                        F.expr("ts div 1000000000") * F.lit(1 << 20)
+                        + F.col("event_id")
+                    ).cast("bigint"),
+                )
+            )
+            # J7/ST7: broadcast config join — routing AND the implicit
+            # "unmapped table → drop" filter in one hash probe
+            routed = cdc.join(F.broadcast(config), "event_type")
+            # one pass over the micro-batch: the three per-table writes
+            # below otherwise each re-read and re-parse the batch
+            routed = routed.localCheckpoint(eager=True)
+            for _etype, sink, cols in _APP4_CONFIG:
+                # P7: per-table column pruning from config
+                sub = routed.where(F.col("sink_table") == sink).select(
+                    "user_id", "ord", "op", *cols
+                )
+                # S8: HBase-style keyed upsert/delete (Delta MERGE in
+                # production; tested parquet RMW fallback here)
+                upsert_dim(
+                    spark,
+                    sub,
+                    os.path.join(dim_base, sink),
+                    ["user_id"],
+                    order_col="ord",
+                    type_col="op",
+                )
+
+        def start(fault):
+            from real_time_data_warehouse_spark.streaming.pipelines import (
+                EVENTS_RAW_SCHEMA,
+            )
+
+            raw = (
+                spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return (
+                raw.writeStream.foreachBatch(
+                    lambda b, bid: body(b, bid, fault)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # crash before epoch 2's writes, restart from the checkpoint:
+        # the replayed epoch re-applies the same upserts/deletes — a
+        # no-op under LWW (same rows, same ord), which IS the
+        # exactly-once argument for an idempotent merge sink. No debris
+        # is planted: debris modeling belongs to append sinks (x1s/
+        # d7x); a merge sink's mid-WRITE atomicity comes from the ACID
+        # branch (Delta MERGE) in production, not from replay.
+        with _stream_shuffle_partitions(spark):
+            _run_crash_restart(spark, start, lambda: None)
+
+    return _artifact_dir(spark, sf_dir, "app4s", build)
+
+
+@register(
+    "app4s_dim_app_stream_chain",
+    survey="S8,P1,P7,J7,ST7,X2,S2",
+    doc="The reference's DIM-layer app (DimApp.java — the realtime-dim "
+        "module) END-TO-END as one streaming query WITH a mid-stream "
+        "crash + checkpoint restart: readStream over the CDC-style "
+        "source → per-batch envelope parse + op derivation (P1, Maxwell "
+        "type analog: k%17==0 → delete) → broadcast TableProcessDim "
+        "config join that routes each row to its dim table and drops "
+        "unmapped types (J7/ST7, TableProcessFunction.java:37-82) → "
+        "per-table column pruning from config (P7, sinkColumns) → "
+        "keyed LWW upsert/delete into the per-table dim store (S8, "
+        "HBaseSinkFunction.java:36-61 — Delta MERGE in production, the "
+        "tested parquet read-modify-write fallback here). A one-shot "
+        "fault crashes epoch 2 before its writes; the restart replays "
+        "it, and replay ≡ no-op under LWW (same rows, same commit ord) "
+        "— the exactly-once argument for idempotent merge sinks. The "
+        "source's replayed slice tails land as genuine duplicate "
+        "upserts the LWW fold must absorb. Read-back: the FINAL state "
+        "of all three dim tables vs the one-pass LWW oracle (each "
+        "key's max-ord record decides; absent if delete; columns as "
+        "pruned per config).",
+    oracle=f"""
+        WITH cdc AS (
+            SELECT e.user_id, e.event_type,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) * (1 << 20)
+                       + e.event_id AS ord,
+                   CASE WHEN CAST(json_extract_string(e.props, 'k')
+                             AS INT) % {_APP4_DELETE_MOD} = 0
+                        THEN 'delete' ELSE 'upsert' END AS op,
+                   e.value,
+                   CAST(json_extract_string(e.props, 'k') AS INT) AS k
+            FROM events e
+            WHERE e.event_type IN ('view', 'click', 'signup')
+        ),
+        last AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ord DESC) AS rn
+            FROM cdc
+        )
+        SELECT CASE event_type WHEN 'view' THEN 'dim_page'
+                               WHEN 'click' THEN 'dim_action'
+                               ELSE 'dim_user' END AS sink_table,
+               user_id,
+               ord,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN value END AS value,
+               CASE WHEN event_type IN ('view', 'signup')
+                    THEN k END AS k
+        FROM last
+        WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def app4s_dim_app_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app4s_build(spark, sf_dir)
+    parts = []
+    for _etype, sink, cols in _APP4_CONFIG:
+        d = spark.read.parquet(os.path.join(base, "dim", sink))
+        parts.append(
+            d.select(
+                F.lit(sink).alias("sink_table"),
+                "user_id",
+                "ord",
+                (F.col("value") if "value" in cols else F.lit(None))
+                .cast("double")
+                .alias("value"),
+                (F.col("k") if "k" in cols else F.lit(None))
+                .cast("int")
+                .alias("k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -67,11 +67,14 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dim_app",
         "realtime-dim/.../DimApp.java",
         "dim",
-        ("p1_cdc_etl_filter", "j7_broadcast_config_join", "p7_dynamic_column_pruning"),
-        _dim_app,
+        ("p1_cdc_etl_filter", "j7_broadcast_config_join",
+         "p7_dynamic_column_pruning", "app4s_dim_app_stream_chain"),
+        _q("app4s_dim_app_stream_chain"),
         "ETL gate (DimApp.java:149-185) + broadcast config join (:283-298) "
         "+ column pruning (TableProcessFunction.java:97-105) + HBase-style "
-        "upsert/delete (streaming/sinks.upsert_dim).",
+        "upsert/delete (streaming/sinks.upsert_dim). app4s runs the WHOLE "
+        "chain as ONE streaming query under the real runtime with a "
+        "crash+restart, read back against the one-pass LWW oracle.",
     ),
     AppTopology(
         "dwd_base_log",

@@ -75,6 +75,7 @@ MANIFEST: tuple[str, ...] = (
     "app1s_order_detail_stream_chain",  # NEW r10
     "app2s_province_order_stream_chain",  # NEW r10
     "app3s_sku_order_stream_chain",  # NEW r10
+    "app4s_dim_app_stream_chain",  # NEW r10
     "c1_corpus_curation",  # r5
     "m3_corrupt_quarantine",  # r5
     "t1b_trigram_langid",  # r5

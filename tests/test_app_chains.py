@@ -1,4 +1,4 @@
-"""Whole-app topology rows (app1s/app2s): chained-stateful-operator
+"""Whole-app topology rows (app1s/app2s/app3s): chained-stateful-operator
 streaming queries equal the composed batch oracle EXACTLY (sentinel
 flush — no horizon), the injected duplicates make the dedup stage
 load-bearing, and the progress records pin the operator chain."""
@@ -145,3 +145,107 @@ def test_app1s_sink_has_no_sentinel_rows(spark):
     base = _app1s_build(spark, SF_DIR)
     back = spark.read.parquet(os.path.join(base, "out"))
     assert back.where(F.col("od_id") < 0).count() == 0
+
+
+def test_app3s_dim_chain_is_all_broadcast_no_post_agg_shuffle(spark):
+    """app3s's 3-hop dim chain must plan as per-batch broadcast hash
+    joins with NO shuffle after the window aggregation — the window
+    rows are enriched in place (the 100 TB posture of the reference's
+    async dim chain). Asserted on the EXECUTED streaming plan via a
+    throwaway memory-sink pass over the same chain shape."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_warehouse_spark.functions.money import dec_sum
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _DELAY,
+        _app_source,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.tables import Tables
+
+    src = _app_source(spark, SF_DIR)
+    ded = (
+        stream_events(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", _DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = ded.groupBy(F.window("ts", "1 day").alias("w"), "user_id").agg(
+        dec_sum("value", "order_amount")
+    )
+    t = Tables(spark, SF_DIR)
+    res = (
+        agg.join(
+            F.broadcast(
+                t.customer.select(
+                    F.col("c_custkey").alias("user_id"), "c_nationkey"
+                )
+            ),
+            "user_id",
+            "left",
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left",
+        )
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("app3s_plan_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+        physical = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    import re
+
+    assert physical.count("BroadcastHashJoin") == 3, physical
+    assert "SortMergeJoin" not in physical, physical
+    # the only hash exchanges are the stateful operators' key
+    # partitioning (dedup on event_id, window agg on window+user) —
+    # nothing re-shuffles the aggregated rows for the dim hops
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", physical)
+    assert len(shuffles) == 2, physical
+    assert any("event_id" in s for s in shuffles), shuffles
+    assert any("user_id" in s and "w#" in s or "window" in s.lower()
+               for s in shuffles), shuffles
+
+
+def test_app4s_matches_one_pass_lww_oracle(spark):
+    q = _reg("app4s_dim_app_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app4s_dim_store_shape(spark):
+    """Three per-table dim dirs, no sentinel/negative keys, no rows for
+    unmapped event types (purchase/error dropped by the config join),
+    and no key appears whose LAST record was a delete."""
+    import os as _os
+
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _APP4_CONFIG,
+        _app4s_build,
+    )
+
+    base = _app4s_build(spark, SF_DIR)
+    tables = sorted(_os.listdir(_os.path.join(base, "dim")))
+    assert tables == sorted(s for _, s, _c in _APP4_CONFIG)
+    for _e, sink, _c in _APP4_CONFIG:
+        d = spark.read.parquet(_os.path.join(base, "dim", sink))
+        assert d.where(F.col("user_id") < 0).count() == 0
+        # every surviving row is an upsert (deletes leave no row)
+        assert d.where(F.col("op") == "delete").count() == 0

@@ -37,6 +37,7 @@ TIER1 = (
     "app1s_order_detail_stream_chain",
     "app2s_province_order_stream_chain",
     "app3s_sku_order_stream_chain",
+    "app4s_dim_app_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
@@ -87,7 +88,6 @@ TIER2 = (
     "sql1_order_detail_app",
     "sql2_keyword_window_app",
     "sql3_serving_gmv_app",
-    "d5_embedding_neardup",
 )
 
 
