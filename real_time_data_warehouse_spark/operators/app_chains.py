@@ -86,6 +86,18 @@ from real_time_data_warehouse_spark.registry import register
 from real_time_data_warehouse_spark.tables import Tables
 
 _DELAY = "2 hours"  # watermark delay — must exceed the replay window
+
+# State-store partition count for the app-chain queries. A CHAINED
+# topology multiplies the per-partition state-store overhead by the
+# operator count: app1s at 32 partitions maintains 5 ops x 32 stores x
+# N batches of commit/snapshot work, and the measured cold build was
+# 89.9 s vs 22.9 s at 8 partitions on the SAME data (sf0.01, local) —
+# a 3.9x tax with zero data-level benefit at artifact scale. 8 is
+# right for the harness; a production deployment sizes this to
+# ~2-3x cluster cores per the st14 note — a deploy-time conf, and the
+# chain multiplier is exactly why chained jobs size it more carefully
+# than single-op jobs.
+_STATE_PARTS = 8
 _REPLAY_NS = 3600 * 10**9  # 1 h of each slice re-delivered in the next
 _SENT_NS = 30 * 86400 * 10**9  # sentinel 30 days past max event time
 _OI_BACK = "INTERVAL 1 DAY"  # order_info lookback (J1 range)
@@ -230,7 +242,7 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
             & (F.col("act_ts") <= F.col("od_ts") + F.expr(_ACT_FWD)),
             "left",
         )
-        with _stream_shuffle_partitions(spark):
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
             q = (
                 left.writeStream.format("parquet")
                 .option("path", out)
@@ -357,7 +369,7 @@ def _app2s_build(spark: SparkSession, sf_dir: str) -> str:
             "order_count",
             "order_amount",
         )
-        with _stream_shuffle_partitions(spark):
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
             q = (
                 res.writeStream.format("parquet")
                 .option("path", out)
@@ -503,7 +515,7 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
                 "order_amount",
             )
         )
-        with _stream_shuffle_partitions(spark):
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
             q = (
                 res.writeStream.format("parquet")
                 .option("path", out)
@@ -681,7 +693,7 @@ def _app4s_build(spark: SparkSession, sf_dir: str) -> str:
         # is planted: debris modeling belongs to append sinks (x1s/
         # d7x); a merge sink's mid-WRITE atomicity comes from the ACID
         # branch (Delta MERGE) in production, not from replay.
-        with _stream_shuffle_partitions(spark):
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
             _run_crash_restart(spark, start, lambda: None)
 
     return _artifact_dir(spark, sf_dir, "app4s", build)
