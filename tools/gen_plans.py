@@ -51,8 +51,10 @@ SHOWCASE = (
      "two-phase prefix over the file catalog: day-partitioned local "
      "windows; only the bucket-totals window is unpartitioned"),
     ("j12_bucketed_join",
-     "co-located bucketed scan: SortMergeJoin (broadcast at tiny sf) "
-     "with no join-path exchange; one-file-per-bucket sorted scans"),
+     "co-located bucketed scan: hint('merge')-pinned SortMergeJoin with "
+     "no join-path exchange and no per-query sort; the only exchange is "
+     "the final 5-key agg (round-10 adjudication: without the hint the "
+     "planner broadcast the orders side at bench scale)"),
     ("g1_pagerank",
      "one edge aggregation off the raw scan; final-round shape = edge "
      "join + dst re-aggregate + 1-row dangling-mass broadcast; prior "
