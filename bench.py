@@ -155,6 +155,11 @@ EXTENDED = (
     "app2s_province_order_stream_chain",
     "app3s_sku_order_stream_chain",
     "app4s_dim_app_stream_chain",
+    # driver-round-11 additions (first recorded medians land in
+    # BENCH_r11; app5s cold = the 6-sink crash+restart DwdBaseLog
+    # build, app6s cold = the two-dedup + 4-dim-window build)
+    "app5s_base_log_stream_chain",
+    "app6s_traffic_page_view_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.
@@ -199,6 +204,40 @@ def host_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _probe_worker(_i: int) -> float:
+    """One all-cores probe worker: the host_probe loop twice, timing
+    only the second pass — the first pass absorbs pool-start stagger so
+    every timed pass overlaps every other worker's (otherwise early
+    workers finish before late ones start and contention is
+    undercounted)."""
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+    t0 = time.perf_counter()
+    for i in range(2_000_000):
+        acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+    assert acc >= 0
+    return time.perf_counter() - t0
+
+
+def host_probe_multi() -> float:
+    """All-cores CPU yardstick: the single-core probe loop run on every
+    CPU concurrently (median per-process seconds of the synchronized
+    second pass). On an idle host this ≈ the single-core probe; under
+    MULTICORE contention — the round-10 weather that slowed every query
+    ~1.37x while the single-core probe got FASTER — it inflates with
+    the query medians. tools/bench_compare.py reads it to normalize
+    drift ratios and to gate the weather verdict (healthy calibration
+    in BASELINE.md round-11)."""
+    import multiprocessing as mp
+
+    n = min(32, os.cpu_count() or 1)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n) as pool:
+        times = sorted(pool.map(_probe_worker, range(n)))
+    return round(times[len(times) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -237,6 +276,7 @@ def main() -> None:
     # number and the median prices the warm read.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     probe_pre = host_probe()  # after warmup, before timed queries
+    probe_multi_pre = host_probe_multi()
 
     def measure_interleaved(
         qnames: list[str],
@@ -261,6 +301,7 @@ def main() -> None:
     ext, ext_cold = measure_interleaved(ext_names)
 
     probe_post = host_probe()  # detects mid-run host degradation
+    probe_multi_post = host_probe_multi()
     total = round(sum(times.values()), 3)
     # The driver records only the LAST 2000 chars of stdout (observed:
     # BENCH_r04.json holds a mid-JSON tail and "parsed": null — the
@@ -277,7 +318,9 @@ def main() -> None:
         "cold": cold,
         "extended": ext,
         "extended_cold": ext_cold,
-        "host_probe": {"pre": probe_pre, "post": probe_post},
+        "host_probe": {"pre": probe_pre, "post": probe_post,
+                       "multi_pre": probe_multi_pre,
+                       "multi_post": probe_multi_post},
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -301,7 +344,9 @@ def main() -> None:
                 # single-core CPU yardstick before/after the timed runs
                 # (~0.22-0.24 s healthy, see host_probe docstring): separates code
                 # regressions from host degradation without session notes
-                "host_probe": {"pre": probe_pre, "post": probe_post},
+                "host_probe": {"pre": probe_pre, "post": probe_post,
+                               "multi_pre": probe_multi_pre,
+                               "multi_post": probe_multi_post},
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

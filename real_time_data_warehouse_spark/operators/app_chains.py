@@ -9,8 +9,10 @@ query against a composed oracle. These rows close that gap:
   (DwdTradeOrderDetail.java:84-135) — one topic_db stream filtered into
   per-table sub-streams, then chained through ST1 LWW dedup on each
   branch, the J1 stream-stream INNER equi-join (order_detail ⋈
-  order_info), and the J2 stream-stream LEFT OUTER join (⟕
-  order_detail_activity) — FIVE stateful operators in one query plan.
+  order_info), and BOTH J2 stream-stream LEFT OUTER joins (⟕
+  order_detail_activity :106, then ⟕ order_detail_coupon :107-108) —
+  SEVEN stateful operators in one query plan, matching the reference's
+  full four-stream topology.
 - ``app2s``: its DWS consumer DwsTradeProvinceOrderWindow
   (DwsTradeProvinceOrderWindow.java:74-191) — ST1 dedup by detail id
   (:74-99, the reference's retract-dedup state machine), the tumbling
@@ -37,17 +39,23 @@ horizon-truncated like st14/j14):
    suppress — remove ``dropDuplicatesWithinWatermark`` and both rows'
    checksums break. Dedup is load-bearing, not decorative.
 2. **Sentinel flush.** Chained stateful operators emit with a
-   one-batch watermark lag (a depth-2 outer join's null-padded rows
-   flush against the PREVIOUS batch's watermark), so end-of-input
-   would strand the tail region in state forever under availableNow.
-   A final sentinel slice — three non-joinable far-future rows (the
-   idle-source heartbeat idiom) — pushes every branch's watermark past
-   all real data, and the trailing no-data batch flushes every window
-   and every null-padded row. The sink then equals the UNRESTRICTED
-   batch oracle: no closed-region horizon math at all.
+   one-batch watermark lag PER watermark-gated level (an outer join's
+   null-padded rows flush against the PREVIOUS batch's watermark, and
+   a second chained outer join lags one more batch behind that), so
+   end-of-input would strand the tail region in state forever under
+   availableNow, which runs only ONE trailing no-data batch. TWO
+   final sentinel slices — non-joinable far-future rows (the
+   idle-source heartbeat idiom), one per joined event type, the second
+   slice 30 days past the first — push every branch's watermark past
+   all real data and then advance it AGAIN, so sentinel-batch +
+   sentinel-batch + trailing no-data batch flushes every window and
+   every null-padded row through a depth-2 outer-join chain. The sink
+   then equals the UNRESTRICTED batch oracle: no closed-region horizon
+   math at all.
 3. **Branch watermarks.** Each per-table sub-stream gets its own
    watermark AFTER its filter; the global watermark is the min across
-   branches, which the sentinel advances on all three types at once.
+   branches, which each sentinel slice advances on all four types at
+   once.
 
 Scale: the joins are key-partitioned symmetric hash joins whose state
 is bounded by the time-range conditions (1 day back / 6 h forward ⇒
@@ -102,36 +110,56 @@ _REPLAY_NS = 3600 * 10**9  # 1 h of each slice re-delivered in the next
 _SENT_NS = 30 * 86400 * 10**9  # sentinel 30 days past max event time
 _OI_BACK = "INTERVAL 1 DAY"  # order_info lookback (J1 range)
 _ACT_FWD = "INTERVAL 6 HOUR"  # activity lookahead (J2 range)
+_CPN_FWD = "INTERVAL 1 HOUR"  # coupon lookahead (second J2 range)
+# app4s/k4 LWW commit-order packing: epoch_sec * 2^31 + event_id.
+# 2^31 (not 2^20) because the sf1 probe already generates event_ids to
+# 999,999 and a regeneration at larger n would silently invert LWW
+# ordering under a 2^20 modulus; _app_source ASSERTS ids fit.
+# epoch_sec (~1.7e9) * 2^31 ≈ 3.7e18 — well inside int64.
+_ORD_SHIFT = 1 << 31
 _N_PROVINCES = 25  # nation-table domain; province_id = user_id % 25
+
+
+def _write_single_file(
+    df: DataFrame, base: str, name: str, mtime: float
+) -> None:
+    """Write ``df`` as ONE parquet file ``base/name`` with a pinned
+    mtime (the file source schedules micro-batches in mtime order)."""
+    stage = os.path.join(base, "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    dst = os.path.join(base, name)
+    shutil.move(os.path.join(stage, part), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dst, (mtime, mtime))
 
 
 def _app_source(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached app-row source: the shared time-sliced events
     plus (a) tail-replay duplicates — the last _REPLAY_NS of slice k
-    re-delivered inside slice k+1, at-least-once style — and (b) a
-    final sentinel slice of three far-future rows with non-matching
-    negative keys, one per joined event type, to advance every branch
-    watermark past all real data (flushing chained stateful state).
+    re-delivered inside slice k+1, at-least-once style — and (b) TWO
+    final sentinel slices of far-future rows with non-matching
+    negative keys, one row per joined event type each, the second
+    30 days past the first. Two slices because each watermark-gated
+    stateful level flushes against the PREVIOUS batch's watermark:
+    app1s's depth-2 outer-join chain needs the watermark to advance
+    twice past all real data before the trailing no-data batch, or the
+    second outer join strands its final null-padded rows in state.
 
-    One file per micro-batch; mtimes pinned in slice order (the file
-    source follows modification time — same discipline as
+    One file per micro-batch; mtimes pinned in slice order, offsets
+    derived from the FILE COUNT (a fixed offset silently mis-orders the
+    sentinel once the slice count grows past it — the file source
+    follows modification time, same discipline as
     streaming_exec._write_time_sliced_source)."""
 
     def build(base: str) -> None:
         src0 = _sliced_source(spark, sf_dir, _SRC_FILES)
         files = sorted(glob.glob(src0 + "/*.parquet"), key=os.path.getmtime)
         now = time.time()
+        n_slices = len(files) + 2  # + the two sentinel slices
 
         def write_one(df: DataFrame, name: str, mtime: float) -> None:
-            stage = os.path.join(base, "_stage")
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                p for p in os.listdir(stage) if p.endswith(".parquet")
-            )
-            dst = os.path.join(base, name)
-            shutil.move(os.path.join(stage, part), dst)
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(dst, (mtime, mtime))
+            _write_single_file(df, base, name, mtime)
 
         for i, f in enumerate(files):
             cur = spark.read.parquet(f)
@@ -141,18 +169,36 @@ def _app_source(spark: SparkSession, sf_dir: str) -> str:
                 cur = cur.unionByName(
                     prev.where(F.col("ts") >= pmx - _REPLAY_NS)
                 )
-            write_one(cur, f"batch_{i}.parquet", now - 10 + i)
-        mx = spark.read.parquet(src0).agg(F.max("ts")).first()[0]
-        sent = spark.createDataFrame(
-            [
-                (-1, mx + _SENT_NS, -1, "purchase", 0.0, "{}"),
-                (-2, mx + _SENT_NS, -2, "signup", 0.0, "{}"),
-                (-3, mx + _SENT_NS, -3, "click", 0.0, "{}"),
-            ],
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string",
+            write_one(cur, f"batch_{i}.parquet", now - n_slices + i)
+        mx, mx_id = (
+            spark.read.parquet(src0)
+            .agg(F.max("ts"), F.max("event_id"))
+            .first()
         )
-        write_one(sent, "batch_z_sentinel.parquet", now)
+        # the app4s/k4 LWW ord packs event_id under _ORD_SHIFT — a
+        # dataset outgrowing the modulus would silently invert LWW
+        # ordering, so fail loud here instead
+        assert mx_id < _ORD_SHIFT, (
+            f"event_id {mx_id} >= ord-packing modulus {_ORD_SHIFT}"
+        )
+
+        def sentinel(k: int, ns_off: int) -> DataFrame:
+            base_id = -(4 * (k - 1))  # slice 1: -1..-4; slice 2: -5..-8
+            return spark.createDataFrame(
+                [
+                    (base_id - j - 1, mx + k * ns_off, base_id - j - 1, t,
+                     0.0, "{}")
+                    for j, t in enumerate(
+                        ("purchase", "signup", "click", "view")
+                    )
+                ],
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string",
+            )
+
+        write_one(sentinel(1, _SENT_NS), "batch_z1_sentinel.parquet",
+                  now - 1)
+        write_one(sentinel(2, _SENT_NS), "batch_z2_sentinel.parquet", now)
 
     return _artifact_dir(spark, sf_dir, "appsrc", build)
 
@@ -222,6 +268,7 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
         od = table_stream("purchase", "od_id", "order_key", "od_ts", True)
         oi = table_stream("signup", "oi_id", "oi_key", "oi_ts", False)
         act = table_stream("click", "act_id", "act_key", "act_ts", False)
+        cpn = table_stream("view", "cpn_id", "cpn_key", "cpn_ts", False)
         # J1: od ⋈ oi (DwdTradeOrderDetail.java:105 "join order_info");
         # the 10 s idle-state TTL (:26) becomes the explicit event-time
         # range bounding the symmetric-hash-join state. oi_ts is
@@ -233,18 +280,35 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
             & (F.col("oi_ts") >= F.col("od_ts") - F.expr(_OI_BACK))
             & (F.col("oi_ts") <= F.col("od_ts")),
         ).select("od_id", "order_key", "amount", "od_ts", "oi_id")
-        # J2: ⟕ order_detail_activity (:106-108) — null-padded rows
-        # emit when the watermark passes od_ts + _ACT_FWD
+        # J2: ⟕ order_detail_activity (:106) — null-padded rows emit
+        # when the watermark passes od_ts + _ACT_FWD; act_ts is
+        # projected away (one event-time column downstream)
         left = inner.join(
             act,
             (F.col("order_key") == F.col("act_key"))
             & (F.col("act_ts") >= F.col("od_ts"))
             & (F.col("act_ts") <= F.col("od_ts") + F.expr(_ACT_FWD)),
             "left",
+        ).select(
+            "od_id", "order_key", "amount", "od_ts", "oi_id", "act_id"
+        )
+        # J2 again: ⟕ order_detail_coupon (:107-108) — the reference's
+        # FOURTH stream, a second chained outer join whose final
+        # null-pads flush one batch later than the first's (hence the
+        # second sentinel slice in _app_source)
+        left2 = left.join(
+            cpn,
+            (F.col("order_key") == F.col("cpn_key"))
+            & (F.col("cpn_ts") >= F.col("od_ts"))
+            & (F.col("cpn_ts") <= F.col("od_ts") + F.expr(_CPN_FWD)),
+            "left",
+        ).select(
+            "od_id", "order_key", "amount", "od_ts", "oi_id", "act_id",
+            "cpn_id",
         )
         with _stream_shuffle_partitions(spark, _STATE_PARTS):
             q = (
-                left.writeStream.format("parquet")
+                left2.writeStream.format("parquet")
                 .option("path", out)
                 .option("checkpointLocation", ckpt)
                 .outputMode("append")
@@ -252,8 +316,8 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
                 .start()
             )
             _await(q)
-            # 3 dedups + 2 symmetric hash joins = 5 stateful operators
-            _assert_state_operators(_dump_progress(q, base), 5)
+            # 4 dedups + 3 symmetric hash joins = 7 stateful operators
+            _assert_state_operators(_dump_progress(q, base), 7)
 
     return _artifact_dir(spark, sf_dir, "app1s", build)
 
@@ -262,25 +326,29 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
     "app1s_order_detail_stream_chain",
     survey="J1,J2,ST1,S1,W5",
     doc="The reference's DwdTradeOrderDetail app END-TO-END as one "
-        "Structured Streaming query (DwdTradeOrderDetail.java:84-135): "
-        "one topic_db stream filtered into order_detail/order_info/"
-        "activity branches, each LWW-deduped within the watermark (ST1; "
-        "the source re-delivers the last hour of every slice, so dedup "
-        "state is load-bearing), then order_detail ⋈ order_info "
-        "(J1, event-time-range-bounded symmetric hash join = the 10 s "
-        "idle-state TTL) ⟕ activity (J2, null-padded on watermark) — "
-        "five stateful operators in ONE query plan, asserted from the "
-        "progress records. A far-future sentinel slice flushes the "
-        "chained state at end-of-input, so the sink equals the "
-        "UNRESTRICTED batch oracle — no closed-region horizon. "
-        "Read-back aggregates per order_key: row/match counts, id "
-        "checksums, exact DECIMAL amount sum.",
+        "Structured Streaming query (DwdTradeOrderDetail.java:84-135, "
+        "all FOUR streams): one topic_db stream filtered into "
+        "order_detail/order_info/activity/coupon branches, each "
+        "LWW-deduped within the watermark (ST1; the source re-delivers "
+        "the last hour of every slice, so dedup state is load-bearing), "
+        "then order_detail ⋈ order_info (J1, event-time-range-bounded "
+        "symmetric hash join = the 10 s idle-state TTL) ⟕ activity "
+        "(J2, null-padded on watermark, :106) ⟕ coupon (the second J2, "
+        ":107-108) — SEVEN stateful operators in ONE query plan, "
+        "asserted from the progress records. Two far-future sentinel "
+        "slices flush the chained state at end-of-input (each outer "
+        "level lags one batch), so the sink equals the UNRESTRICTED "
+        "batch oracle — no closed-region horizon. Read-back aggregates "
+        "per order_key: row/match counts, id checksums, exact DECIMAL "
+        "amount sum.",
     oracle=f"""
         SELECT od.user_id AS order_key,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(act.event_id) AS BIGINT) AS n_clicks,
+               CAST(COUNT(cpn.event_id) AS BIGINT) AS n_coupons,
                CAST(SUM(od.event_id) AS BIGINT) AS od_id_sum,
                CAST(SUM(oi.event_id) AS BIGINT) AS oi_id_sum,
+               CAST(SUM(cpn.event_id) AS BIGINT) AS cpn_id_sum,
                {oracle_dec_sum('od.value', 'amount_sum')}
         FROM events od
         JOIN events oi ON od.user_id = oi.user_id
@@ -289,6 +357,9 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
         LEFT JOIN events act ON od.user_id = act.user_id
          AND act.event_type = 'click'
          AND act.ts BETWEEN od.ts AND od.ts + {_ACT_FWD}
+        LEFT JOIN events cpn ON od.user_id = cpn.user_id
+         AND cpn.event_type = 'view'
+         AND cpn.ts BETWEEN od.ts AND od.ts + {_CPN_FWD}
         WHERE od.event_type = 'purchase'
         GROUP BY od.user_id
     """,
@@ -303,8 +374,10 @@ def app1s_order_detail_stream_chain(
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             F.count("act_id").cast("bigint").alias("n_clicks"),
+            F.count("cpn_id").cast("bigint").alias("n_coupons"),
             F.sum("od_id").cast("bigint").alias("od_id_sum"),
             F.sum("oi_id").cast("bigint").alias("oi_id_sum"),
+            F.sum("cpn_id").cast("bigint").alias("cpn_id_sum"),
             dec_sum("amount", "amount_sum"),
         )
     )
@@ -454,7 +527,11 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
         # reference's tombstone/dirty-row gate ahead of the dedup
         # (DwsTradeSkuOrderWindow.java:133-142 drops null-'old' CDC
         # deletes after parsing the envelope). Native get_json_object,
-        # no Python in the hot path.
+        # no Python in the hot path. The null-keep is gated to SENTINEL
+        # rows only (negative ids): a real row with missing/invalid
+        # props must fail the predicate exactly like the oracle's
+        # NULL-falsy `k % 10 != 0` — symmetric semantics, not a
+        # dataset-invariant coincidence.
         kept = (
             stream_events(spark, src)
             .where(F.col("event_type") == "purchase")
@@ -462,7 +539,7 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
                 "k", F.get_json_object("props", "$.k").cast("int")
             )
             .where(
-                F.col("k").isNull()  # sentinel rows carry no k
+                (F.col("event_id") < 0)  # sentinel rows carry no k
                 | (F.pmod(F.col("k"), F.lit(_APP3_DROP_MOD)) != 0)
             )
         )
@@ -546,10 +623,12 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
         "hash joins, user→customer→nation→region (J6) — two stateful "
         "operators plus a stateless broadcast chain, asserted from the "
         "progress records. Sentinel flush ⇒ the sink equals the "
-        "unrestricted composed batch oracle (the sentinel carries no "
-        "JSON key, so the filter must KEEP null-k rows — dropping them "
-        "would stall the watermark — and the read-back excludes its "
-        "one far-future window row, app2s-style).",
+        "unrestricted composed batch oracle (the sentinels carry no "
+        "JSON key, so the filter keeps null-k rows ONLY for negative "
+        "sentinel ids — a real null/invalid-props row is dropped, "
+        "matching the oracle's NULL-falsy predicate — and the "
+        "read-back excludes the far-future sentinel window rows, "
+        "app2s-style).",
     oracle=f"""
         SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts),
                         '%Y-%m-%d %H:%M:%S') AS stt,
@@ -633,14 +712,15 @@ def _app4s_build(spark: SparkSession, sf_dir: str) -> str:
                     ).otherwise(F.lit("upsert")),
                 )
                 .withColumn(
-                    # k4's commit-order key: epoch-seconds · 2^20 + id —
-                    # LWW-comparable across batches, overflow-safe.
-                    # Integer `div` on the wire-ns ts: a double division
-                    # would lose precision above 2^53 and could flip a
+                    # commit-order key: epoch-seconds · _ORD_SHIFT + id
+                    # — LWW-comparable across batches, overflow-safe
+                    # (id headroom asserted in _app_source). Integer
+                    # `div` on the wire-ns ts: a double division would
+                    # lose precision above 2^53 and could flip a
                     # second boundary
                     "ord",
                     (
-                        F.expr("ts div 1000000000") * F.lit(1 << 20)
+                        F.expr("ts div 1000000000") * F.lit(_ORD_SHIFT)
                         + F.col("event_id")
                     ).cast("bigint"),
                 )
@@ -724,7 +804,7 @@ def _app4s_build(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
         WITH cdc AS (
             SELECT e.user_id, e.event_type,
-                   CAST(floor(epoch(e.ts)) AS BIGINT) * (1 << 20)
+                   CAST(floor(epoch(e.ts)) AS BIGINT) * {_ORD_SHIFT}
                        + e.event_id AS ord,
                    CASE WHEN CAST(json_extract_string(e.props, 'k')
                              AS INT) % {_APP4_DELETE_MOD} = 0
@@ -777,3 +857,466 @@ def app4s_dim_app_stream_chain(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# app5s: DwdBaseLog — P2 dirty side-output + ST3 keyed visitor repair +
+# X1/X1b 5-way split with child explode, as ONE streaming query fanning
+# out to 6 sinks, with a mid-stream crash + checkpoint restart
+# --------------------------------------------------------------------------
+
+# Generator rule for the injected dirty rows: every 53rd event's props
+# is mangled into invalid JSON. The ORACLE uses this rule (it states
+# intent); the STREAM detects actual JSON invalidity (it proves
+# detection) — _app5_source asserts the two coincide on the dataset,
+# so a generator drift fails the build instead of silently breaking
+# parity.
+_APP5_DIRTY_MOD = 53
+_APP5_SIDES = ("dirty", "err", "start", "display", "action", "page")
+
+
+def _app5_source(spark: SparkSession, sf_dir: str) -> str:
+    """app5-specific sliced source: the shared time-sliced events with
+    every _APP5_DIRTY_MOD-th row's props mangled into invalid JSON (the
+    dirty-data the reference's ETL side-outputs, DwdBaseLog.java:88-117).
+    No replay duplicates and no sentinel: DwdBaseLog has no dedup and no
+    watermark-gated operator — its keyed state (ST3) emits per batch."""
+
+    def build(base: str) -> None:
+        src0 = _sliced_source(spark, sf_dir, _SRC_FILES)
+        files = sorted(glob.glob(src0 + "/*.parquet"), key=os.path.getmtime)
+        now = time.time()
+        for i, f in enumerate(files):
+            df = spark.read.parquet(f).withColumn(
+                "props",
+                F.when(
+                    F.col("event_id") % _APP5_DIRTY_MOD == 0,
+                    F.concat(F.lit("{corrupt::"), F.col("props")),
+                ).otherwise(F.col("props")),
+            )
+            _write_single_file(
+                df, base, f"batch_{i}.parquet", now - len(files) + i
+            )
+        # oracle-rule ≡ stream-rule guard: every non-mangled row must be
+        # VALID json and every mangled row invalid, or the id-rule
+        # oracle and the validity-detecting stream diverge
+        chk = spark.read.parquet(base).select(
+            (F.col("event_id") % _APP5_DIRTY_MOD == 0).alias("mangled"),
+            F.get_json_object("props", "$").isNull().alias("invalid"),
+        )
+        bad = chk.where(F.col("mangled") != F.col("invalid")).count()
+        assert bad == 0, (
+            f"{bad} rows where JSON validity disagrees with the "
+            "event_id % mod dirty rule — oracle and stream would diverge"
+        )
+
+    return _artifact_dir(spark, sf_dir, "app5src", build)
+
+
+_APP5_OUTPUT = None  # built lazily: pyspark.sql.types import kept local
+
+
+def _app5_schemas():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("props", StringType()),
+            StructField("dirty", IntegerType()),
+            StructField("is_new", IntegerType()),
+        ]
+    )
+    state = StructType([StructField("first_visit_date", StringType())])
+    return out, state
+
+
+def _app5_fix_fn(key, pdf_iter, state):
+    """ST3 visitor-flag repair (DwdBaseLog.java:121-188) with the dirty
+    rows flowing THROUGH as state-neutral passthrough — the one-query
+    multi-sink form of Flink's pre-keyBy side output: dirty rows never
+    touch the per-user first_visit_date state and carry is_new=NULL.
+    Clean rows: is_new=1 only on the user's first-ever visit date."""
+    import pandas as pd
+
+    (user_id,) = key
+    first = state.get[0] if state.exists else None
+    cols = ["event_id", "user_id", "event_type", "props", "dirty", "is_new"]
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        dates = pdf["ts"].dt.strftime("%Y-%m-%d")
+        is_new: list[int | None] = []
+        for d, dirty in zip(dates, pdf["dirty"]):
+            if dirty:
+                is_new.append(None)
+                continue
+            if first is None:
+                first = d
+            is_new.append(1 if d == first else 0)
+        out = pdf[["event_id", "user_id", "event_type", "props", "dirty"]]
+        out = out.assign(
+            is_new=pd.Series(is_new, index=pdf.index, dtype="object")
+        )
+        outs.append(out[cols])
+    if first is not None:
+        state.update((first,))
+    yield (
+        pd.concat(outs)
+        if outs
+        else pd.DataFrame(columns=cols)
+    )
+
+
+def _app5s_build(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _run_crash_restart,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    out_schema, state_schema = _app5_schemas()
+
+    def build(base: str) -> None:
+        src = _app5_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def body(b: DataFrame, bid: int, fault) -> None:
+            if fault is not None:
+                fault(bid)
+            # X1b child arrays: the reference explodes displays[]/
+            # actions[] out of page logs (:230-270); the analog derives
+            # the child count from props.k — JSON parsed natively, once
+            b = b.withColumn(
+                "k", F.get_json_object("props", "$.k").try_cast("int")
+            ).localCheckpoint(eager=True)  # one pass for all 6 sinks
+            clean = b.where(F.col("dirty") == 0)
+            sides = {
+                "dirty": b.where(F.col("dirty") == 1),
+                "err": clean.where(F.col("event_type") == "error"),
+                "start": clean.where(F.col("event_type") == "signup"),
+                "page": clean.where(F.col("event_type") == "purchase"),
+                "display": clean.where(F.col("event_type") == "view")
+                .withColumn(
+                    "pos",
+                    F.explode(
+                        F.sequence(F.lit(0), F.pmod(F.col("k"), F.lit(3)))
+                    ),
+                ),
+                "action": clean.where(F.col("event_type") == "click")
+                .withColumn(
+                    "pos",
+                    F.explode(
+                        F.sequence(F.lit(0), F.pmod(F.col("k"), F.lit(2)))
+                    ),
+                ),
+            }
+            for side, df in sides.items():
+                df.select("event_id", "user_id", "is_new").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out, side, f"batch_id={bid}"))
+
+        def start(fault):
+            ev = stream_events(spark, src)
+            flagged = ev.withColumn(
+                # P2 dirty gate: actual JSON validity, not the
+                # generator's id rule (get_json_object('$') is NULL
+                # iff the document fails to parse)
+                "dirty",
+                F.get_json_object("props", "$").isNull().cast("int"),
+            ).select(
+                "event_id", "user_id", "ts", "event_type", "props", "dirty"
+            )
+            fixed = flagged.groupBy("user_id").applyInPandasWithState(
+                _app5_fix_fn,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            return (
+                fixed.writeStream.foreachBatch(
+                    lambda b, bid: body(b, bid, fault)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        def plant_debris() -> None:
+            # partial file a mid-write crash leaves in the crashed
+            # epoch's action sink — the retry must REPLACE it
+            debris = os.path.join(out, "action", "batch_id=2")
+            ev = Tables(spark, sf_dir).events
+            ev.where(F.col("event_type") == "click").limit(9).select(
+                "event_id", "user_id", F.lit(9).cast("int").alias("is_new")
+            ).write.mode("overwrite").parquet(debris)
+
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q2 = _run_crash_restart(spark, start, plant_debris)
+            # exactly ONE keyed-state operator (the ST3 repair) in the
+            # replayed epochs' plans
+            _assert_state_operators(_dump_progress(q2, base), 1)
+
+    return _artifact_dir(spark, sf_dir, "app5s", build)
+
+
+@register(
+    "app5s_base_log_stream_chain",
+    survey="P2,ST3,U2,X1,X1b,S4,S1",
+    doc="The reference's DwdBaseLog app END-TO-END as one Structured "
+        "Streaming query WITH a mid-stream crash + checkpoint restart "
+        "(DwdBaseLog.java:88-295): per-row JSON-validity ETL whose "
+        "dirty rows side-output to a 6th sink (P2, :88-117 — injected "
+        "by mangling every 53rd row's props; the stream detects actual "
+        "parse failure, the oracle states the generator rule, and the "
+        "source build asserts they coincide) → ST3 keyed visitor-flag "
+        "repair via applyInPandasWithState (:121-188; dirty rows pass "
+        "through state-neutral with is_new=NULL — the one-query form "
+        "of Flink's pre-keyBy side output) → the 5-way split with "
+        "display/action child-record EXPLOSION (X1/X1b, :192-295; "
+        "k%3+1 display children, k%2+1 action children from props) "
+        "fanning out to 6 per-epoch-overwrite parquet sinks in "
+        "foreachBatch. A one-shot fault crashes epoch 2 after two "
+        "committed epochs, debris is planted in the crashed epoch's "
+        "action sink, and the restart replays from the checkpointed "
+        "keyed state — per-side aggregates (rows, id checksum, "
+        "distinct users, SUM(is_new) — the repaired flags) must equal "
+        "the composed batch oracle, certifying exactly-once across "
+        "the 6-sink fan-out AND cross-batch keyed-state replay.",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, ts,
+                   (event_id % {_APP5_DIRTY_MOD} = 0) AS dirty,
+                   TRY_CAST(json_extract_string(props, 'k') AS INT) AS k,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS d
+            FROM events
+        ),
+        fixed AS (
+            SELECT b.*,
+                   CASE WHEN dirty THEN NULL
+                        WHEN d = MIN(CASE WHEN NOT dirty THEN d END)
+                                 OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM base b
+        ),
+        sides AS (
+            SELECT 'dirty' AS side, event_id, user_id, is_new
+              FROM fixed WHERE dirty
+            UNION ALL
+            SELECT 'err', event_id, user_id, is_new FROM fixed
+              WHERE NOT dirty AND event_type = 'error'
+            UNION ALL
+            SELECT 'start', event_id, user_id, is_new FROM fixed
+              WHERE NOT dirty AND event_type = 'signup'
+            UNION ALL
+            SELECT 'page', event_id, user_id, is_new FROM fixed
+              WHERE NOT dirty AND event_type = 'purchase'
+            UNION ALL
+            SELECT 'display', event_id, user_id, is_new
+              FROM fixed, LATERAL (SELECT unnest(range(k % 3 + 1))) g
+              WHERE NOT dirty AND event_type = 'view'
+            UNION ALL
+            SELECT 'action', event_id, user_id, is_new
+              FROM fixed, LATERAL (SELECT unnest(range(k % 2 + 1))) g
+              WHERE NOT dirty AND event_type = 'click'
+        )
+        SELECT side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uu,
+               CAST(SUM(is_new) AS BIGINT) AS new_sum
+        FROM sides GROUP BY side
+    """,
+)
+def app5s_base_log_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app5s_build(spark, sf_dir)
+    out = os.path.join(base, "out")
+    per_side = [
+        spark.read.parquet(os.path.join(out, side)).agg(
+            F.lit(side).alias("side"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("user_id").cast("bigint").alias("uu"),
+            F.sum("is_new").cast("bigint").alias("new_sum"),
+        )
+        for side in _APP5_SIDES
+    ]
+    res = per_side[0]
+    for df in per_side[1:]:
+        res = res.unionAll(df)
+    return res
+
+
+# --------------------------------------------------------------------------
+# app6s: DwsTrafficVcChArIsNewPageViewWindow — ST4 first-per-day UV +
+# ST1 replay dedup + A3 4-dim tumbling reduce as ONE streaming query
+# --------------------------------------------------------------------------
+
+_APP6_SV_MOD = 7  # session-start flag: props.k % 7 == 0 (stateless)
+
+
+def _app6s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        # the 4 stat dims (vc/ch/ar/is_new, :77-92) derived from the
+        # key so every event of a user carries identical dims — the
+        # uv row's attribution is then arrival-order-independent
+        ev = (
+            stream_events(spark, src)
+            .withColumn("day_ts", F.date_trunc("day", "ts"))
+            .withColumn("vc", F.pmod("user_id", F.lit(3)).cast("int"))
+            .withColumn("ch", F.pmod("user_id", F.lit(7)).cast("int"))
+            .withColumn("ar", F.pmod("user_id", F.lit(5)).cast("int"))
+            .withColumn("isn", F.pmod("user_id", F.lit(2)).cast("int"))
+            .withWatermark("day_ts", "1 day")
+        )
+        # ST4 branch: first-event-per-(user, day) → uvCt=1, the
+        # reference's lastVisitDateState (:58-106) as watermark-evicted
+        # keyed dedup state (st16's exact form — the event-time column
+        # is IN the dedup key, so state is dropped once the watermark
+        # passes the day). Replayed slice-tail duplicates are exact
+        # copies, so key-level emit-once subsumes their dedup here.
+        uv = ev.dropDuplicates(["user_id", "day_ts"]).select(
+            "day_ts", "vc", "ch", "ar", "isn",
+            F.lit(1).alias("uv"), F.lit(0).alias("pv"),
+            F.lit(0).alias("sv"), F.lit(0.0).alias("value"),
+        )
+        # pv/sv branch: every event once — the source's at-least-once
+        # replay is absorbed by ST1 dedup on event_id (the reference
+        # reads exactly-once Kafka; the file twin must earn it). svCt
+        # is STATELESS in the reference too (last_page_id empty,
+        # :86-88) — the analog reads the session-start flag off the
+        # event's props.
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        pv = (
+            ev.dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "day_ts", "vc", "ch", "ar", "isn",
+                F.lit(0).alias("uv"), F.lit(1).alias("pv"),
+                F.when(F.pmod(k, F.lit(_APP6_SV_MOD)) == 0, 1)
+                .otherwise(0)
+                .alias("sv"),
+                "value",
+            )
+        )
+        # A3/W1/W7: the 4-dim tumbling reduce over the UNION of both
+        # keyed-state branches (:115-172) — two keyed states feeding
+        # one window in a single plan; sums split per branch (uv rows
+        # carry value=0.0, exact under the DECIMAL sum)
+        agg = (
+            uv.unionByName(pv)
+            .groupBy(
+                F.window("day_ts", "1 day").alias("w"),
+                "vc", "ch", "ar", "isn",
+            )
+            .agg(
+                F.sum("pv").cast("bigint").alias("pv_ct"),
+                F.sum("uv").cast("bigint").alias("uv_ct"),
+                F.sum("sv").cast("bigint").alias("sv_ct"),
+                dec_sum("value", "dur_sum"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "vc", "ch", "ar", "isn",
+                "pv_ct", "uv_ct", "sv_ct", "dur_sum",
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # 2 dedup states + 1 windowed agg = 3 stateful operators
+            _assert_state_operators(_dump_progress(q, base), 3)
+
+    return _artifact_dir(spark, sf_dir, "app6s", build)
+
+
+@register(
+    "app6s_traffic_page_view_stream_chain",
+    survey="ST4,ST6,ST1,A3,A1,W1,W7,S7",
+    doc="The reference's DwsTrafficVcChArIsNewPageViewWindow app "
+        "END-TO-END as one Structured Streaming query "
+        "(DwsTrafficVcChArIsNewPageViewWindow.java:58-172): ST4 "
+        "first-event-per-day UV via watermark-evicted keyed dedup "
+        "state (the lastVisitDateState, :58-106) UNIONED with the "
+        "every-event pv/sv branch — itself ST1-deduped on event_id "
+        "because the source re-delivers slice tails — then the 4-dim "
+        "(vc/ch/ar/is_new) tumbling event-time reduce with window "
+        "meta stt/edt (A3/W1/W7, :115-172) summing pvCt/uvCt/svCt and "
+        "the exact DECIMAL durSum: TWO keyed dedup states and the "
+        "window state in ONE query plan, asserted from the progress "
+        "records. svCt is stateless in the reference too "
+        "(last_page_id empty, :86-88) — the analog flags "
+        "props.k % 7 == 0 session starts (ST6's session-count "
+        "semantics live in the driver-checked st6/st13 rows). "
+        "Sentinel flush ⇒ the sink equals the unrestricted composed "
+        "batch oracle; the read-back excludes the far-future sentinel "
+        "windows, app2s-style.",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id % 3 AS vc, user_id % 7 AS ch,
+                   user_id % 5 AS ar, user_id % 2 AS isn,
+                   date_trunc('day', ts) AS d, value,
+                   CASE WHEN TRY_CAST(json_extract_string(props, 'k')
+                                      AS INT) % {_APP6_SV_MOD} = 0
+                        THEN 1 ELSE 0 END AS sv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(d + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+               CAST(vc AS INT) AS vc, CAST(ch AS INT) AS ch,
+               CAST(ar AS INT) AS ar, CAST(isn AS INT) AS isn,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS uv_ct,
+               CAST(SUM(sv) AS BIGINT) AS sv_ct,
+               {oracle_dec_sum('value', 'dur_sum')}
+        FROM ev GROUP BY d, vc, ch, ar, isn
+    """,
+)
+def app6s_traffic_page_view_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app6s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("stt") <= F.col("mx"))
+        .drop("mx")
+    )

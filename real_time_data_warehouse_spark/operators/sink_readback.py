@@ -306,12 +306,14 @@ def _k4_build(spark: SparkSession, sf_dir: str) -> str:
     def build(base: str) -> None:
         t = Tables(spark, sf_dir)
         # synthetic keyed CDC off the event stream: one record per event,
-        # key = user_id, unique total order ord = epoch-seconds·2^20 +
-        # event_id (engine-exact bigint), every 11th event a delete
+        # key = user_id, unique total order ord = epoch-seconds·2^31 +
+        # event_id (engine-exact bigint; 2^31 not 2^20 — sf1 already
+        # reaches event_id 999,999 and outgrowing the modulus silently
+        # inverts LWW order), every 11th event a delete
         cdc = t.events.select(
             "user_id",
             (
-                F.unix_timestamp("ts").cast("bigint") * (1 << 20)
+                F.unix_timestamp("ts").cast("bigint") * F.lit(1 << 31)
                 + F.col("event_id")
             ).alias("ord"),
             F.when(F.col("event_id") % 11 == 0, "delete")
@@ -362,14 +364,14 @@ def _k4_build(spark: SparkSession, sf_dir: str) -> str:
                last_event_type
         FROM (
             SELECT user_id,
-                   CAST(floor(epoch(ts)) AS BIGINT) * (1 << 20) + event_id AS ord,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 2147483648 + event_id AS ord,
                    CASE WHEN event_id % 11 = 0 THEN 'delete'
                         ELSE 'upsert' END AS type,
                    event_type AS last_event_type,
                    ROW_NUMBER() OVER (
                        PARTITION BY user_id
-                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) * (1 << 20)
-                                + event_id DESC) AS rn
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                * 2147483648 + event_id DESC) AS rn
             FROM events
         ) WHERE rn = 1 AND type <> 'delete'
     """,

@@ -811,13 +811,15 @@ def _crash_once(crash_batch: int):
     return fault, calls
 
 
-def _run_crash_restart(spark: SparkSession, start_query, plant_debris) -> None:
+def _run_crash_restart(spark: SparkSession, start_query, plant_debris):
     """Shared crash→debris→restart driver for the fan-out rows: start
     the query with the one-shot fault armed, require the injected crash
     to terminate it, plant partial-write debris in the crashed epoch's
     output (what a real mid-write failure leaves on a file sink), then
-    restart from the SAME checkpoint and await clean completion. The
-    read-back comparing to the batch oracle is then checking
+    restart from the SAME checkpoint and await clean completion,
+    returning the restarted query handle (its progress records cover
+    the replayed epochs — app5s pins its stateful-operator chain off
+    them). The read-back comparing to the batch oracle is then checking
     exactly-once across the failure: epoch replay must overwrite the
     debris, and committed epochs must not re-emit."""
     fault, calls = _crash_once(_X1S_CRASH_BATCH)
@@ -850,6 +852,7 @@ def _run_crash_restart(spark: SparkSession, start_query, plant_debris) -> None:
     plant_debris()
     q2 = start_query(None)
     _await(q2)
+    return q2  # the restarted handle: progress records of the replay
 
 
 def _x1s_build(spark: SparkSession, sf_dir: str) -> str:

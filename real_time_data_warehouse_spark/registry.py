@@ -63,68 +63,21 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-10 rotation (tools/rotation.py freshness order): tier 1 =
-    # the two queries NEW this round — app1s and app2s, the reference's
-    # DwdTradeOrderDetail and DwsTradeProvinceOrderWindow apps each
-    # executed END-TO-END as one multi-stateful-operator streaming
-    # query against a composed oracle (the round-9 verdict's last
-    # composition gap); tier 2 = the stalest greens — the 13-query r5
-    # cohort (c1/m3/t1b/s2/t3/t2/t1/t4/p1/m1/m2/c2/c3), then the
-    # oldest r6 rows up to the 50-slot cap. Everything below the cap
-    # carries r6-r9 signal and rotates back by freshness next round.
-    "app1s_order_detail_stream_chain",  # NEW r10
-    "app2s_province_order_stream_chain",  # NEW r10
-    "app3s_sku_order_stream_chain",  # NEW r10
-    "app4s_dim_app_stream_chain",  # NEW r10
-    "c1_corpus_curation",  # r5
-    "m3_corrupt_quarantine",  # r5
-    "t1b_trigram_langid",  # r5
-    "s2_lsh_ann_topk",  # r5
-    "t3_token_count",  # r5
-    "t2_quality_score",  # r5
-    "t1_lang_id",  # r5
-    "t4_fingerprint",  # r5
-    "p1_cdc_etl_filter",  # r5
-    "m1_media_features",  # r5
-    "m2_frame_sampling",  # r5
-    "c2_stratified_sample",  # r5
-    "c3_sequence_packing",  # r5
-    "z2_column_stats",  # r6
-    "c15_curriculum_phases",  # r6
-    "d20_semantic_decontamination",  # r6
-    "t16_bigram_perplexity",  # r6
-    "s14_sq8_ann_topk",  # r6
-    "s14b_sq8_recall_audit",  # r6
-    "z3_compaction_plan",  # r6
-    "c16_dedup_adjusted_mixture",  # r6
-    "z3s_compaction_replay",  # r6
-    "s15_ivf_sq8_topk",  # r6
-    "j12_bucketed_join",  # r6
-    "s15s_ivf_ingest_replay",  # r6
-    "m6_keyframe_dedup",  # r6
-    "g1_pagerank",  # r6
-    "d22_fuzzy_entity_match",  # r6
-    "t17_bpe_merges",  # r6
-    "t17b_bpe_encode",  # r6
-    "c17_perceptron_quality",  # r6
-    "c19_dsir_importance",  # r6
-    "c18_k_anonymity_audit",  # r6
-    "d23_entity_clusters",  # r6
-    "d22b_er_recall_audit",  # r6
-    "g1b_personalized_pagerank",  # r6
-    "g2_triangle_count",  # r6
-    "p5_cdc_state_transition",  # r6
-    "p6_cart_delta",  # r6
-    "p7_dynamic_column_pruning",  # r6
-    "p8_page_filter",  # r6
-    "p9_login_filter",  # r6
-    "p10_search_filter",  # r6
-    "sql1_order_detail_app",  # r6
-    "sql2_keyword_window_app",  # r6
-    "sql3_serving_gmv_app",  # r6
+    # Round-11 rotation (tools/rotation.py freshness order): tier 1 =
+    # the two queries NEW this round — app5s (DwdBaseLog end-to-end:
+    # dirty side-output + keyed ST3 visitor repair + 5-way split with
+    # child explode, 6 sinks, crash+restart) and app6s
+    # (DwsTrafficVcChArIsNewPageViewWindow: two keyed dedup states
+    # unioned into the 4-dim tumbling reduce); tier 2 = the stalest
+    # greens — the 17-query r6 cohort (d5/d9/d9s/f_scalar/a2b/j9/a12/
+    # a11b/d7s/q0/f_json/j6-j8b/a1/a2), then the oldest r7 rows up to
+    # the 50-slot cap. Everything below the cap carries r7-r10 signal
+    # and rotates back by freshness next round.
+    "app5s_base_log_stream_chain",  # NEVER
+    "app6s_traffic_page_view_stream_chain",  # NEVER
     "d5_embedding_neardup",  # r6
     "d9_semantic_gate",  # r6
-    "d9s_semantic_gate_replay",  # r6  # --- driver cap (50) ---
+    "d9s_semantic_gate_replay",  # r6
     "f_scalar_suite",  # r6
     "a2b_approx_distinct",  # r6
     "j9_salted_skew_join",  # r6
@@ -169,7 +122,7 @@ MANIFEST: tuple[str, ...] = (
     "st6_session_count",  # r7
     "x1_log_split",  # r7
     "x1b_explode_children",  # r7
-    "x3_set_ops",  # r7
+    "x3_set_ops",  # r7  # --- driver cap (50) ---
     "s4_cluster_stats",  # r7
     "s2b_lsh_multiband_topk",  # r7
     "d7_dedup_gate",  # r7
@@ -289,6 +242,56 @@ MANIFEST: tuple[str, ...] = (
     "c4_corpus_shuffle",  # r9
     "c5_pseudonymize",  # r9
     "c6_mixture_weights",  # r9
+    "app1s_order_detail_stream_chain",  # r10
+    "app2s_province_order_stream_chain",  # r10
+    "app3s_sku_order_stream_chain",  # r10
+    "app4s_dim_app_stream_chain",  # r10
+    "c1_corpus_curation",  # r10
+    "m3_corrupt_quarantine",  # r10
+    "t1b_trigram_langid",  # r10
+    "s2_lsh_ann_topk",  # r10
+    "t3_token_count",  # r10
+    "t2_quality_score",  # r10
+    "t1_lang_id",  # r10
+    "t4_fingerprint",  # r10
+    "p1_cdc_etl_filter",  # r10
+    "m1_media_features",  # r10
+    "m2_frame_sampling",  # r10
+    "c2_stratified_sample",  # r10
+    "c3_sequence_packing",  # r10
+    "z2_column_stats",  # r10
+    "c15_curriculum_phases",  # r10
+    "d20_semantic_decontamination",  # r10
+    "t16_bigram_perplexity",  # r10
+    "s14_sq8_ann_topk",  # r10
+    "s14b_sq8_recall_audit",  # r10
+    "z3_compaction_plan",  # r10
+    "c16_dedup_adjusted_mixture",  # r10
+    "z3s_compaction_replay",  # r10
+    "s15_ivf_sq8_topk",  # r10
+    "j12_bucketed_join",  # r10
+    "s15s_ivf_ingest_replay",  # r10
+    "m6_keyframe_dedup",  # r10
+    "g1_pagerank",  # r10
+    "d22_fuzzy_entity_match",  # r10
+    "t17_bpe_merges",  # r10
+    "t17b_bpe_encode",  # r10
+    "c17_perceptron_quality",  # r10
+    "c19_dsir_importance",  # r10
+    "c18_k_anonymity_audit",  # r10
+    "d23_entity_clusters",  # r10
+    "d22b_er_recall_audit",  # r10
+    "g1b_personalized_pagerank",  # r10
+    "g2_triangle_count",  # r10
+    "p5_cdc_state_transition",  # r10
+    "p6_cart_delta",  # r10
+    "p7_dynamic_column_pruning",  # r10
+    "p8_page_filter",  # r10
+    "p9_login_filter",  # r10
+    "p10_search_filter",  # r10
+    "sql1_order_detail_app",  # r10
+    "sql2_keyword_window_app",  # r10
+    "sql3_serving_gmv_app",  # r10
 )
 
 

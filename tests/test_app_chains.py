@@ -28,14 +28,23 @@ def test_app_source_injects_duplicates_and_sentinel(spark):
 
     src = _app_source(spark, SF_DIR)
     files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-    assert files[-1] == "batch_z_sentinel.parquet"
+    assert files[-2:] == [
+        "batch_z1_sentinel.parquet", "batch_z2_sentinel.parquet"
+    ]
+    # mtime order must equal slice order, sentinels last (the file
+    # source follows modification time; the offsets are derived from
+    # the file count, so this holds at ANY slice count)
+    by_mtime = sorted(
+        files, key=lambda f: os.path.getmtime(os.path.join(src, f))
+    )
+    assert by_mtime == files, by_mtime
     df = spark.read.parquet(src)
     base_n = Tables(spark, SF_DIR).events.count()
     n = df.count()
-    # 3 sentinel rows + at least a few replayed-tail duplicates: remove
-    # either and the app rows stop exercising dedup / state flush
-    assert n > base_n + 3, (n, base_n)
-    assert df.where(F.col("event_id") < 0).count() == 3
+    # 2x4 sentinel rows + at least a few replayed-tail duplicates:
+    # remove either and the app rows stop exercising dedup/state flush
+    assert n > base_n + 8, (n, base_n)
+    assert df.where(F.col("event_id") < 0).count() == 8
     dups = (
         df.where(F.col("event_id") >= 0)
         .groupBy("event_id")
@@ -91,7 +100,7 @@ def _progress(spark, build, name):
         return [json.loads(line) for line in f]
 
 
-def test_app1s_chain_is_five_stateful_operators(spark):
+def test_app1s_chain_is_seven_stateful_operators(spark):
     from real_time_data_warehouse_spark.operators.app_chains import (
         _app1s_build,
     )
@@ -102,14 +111,15 @@ def test_app1s_chain_is_five_stateful_operators(spark):
         for r in records
         for s in r.get("stateOperators", [])
     }
-    # 3 per-branch dedups + 2 symmetric hash joins
+    # 4 per-branch dedups + 3 symmetric hash joins (the reference's
+    # full four-stream topology incl. order_detail_coupon)
     assert ops == {"dedupeWithinWatermark", "symmetricHashJoin"}, ops
     batch_counts = {
         len(r["stateOperators"])
         for r in records
         if r.get("stateOperators")
     }
-    assert batch_counts == {5}, batch_counts
+    assert batch_counts == {7}, batch_counts
     # the dedup stage actually suppressed the replayed duplicates:
     # dedup output rows < dedup input rows in at least one batch
     suppressed = sum(
@@ -249,3 +259,71 @@ def test_app4s_dim_store_shape(spark):
         assert d.where(F.col("user_id") < 0).count() == 0
         # every surviving row is an upsert (deletes leave no row)
         assert d.where(F.col("op") == "delete").count() == 0
+
+
+def test_app5s_matches_composed_oracle(spark):
+    q = _reg("app5s_base_log_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app5s_source_dirty_rule_and_sides(spark):
+    """The injected dirty rows exist (the P2 side output is
+    load-bearing), every side dir is written, and the crashed epoch's
+    planted debris (is_new=9 rows) was REPLACED by the replay."""
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _APP5_SIDES,
+        _app5s_build,
+    )
+
+    base = _app5s_build(spark, SF_DIR)
+    out = os.path.join(base, "out")
+    assert sorted(os.listdir(out)) == sorted(_APP5_SIDES)
+    dirty = spark.read.parquet(os.path.join(out, "dirty"))
+    assert dirty.count() > 0, "no dirty rows — the P2 side is decorative"
+    # dirty rows carry NULL is_new (state-neutral passthrough)
+    assert dirty.where(F.col("is_new").isNotNull()).count() == 0
+    action = spark.read.parquet(os.path.join(out, "action"))
+    assert action.where(F.col("is_new") == 9).count() == 0, (
+        "planted debris survived the epoch replay"
+    )
+
+
+def test_app5s_chain_is_one_keyed_state_operator(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app5s_build,
+    )
+
+    records = _progress(spark, _app5s_build, "app5s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert names and all(len(n) == 1 for n in names), names
+    assert {n[0] for n in names} == {"applyInPandasWithState"}, names
+
+
+def test_app6s_matches_composed_oracle(spark):
+    q = _reg("app6s_traffic_page_view_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app6s_chain_is_two_dedups_and_window_agg(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app6s_build,
+    )
+
+    records = _progress(spark, _app6s_build, "app6s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert names and all(
+        n == ["dedupe", "dedupeWithinWatermark", "stateStoreSave"]
+        for n in names
+    ), names

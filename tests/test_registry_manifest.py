@@ -2,14 +2,15 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-10 rotation
-(tools/rotation.py freshness order): tier 1 = the round-10 additions
-(never driver-verified — app1s/app2s/app3s: the DwdTradeOrderDetail,
-DwsTradeProvinceOrderWindow and DwsTradeSkuOrderWindow apps
-end-to-end as single multi-stateful-operator streaming queries); tier 2 = the stalest
-greens — the 13-query r5 cohort (c1/m3/t1b/s2/t3/t2/t1/t4/p1/m1/m2/
-c2/c3) and the oldest r6 rows up to the cap. Slots below the cap all
-carry r6-r9 green signal and rotate back by freshness later.
+manifest slots are the only hard-signal slots. Round-11 rotation
+(tools/rotation.py freshness order): tier 1 = the round-11 additions
+(never driver-verified — app5s: DwdBaseLog end-to-end with dirty
+side-output + keyed ST3 repair + 5-way split + crash/restart; app6s:
+DwsTrafficVcChArIsNewPageViewWindow with two keyed dedup states
+unioned into the 4-dim tumbling reduce); tier 2 = the stalest greens —
+the 17-query r6 cohort, then the oldest r7 rows up to the cap. Slots
+below the cap all carry r7-r10 green signal and rotate back by
+freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -31,63 +32,32 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (the round-10 additions): lead the manifest
+# Never driver-verified (the round-11 additions): lead the manifest
 # unconditionally.
 TIER1 = (
-    "app1s_order_detail_stream_chain",
-    "app2s_province_order_stream_chain",
-    "app3s_sku_order_stream_chain",
-    "app4s_dim_app_stream_chain",
+    "app5s_base_log_stream_chain",
+    "app6s_traffic_page_view_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
-    "c1_corpus_curation",
-    "m3_corrupt_quarantine",
-    "t1b_trigram_langid",
-    "s2_lsh_ann_topk",
-    "t3_token_count",
-    "t2_quality_score",
-    "t1_lang_id",
-    "t4_fingerprint",
-    "p1_cdc_etl_filter",
-    "m1_media_features",
-    "m2_frame_sampling",
-    "c2_stratified_sample",
-    "c3_sequence_packing",
-    "z2_column_stats",
-    "c15_curriculum_phases",
-    "d20_semantic_decontamination",
-    "t16_bigram_perplexity",
-    "s14_sq8_ann_topk",
-    "s14b_sq8_recall_audit",
-    "z3_compaction_plan",
-    "c16_dedup_adjusted_mixture",
-    "z3s_compaction_replay",
-    "s15_ivf_sq8_topk",
-    "j12_bucketed_join",
-    "s15s_ivf_ingest_replay",
-    "m6_keyframe_dedup",
-    "g1_pagerank",
-    "d22_fuzzy_entity_match",
-    "t17_bpe_merges",
-    "t17b_bpe_encode",
-    "c17_perceptron_quality",
-    "c19_dsir_importance",
-    "c18_k_anonymity_audit",
-    "d23_entity_clusters",
-    "d22b_er_recall_audit",
-    "g1b_personalized_pagerank",
-    "g2_triangle_count",
-    "p5_cdc_state_transition",
-    "p6_cart_delta",
-    "p7_dynamic_column_pruning",
-    "p8_page_filter",
-    "p9_login_filter",
-    "p10_search_filter",
-    "sql1_order_detail_app",
-    "sql2_keyword_window_app",
-    "sql3_serving_gmv_app",
+    "d5_embedding_neardup",
+    "d9_semantic_gate",
+    "d9s_semantic_gate_replay",
+    "f_scalar_suite",
+    "a2b_approx_distinct",
+    "j9_salted_skew_join",
+    "a12_salted_skew_agg",
+    "a11b_approx_percentiles",
+    "d7s_dedup_gate_replay",
+    "q0_flagship_trade_summary",
+    "f_json_roundtrip",
+    "j6_dim_chain_join",
+    "j7_broadcast_config_join",
+    "j8_semi_anti_join",
+    "j8b_full_outer_join",
+    "a1_windowed_sum",
+    "a2_distinct_count",
 )
 
 
