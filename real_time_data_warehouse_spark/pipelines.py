@@ -80,12 +80,15 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_base_log",
         "realtime-dwd/realtime-dwd-base-log/.../DwdBaseLog.java",
         "dwd",
-        ("p2_dirty_side_output", "x1_log_split", "x1b_explode_children",
-         "st3_visitor_state_fix"),
-        _dwd_base_log,
+        ("app5s_base_log_stream_chain", "p2_dirty_side_output",
+         "x1_log_split", "x1b_explode_children", "st3_visitor_state_fix"),
+        _q("app5s_base_log_stream_chain"),
         "JSON gate + 5-way side-output split (:192-295) + displays/actions "
         "explode + new/old visitor repair (:121-188; streaming form "
-        "streaming/stateful.visitor_fix).",
+        "streaming/stateful.visitor_fix). app5s runs the WHOLE app as ONE "
+        "streaming query — dirty side-output + keyed ST3 repair + split "
+        "with child explode into 6 sinks, with crash+checkpoint restart — "
+        "against a composed oracle.",
     ),
     AppTopology(
         "dwd_base_db",
@@ -117,13 +120,14 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_trade_order_detail",
         "realtime-dwd/.../DwdTradeOrderDetail.java",
         "dwd",
-        ("j1_inner_equi_join", "j2_left_outer_join", "st1_dedup_last_wins",
-         "app1s_order_detail_stream_chain"),
+        ("app1s_order_detail_stream_chain", "j1_inner_equi_join",
+         "j2_left_outer_join", "st1_dedup_last_wins"),
         _q("app1s_order_detail_stream_chain"),
         "Regular inner + left joins with 10 s idle-state TTL (:26,84-108); "
         "downstream dedup of retract duplicates = st1. app1s runs the WHOLE "
-        "chain (3x dedup + inner + left-outer, 5 stateful ops) as ONE "
-        "streaming query against a composed oracle.",
+        "chain — all FOUR streams incl. the coupon branch, 4x dedup + inner "
+        "+ two chained left-outers, 7 stateful ops — as ONE streaming query "
+        "against a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_order_cancel",
@@ -170,10 +174,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_traffic_vc_ch_ar_isnew_page_view",
         "realtime-dws/.../DwsTrafficVcChArIsNewPageViewWindow.java",
         "dws",
-        ("st4_first_per_day_uv", "st6_session_count", "a3_multikey_window"),
-        _q("a3_multikey_window"),
+        ("app6s_traffic_page_view_stream_chain", "st4_first_per_day_uv",
+         "st6_session_count", "a3_multikey_window"),
+        _q("app6s_traffic_page_view_stream_chain"),
         "UV state (:58-106) + session detect (:86-88) + 4-dim windowed reduce "
-        "(:125-172).",
+        "(:125-172). app6s runs the WHOLE app as ONE streaming query — two "
+        "keyed dedup states unioned into the 4-dim tumbling reduce — against "
+        "a composed oracle.",
     ),
     AppTopology(
         "dws_traffic_home_detail_page_view",

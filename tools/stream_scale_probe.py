@@ -22,7 +22,11 @@ A watermark/range-bounded stateful operator should scale ≈ linearly in
 wall time (ratio ≈≤10 on 10x data) with state bounded by rate × range,
 NOT by stream length.
 
-    python tools/stream_scale_probe.py [sf1_dir]
+    python tools/stream_scale_probe.py [sf1_dir] [row_name ...]
+
+Optional trailing row names restrict the probe (re-measuring only the
+rows added or changed in a round instead of paying the full ~20 min
+sweep — d9x alone is ~10 min at sf1).
 """
 
 from __future__ import annotations
@@ -48,6 +52,12 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("d9x_semantic_gate_stream_readback", ("d9x",)),
     ("app1s_order_detail_stream_chain", ("app1s",)),
     ("app2s_province_order_stream_chain", ("app2s",)),
+    # round-11 additions (app1s re-measured too: its topology grew to
+    # the full four-stream / 7-operator chain this round)
+    ("app3s_sku_order_stream_chain", ("app3s",)),
+    ("app4s_dim_app_stream_chain", ("app4s",)),
+    ("app5s_base_log_stream_chain", ("app5s",)),
+    ("app6s_traffic_page_view_stream_chain", ("app6s",)),
 ]
 
 
@@ -88,8 +98,11 @@ def main() -> int:
     if not os.path.isdir(sf1):
         print(f"sf1 probe dir {sf1} missing — run tools/gen_sf1_probe.py")
         return 1
+    only = set(sys.argv[2:])
+    rows = [r for r in ROWS if not only or r[0] in only]
 
     from real_time_data_warehouse_spark.operators.app_chains import (
+        _app5_source,
         _app_source,
     )
     from real_time_data_warehouse_spark.operators.streaming_exec import (
@@ -108,10 +121,11 @@ def main() -> int:
         # price the streaming execution, not source prep)
         _sliced_source(spark, sf_dir, _SRC_FILES)
         _app_source(spark, sf_dir)
+        _app5_source(spark, sf_dir)
         # the gate rows slice documents/embeddings their own way —
         # their sources are small; leave inside the timed build (same
         # treatment both scales, so the ratio is still apples-to-apples)
-        for name, kinds in ROWS:
+        for name, kinds in rows:
             _evict_kinds(spark, sf_dir, kinds)
             t0 = time.time()
             n = reg[name].fn(spark, sf_dir).count()
