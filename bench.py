@@ -160,6 +160,8 @@ EXTENDED = (
     # build, app6s cold = the two-dedup + 4-dim-window build)
     "app5s_base_log_stream_chain",
     "app6s_traffic_page_view_stream_chain",
+    "app7s_user_login_stream_chain",
+    "app8s_keyword_window_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -1320,3 +1320,284 @@ def app6s_traffic_page_view_stream_chain(
         .where(F.col("stt") <= F.col("mx"))
         .drop("mx")
     )
+
+
+# --------------------------------------------------------------------------
+# app8s: DwsTrafficSourceKeywordPageViewWindow — P10 search filter + U1
+# tokenizer explode + ST1 dedup + A6/W3 windowed keyword count
+# --------------------------------------------------------------------------
+
+_APP8_VOCAB = (
+    "data", "warehouse", "realtime", "stream",
+    "query", "search", "window", "join",
+)
+_APP8_SEARCH_MOD = 4  # k % 4 == 1 → a "search" page view (P10)
+
+
+def _app8s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.functions.text import tokenize
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        # P10: the search-page filter (DwsTrafficSourceKeywordPageView
+        # Window.java:66-77 keeps last_page_id='search' pages with a
+        # non-null item). Sentinels pass on negative ids — they must
+        # reach the watermark to advance it; their null-k phrase
+        # tokenizes to an empty array AFTER the watermark, so explode
+        # drops them without stalling anything.
+        searches = (
+            stream_events(spark, src)
+            .withColumn("k", k)
+            .where(
+                (F.col("event_id") < 0)
+                | (
+                    (F.col("event_type") == "view")
+                    & (F.pmod(F.col("k"), F.lit(_APP8_SEARCH_MOD)) == 1)
+                )
+            )
+        )
+        # ST1: the source re-delivers slice tails — without this dedup
+        # every replayed search double-counts its keywords
+        ded = searches.withWatermark(
+            "ts", _DELAY
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        # U1: the tokenizer UDTF (KeywordUtil.java:16-41 splitKeyWord →
+        # one row per keyword). The search phrase is derived
+        # deterministically from props.k (the corpus carries no text
+        # column — a6b's fixture discipline), then functions/text.
+        # tokenize splits it INSIDE the streaming plan and explode
+        # fans out one row per keyword — the flatMap shape of Flink's
+        # UDTF, stateless between the two stateful ops.
+        vocab = F.array(*[F.lit(w) for w in _APP8_VOCAB])
+        phrase = F.concat(
+            F.element_at(
+                vocab, (F.pmod(F.col("k"), F.lit(8)) + 1).cast("int")
+            ),
+            F.lit(" "),
+            F.element_at(
+                vocab,
+                (F.pmod(F.col("k") * 3 + 1, F.lit(8)) + 1).cast("int"),
+            ),
+        )
+        words = ded.select(
+            "ts", F.explode(tokenize(phrase)).alias("keyword")
+        )
+        # A6/W3: per-keyword tumbling count with window meta (:94-130)
+        agg = (
+            words.groupBy(F.window("ts", "1 day").alias("w"), "keyword")
+            .agg(F.count("*").cast("bigint").alias("keyword_ct"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "keyword",
+                "keyword_ct",
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # dedup + windowed count = 2 stateful operators; the
+            # tokenizer explode is stateless between them
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app8s", build)
+
+
+_APP8_VOCAB_SQL = "['" + "','".join(_APP8_VOCAB) + "']"
+
+
+@register(
+    "app8s_keyword_window_stream_chain",
+    survey="P10,U1,ST1,A6,W3,W1,W7",
+    doc="The reference's DwsTrafficSourceKeywordPageViewWindow app "
+        "END-TO-END as one Structured Streaming query "
+        "(DwsTrafficSourceKeywordPageViewWindow.java:66-130): the "
+        "search-page filter (P10, :66-77 — k%4==1 'search' views; "
+        "sentinels pass on negative ids so the watermark still "
+        "advances) → ST1 dedup on event_id (the source re-delivers "
+        "slice tails; without it every replayed search double-counts) "
+        "→ the tokenizer UDTF as a STATELESS explode between the two "
+        "stateful ops (U1, KeywordUtil.java:16-41 — the search phrase "
+        "derives deterministically from props.k, functions/text."
+        "tokenize splits it in-plan) → per-keyword tumbling count "
+        "with window meta (A6/W3/W7, :94-130). Two stateful operators "
+        "asserted from the progress records; sentinel flush ⇒ the "
+        "sink equals the unrestricted composed batch oracle; the "
+        "read-back excludes the far-future sentinel windows "
+        "(app2s-style).",
+    oracle=f"""
+        WITH searches AS (
+            SELECT ts,
+                   CAST(json_extract_string(props, 'k') AS INT) AS k
+            FROM events
+            WHERE event_type = 'view'
+              AND CAST(json_extract_string(props, 'k') AS INT)
+                  % {_APP8_SEARCH_MOD} = 1
+        ), words AS (
+            SELECT ts, t.keyword
+            FROM searches, LATERAL (
+                SELECT unnest([
+                    {_APP8_VOCAB_SQL}[CAST(k % 8 + 1 AS INT)],
+                    {_APP8_VOCAB_SQL}[CAST((k * 3 + 1) % 8 + 1 AS INT)]
+                ]) AS keyword
+            ) t
+        )
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts),
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL 1 DAY, ts)
+                        + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+               keyword,
+               CAST(COUNT(*) AS BIGINT) AS keyword_ct
+        FROM words GROUP BY 1, 2, 3
+    """,
+)
+def app8s_keyword_window_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app8s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("stt") <= F.col("mx"))
+        .drop("mx")
+    )
+
+
+# --------------------------------------------------------------------------
+# app7s: DwsUserUserLoginWindow — ST5 keyed state CHAINED into an
+# update-mode aggregate, delivered by LWW upsert (the reference's
+# keyed-process → windowAll → sink shape)
+# --------------------------------------------------------------------------
+
+
+def _app7s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+    from real_time_data_warehouse_spark.streaming.sinks import upsert_dim
+    from real_time_data_warehouse_spark.streaming.stateful import (
+        returning_user,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        logins = (
+            stream_events(spark, src)
+            .where(F.col("event_type").isin("signup", "click"))
+            .select("user_id", "ts")
+        )
+        # ST5 keyed state (DwsUserUserLoginWindow.java:80-124) emits one
+        # row per NEW login date per user; the source's replayed slice
+        # tails are absorbed by the state itself (same-day re-deliveries
+        # fail the d > last_login_date guard — idempotent under
+        # at-least-once, no separate dedup operator needed). CHAINED
+        # into a per-date aggregate in UPDATE mode: each micro-batch
+        # emits the changed dates' running uu/back totals, and the LWW
+        # upsert keyed by cur_date (ord = batch id, monotone) folds
+        # them so the FINAL store equals the complete aggregate — the
+        # exact shape of the reference's keyed-process → windowAll →
+        # upsert-sink, with no watermark and no horizon math.
+        daily = (
+            returning_user(logins)
+            .groupBy("cur_date")
+            .agg(
+                F.sum("is_uu").cast("bigint").alias("uu_ct"),
+                F.sum("is_back").cast("bigint").alias("back_ct"),
+            )
+        )
+
+        def body(b: DataFrame, bid: int) -> None:
+            ups = b.withColumn(
+                "ord", F.lit(bid).cast("bigint")
+            ).withColumn("op", F.lit("upsert"))
+            upsert_dim(
+                spark, ups, store, ["cur_date"],
+                order_col="ord", type_col="op",
+            )
+
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                daily.writeStream.foreachBatch(body)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # the keyed ST5 state + the update-mode aggregate state
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app7s", build)
+
+
+@register(
+    "app7s_user_login_stream_chain",
+    survey="ST5,U2,A4,S6,S7",
+    doc="The reference's DwsUserUserLoginWindow app END-TO-END as one "
+        "Structured Streaming query (DwsUserUserLoginWindow.java:"
+        "60-151): login filter (P9, :60-74) → the ST5 returning-user "
+        "keyed state via applyInPandasWithState (:80-124; the source's "
+        "replayed slice tails are absorbed by the state's own "
+        "date-monotonicity guard — idempotent under at-least-once) "
+        "CHAINED into a per-date aggregate in UPDATE mode (:126-140's "
+        "windowAll reduce), delivered by LWW upsert keyed on cur_date "
+        "(ord = monotone batch id — the upsert-Kafka/Doris delivery, "
+        ":141-151). A custom-keyed-state operator feeding a downstream "
+        "stateful aggregate in ONE plan — the chain st15 and a4 "
+        "verified only separately; two stateful operators asserted "
+        "from the progress records. The FINAL store equals st5's "
+        "unrestricted batch oracle (update-mode running totals folded "
+        "by last-write-wins); the read-back excludes the far-future "
+        "sentinel dates (app2s-style).",
+    oracle=None,  # st5's oracle verbatim — attached below
+)
+def app7s_user_login_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app7s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "store"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("cur_date") <= F.col("mx"))
+        .select("cur_date", "uu_ct", "back_ct")
+    )
+
+
+def _attach_app7s_oracle() -> None:
+    from dataclasses import replace
+
+    from real_time_data_warehouse_spark.operators import (  # noqa: F401
+        stateful as _stateful,
+    )
+    from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
+
+    QUERY_REGISTRY["app7s_user_login_stream_chain"] = replace(
+        QUERY_REGISTRY["app7s_user_login_stream_chain"],
+        oracle=QUERY_REGISTRY["st5_returning_user"].oracle,
+    )
+
+
+_attach_app7s_oracle()

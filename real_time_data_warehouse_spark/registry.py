@@ -75,6 +75,8 @@ MANIFEST: tuple[str, ...] = (
     # and rotates back by freshness next round.
     "app5s_base_log_stream_chain",  # NEVER
     "app6s_traffic_page_view_stream_chain",  # NEVER
+    "app7s_user_login_stream_chain",  # NEVER
+    "app8s_keyword_window_stream_chain",  # NEVER
     "d5_embedding_neardup",  # r6
     "d9_semantic_gate",  # r6
     "d9s_semantic_gate_replay",  # r6

@@ -175,3 +175,16 @@ def test_r10_driver_and_builder_runs_adjudicate_green():
                                   over_small=21)
     ok, reason = bench_compare.weather_verdict(rows, over, {})
     assert ok, reason
+
+
+def test_adjudication_uses_the_same_over_contract():
+    """The isolated steady-state medians are judged by exactly is_over
+    (ratio bound AND absolute floor) against the same frozen bounds —
+    ground truth from the round-11 A/B/A: k1 measured 1.37-3.4x inside
+    two bench runs and 0.45-0.49 s (1.2x) deep-warm isolated with zero
+    code delta, so the isolated median is the regression signal."""
+    over = bench_compare.is_over
+    # k1's adjudicated value: 0.491 vs 0.404 -> transient
+    assert not over(0.491 / 0.404, 0.491, 0.404, 2.0)
+    # a real steady-state regression still fails
+    assert over(3.0, 1.212, 0.404, 2.0)

@@ -37,6 +37,8 @@ DRIVER_CAP = 50
 TIER1 = (
     "app5s_base_log_stream_chain",
     "app6s_traffic_page_view_stream_chain",
+    "app7s_user_login_stream_chain",
+    "app8s_keyword_window_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
