@@ -28,6 +28,20 @@ query against a composed oracle. These rows close that gap:
   routing (TableProcessDim), per-table column pruning, keyed LWW
   upsert/delete into per-table dim stores, WITH a mid-stream crash +
   checkpoint restart (replay ≡ no-op under LWW).
+- ``app5s``: DwdBaseLog — JSON-validity dirty side-output, keyed ST3
+  visitor repair (applyInPandasWithState, dirty rows state-neutral),
+  5-way split with child explosion into 6 foreachBatch sinks, crash +
+  checkpoint restart.
+- ``app6s``: DwsTrafficVcChArIsNewPageViewWindow — first-per-day UV
+  dedup state UNIONED with the event-id-deduped pv/sv branch into the
+  4-dim tumbling reduce (two keyed dedup states + window state).
+- ``app7s``: DwsUserUserLoginWindow — the ST5 returning-user keyed
+  state CHAINED into an update-mode per-date aggregate with LWW upsert
+  delivery (custom keyed state feeding a downstream stateful aggregate
+  in one plan — supported on Spark 4.1.2, established empirically).
+- ``app8s``: DwsTrafficSourceKeywordPageViewWindow — search filter,
+  ST1 dedup, tokenizer explode (stateless between the stateful pair),
+  per-keyword tumbling count.
 
 Three execution-model facts make these rows exact (not
 horizon-truncated like st14/j14):

@@ -165,10 +165,14 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_traffic_source_keyword_page_view",
         "realtime-dws/.../DwsTrafficSourceKeywordPageViewWindow.java",
         "dws",
-        ("p10_search_filter", "a6_keyword_count"),
-        _q("a6_keyword_count"),
+        ("app8s_keyword_window_stream_chain", "p10_search_filter",
+         "a6_keyword_count"),
+        _q("app8s_keyword_window_stream_chain"),
         "Search filter (:42-46) + ik_analyze UDTF → tokenize+explode (:50-51) "
-        "+ TUMBLE count (:55-63).",
+        "+ TUMBLE count (:55-63). app8s runs the WHOLE app as ONE streaming "
+        "query — search filter → event-id dedup → tokenizer explode between "
+        "the stateful pair → per-keyword tumbling count — vs a composed "
+        "oracle.",
     ),
     AppTopology(
         "dws_traffic_vc_ch_ar_isnew_page_view",
@@ -195,10 +199,14 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_user_user_login",
         "realtime-dws/.../DwsUserUserLoginWindow.java",
         "dws",
-        ("p9_login_filter", "st5_returning_user", "a4_global_window"),
-        _q("st5_returning_user"),
+        ("app7s_user_login_stream_chain", "p9_login_filter",
+         "st5_returning_user", "a4_global_window"),
+        _q("app7s_user_login_stream_chain"),
         "Login filter (:51-61) + uu/back state (:80-124; streaming form "
-        "streaming/stateful.returning_user) + global window (:127-152).",
+        "streaming/stateful.returning_user) + global window (:127-152). "
+        "app7s runs the WHOLE app as ONE streaming query — the keyed ST5 "
+        "state CHAINED into an update-mode per-date aggregate with LWW "
+        "upsert delivery — vs st5's unrestricted batch oracle.",
     ),
     AppTopology(
         "dws_trade_cart_add_uu",

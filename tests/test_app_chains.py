@@ -327,3 +327,35 @@ def test_app6s_chain_is_two_dedups_and_window_agg(spark):
         n == ["dedupe", "dedupeWithinWatermark", "stateStoreSave"]
         for n in names
     ), names
+
+
+def test_app7s_matches_st5_oracle(spark):
+    q = _reg("app7s_user_login_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app7s_chain_is_keyed_state_then_agg(spark):
+    """The load-bearing claim: applyInPandasWithState FEEDING a
+    downstream stateful aggregate in one plan (2 state operators)."""
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app7s_build,
+    )
+
+    records = _progress(spark, _app7s_build, "app7s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert names and all(
+        n == ["applyInPandasWithState", "stateStoreSave"] for n in names
+    ), names
+
+
+def test_app8s_matches_composed_oracle(spark):
+    q = _reg("app8s_keyword_window_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg

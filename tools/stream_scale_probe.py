@@ -58,6 +58,8 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("app4s_dim_app_stream_chain", ("app4s",)),
     ("app5s_base_log_stream_chain", ("app5s",)),
     ("app6s_traffic_page_view_stream_chain", ("app6s",)),
+    ("app7s_user_login_stream_chain", ("app7s",)),
+    ("app8s_keyword_window_stream_chain", ("app8s",)),
 ]
 
 
