@@ -162,6 +162,7 @@ EXTENDED = (
     "app6s_traffic_page_view_stream_chain",
     "app7s_user_login_stream_chain",
     "app8s_keyword_window_stream_chain",
+    "app9s_pay_detail_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -1615,3 +1615,126 @@ def _attach_app7s_oracle() -> None:
 
 
 _attach_app7s_oracle()
+
+
+# --------------------------------------------------------------------------
+# app9s: DwdTradeOrderPaySucDetail — ST1 dedups + J4 interval join + J5
+# lookup-dim enrichment as ONE streaming query
+# --------------------------------------------------------------------------
+
+_PAY_BACK = "INTERVAL 30 MINUTE"  # od.et >= pi.et - 30 min (:96-97)
+
+
+def _app9s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+
+        def side(etype: str, idn: str, keyn: str, tsn: str) -> DataFrame:
+            return (
+                ev.where(F.col("event_type") == etype)
+                .select(
+                    F.col("event_id").alias(idn),
+                    F.col("user_id").alias(keyn),
+                    F.col("ts").alias(tsn),
+                )
+                .withWatermark(tsn, _DELAY)
+                .dropDuplicatesWithinWatermark([idn])
+            )
+
+        pay = side("purchase", "pay_id", "pay_key", "pay_ts")
+        det = side("view", "det_id", "det_key", "det_ts")
+        # J4: payment ⋈ order_detail INTERVAL join (DwdTradeOrderPaySuc
+        # Detail.java:93-97 — od.et in [pi.et - 30 min, pi.et]); det_ts
+        # projected away downstream (one event-time column)
+        joined = pay.join(
+            det,
+            (F.col("pay_key") == F.col("det_key"))
+            & (F.col("det_ts") >= F.col("pay_ts") - F.expr(_PAY_BACK))
+            & (F.col("det_ts") <= F.col("pay_ts")),
+        ).select("pay_id", "pay_key", "pay_ts", "det_id")
+        # J5: the base_dic lookup join (:98 — FOR SYSTEM_TIME AS OF) as
+        # a per-batch broadcast hash join against the 25-row dim; the
+        # joined rows are enriched in place, no further shuffle
+        nation = Tables(spark, sf_dir).nation.select(
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+        )
+        res = (
+            joined.withColumn(
+                "province_id",
+                F.pmod(F.col("pay_key"), F.lit(_N_PROVINCES)).cast(
+                    "bigint"
+                ),
+            )
+            .join(F.broadcast(nation), "province_id", "left")
+            .select(
+                "pay_id", "pay_key", "pay_ts", "det_id", "province_name"
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                res.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # 2 dedups + 1 symmetric hash join = 3 stateful operators;
+            # the dim hop is a stateless per-batch broadcast
+            _assert_state_operators(_dump_progress(q, base), 3)
+
+    return _artifact_dir(spark, sf_dir, "app9s", build)
+
+
+@register(
+    "app9s_pay_detail_stream_chain",
+    survey="J4,J5,ST1,S1,W5",
+    doc="The reference's DwdTradeOrderPaySucDetail app END-TO-END as "
+        "one Structured Streaming query (DwdTradeOrderPaySucDetail"
+        ".java:74-98): payment and order-detail branches each "
+        "ST1-deduped within the watermark (the source re-delivers "
+        "slice tails), then the INTERVAL join od.et ∈ [pi.et − 30 min, "
+        "pi.et] (J4, event-time-range-bounded symmetric hash join) "
+        "chained into the base_dic lookup join (J5, FOR SYSTEM_TIME AS "
+        "OF → per-batch broadcast hash join) — three stateful "
+        "operators plus a stateless broadcast enrichment in ONE plan, "
+        "asserted from the progress records; j13/j15 verify these "
+        "pieces only separately. Inner-join emission is eager, and the "
+        "sentinel slices flush the dedup/join state, so the sink "
+        "equals the UNRESTRICTED batch oracle (sentinels cannot join "
+        "— negative non-matching keys). Read-back aggregates per "
+        "(pay_key, province_name): pair count + id checksums.",
+    oracle=f"""
+        SELECT p.user_id AS pay_key,
+               n.n_name AS province_name,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(p.event_id) AS BIGINT) AS pay_id_sum,
+               CAST(SUM(d.event_id) AS BIGINT) AS det_id_sum
+        FROM events p
+        JOIN events d ON p.user_id = d.user_id
+         AND d.event_type = 'view'
+         AND d.ts BETWEEN p.ts - {_PAY_BACK} AND p.ts
+        LEFT JOIN nation n ON n.n_nationkey = p.user_id % {_N_PROVINCES}
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
+    """,
+)
+def app9s_pay_detail_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app9s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("pay_key", "province_name").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("pay_id").cast("bigint").alias("pay_id_sum"),
+        F.sum("det_id").cast("bigint").alias("det_id_sum"),
+    )

@@ -141,9 +141,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_trade_order_pay_suc",
         "realtime-dwd/.../DwdTradeOrderPaySucDetail.java",
         "dwd",
-        ("j4_interval_join", "j5_lookup_dim_join"),
-        _q("j4_interval_join"),
-        "Event-time interval join payment⋈order [-30 min, +5 s] (:74-98).",
+        ("app9s_pay_detail_stream_chain", "j4_interval_join",
+         "j5_lookup_dim_join"),
+        _q("app9s_pay_detail_stream_chain"),
+        "Event-time interval join payment⋈order [-30 min, +5 s] (:74-98) + "
+        "base_dic lookup join. app9s runs the WHOLE app as ONE streaming "
+        "query — two ST1 dedups → interval join → per-batch broadcast dim "
+        "enrichment — vs a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_order_refund",

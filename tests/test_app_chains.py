@@ -359,3 +359,28 @@ def test_app8s_matches_composed_oracle(spark):
     con = make_duck(SF_DIR)
     ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
     assert ok, msg
+
+
+def test_app9s_matches_composed_oracle(spark):
+    q = _reg("app9s_pay_detail_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app9s_chain_is_two_dedups_and_interval_join(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app9s_build,
+    )
+
+    records = _progress(spark, _app9s_build, "app9s")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert names and all(
+        n == ["dedupeWithinWatermark", "dedupeWithinWatermark",
+              "symmetricHashJoin"]
+        for n in names
+    ), names

@@ -39,6 +39,7 @@ TIER1 = (
     "app6s_traffic_page_view_stream_chain",
     "app7s_user_login_stream_chain",
     "app8s_keyword_window_stream_chain",
+    "app9s_pay_detail_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.

@@ -60,6 +60,7 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("app6s_traffic_page_view_stream_chain", ("app6s",)),
     ("app7s_user_login_stream_chain", ("app7s",)),
     ("app8s_keyword_window_stream_chain", ("app8s",)),
+    ("app9s_pay_detail_stream_chain", ("app9s",)),
 ]
 
 
