@@ -163,6 +163,8 @@ EXTENDED = (
     "app7s_user_login_stream_chain",
     "app8s_keyword_window_stream_chain",
     "app9s_pay_detail_stream_chain",
+    "app9x_pay_detail_crash_restart",
+    "app10s_cart_add_uu_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

@@ -1738,3 +1738,226 @@ def app9s_pay_detail_stream_chain(
         F.sum("pay_id").cast("bigint").alias("pay_id_sum"),
         F.sum("det_id").cast("bigint").alias("det_id_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# app10s: DwsTradeCartAddUuWindow — ST4-style lastCartAddDate state +
+# A5 windowed UU, the window computed IN the streaming plan
+# --------------------------------------------------------------------------
+
+
+def _app10s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        # ST4-shape keyed state: lastCartAddDate per user (DwsTradeCart
+        # AddUuWindow.java:69-110) = first-cart-add-per-(user, day)
+        # dedup with the event-time column IN the key (st16's
+        # watermark-evicted form; the replayed slice tails are exact
+        # copies, suppressed by the same state)
+        firsts = (
+            stream_events(spark, src)
+            .where(F.col("event_type") == "click")
+            .withColumn("day_ts", F.date_trunc("day", "ts"))
+            .withWatermark("day_ts", "1 day")
+            .dropDuplicates(["user_id", "day_ts"])
+        )
+        # A5/W1/W7: tumbling UU count with window meta (:112-133) —
+        # unlike st16 (which aggregates the sink in BATCH at read-back)
+        # the window aggregate here runs INSIDE the streaming plan,
+        # chained after the dedup state
+        agg = (
+            firsts.groupBy(F.window("day_ts", "1 day").alias("w"))
+            .agg(F.count("*").cast("bigint").alias("cart_add_uu"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "cart_add_uu",
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            # dedup state + window state = 2 stateful operators
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app10s", build)
+
+
+@register(
+    "app10s_cart_add_uu_stream_chain",
+    survey="ST4,A5,W1,W7,ST1",
+    doc="The reference's DwsTradeCartAddUuWindow app END-TO-END as one "
+        "Structured Streaming query (DwsTradeCartAddUuWindow.java:"
+        "69-133): the lastCartAddDate keyed state (first cart-add per "
+        "user per day, ST4) as watermark-evicted dropDuplicates with "
+        "the event-time column in the key — the replayed slice tails "
+        "are suppressed by the same state — CHAINED into the tumbling "
+        "UU count with window meta (A5/W1/W7) computed INSIDE the "
+        "streaming plan (st16 verifies the dedup alone and aggregates "
+        "its sink in batch; here the window aggregate is a second "
+        "stateful operator in the same plan, asserted from the "
+        "progress records). Sentinel flush ⇒ the sink equals the "
+        "unrestricted batch oracle; read-back excludes the far-future "
+        "sentinel windows (app2s-style).",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts),
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cart_add_uu
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY date_trunc('day', ts)
+    """,
+)
+def app10s_cart_add_uu_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app10s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col("stt") <= F.col("mx"))
+        .drop("mx")
+    )
+
+
+# --------------------------------------------------------------------------
+# app9x: the app9s chain under a MID-STREAM CRASH + checkpoint restart —
+# state-store replay across a multi-stateful-operator topology
+# --------------------------------------------------------------------------
+
+
+def _app9x_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _run_crash_restart,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start(fault):
+            ev = stream_events(spark, src)
+
+            def side(etype, idn, keyn, tsn):
+                return (
+                    ev.where(F.col("event_type") == etype)
+                    .select(
+                        F.col("event_id").alias(idn),
+                        F.col("user_id").alias(keyn),
+                        F.col("ts").alias(tsn),
+                    )
+                    .withWatermark(tsn, _DELAY)
+                    .dropDuplicatesWithinWatermark([idn])
+                )
+
+            pay = side("purchase", "pay_id", "pay_key", "pay_ts")
+            det = side("view", "det_id", "det_key", "det_ts")
+            joined = pay.join(
+                det,
+                (F.col("pay_key") == F.col("det_key"))
+                & (F.col("det_ts") >= F.col("pay_ts") - F.expr(_PAY_BACK))
+                & (F.col("det_ts") <= F.col("pay_ts")),
+            ).select("pay_id", "pay_key", "det_id")
+
+            def body(b: DataFrame, bid: int) -> None:
+                if fault is not None:
+                    fault(bid)
+                # per-epoch overwrite dir: a replayed epoch REPLACES
+                # partial output (the x1s exactly-once discipline)
+                b.write.mode("overwrite").parquet(
+                    os.path.join(out, f"batch_id={bid}")
+                )
+
+            return (
+                joined.writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        def plant_debris() -> None:
+            debris = os.path.join(out, "batch_id=2")
+            spark.createDataFrame(
+                [(-999, -999, -999)], "pay_id bigint, pay_key bigint, "
+                "det_id bigint",
+            ).write.mode("overwrite").parquet(debris)
+
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q2 = _run_crash_restart(spark, start, plant_debris)
+            # the restarted handle's replayed epochs still plan the
+            # full chain: 2 dedups + 1 symmetric hash join
+            _assert_state_operators(_dump_progress(q2, base), 3)
+
+    return _artifact_dir(spark, sf_dir, "app9x", build)
+
+
+@register(
+    "app9x_pay_detail_crash_restart",
+    survey="J4,ST1,W5,X1",
+    doc="The app9s multi-stateful-operator chain under a MID-STREAM "
+        "CRASH + checkpoint restart — the coverage no other crash row "
+        "has: x1s/x2s/app4s/app5s crash topologies with at most one "
+        "stateful operator, so none of them certifies STATE-STORE "
+        "VERSION REPLAY across a chained topology. Here the two ST1 "
+        "dedups and the event-time interval join all hold cross-batch "
+        "state when a one-shot fault kills epoch 2's first attempt "
+        "after two committed epochs; debris is planted in the crashed "
+        "epoch's sink dir; the restart restores ALL THREE operators' "
+        "state stores from the checkpoint (asserted at 3 state "
+        "operators in the replayed epochs' progress records) and "
+        "replays the epoch — dedup state must still suppress the "
+        "replayed slice-tail duplicates it absorbed before the crash, "
+        "and the join must re-emit exactly the crashed epoch's pairs "
+        "(per-epoch overwrite ⇒ debris replaced). Read-back "
+        "aggregates per pay_key against the unrestricted batch oracle "
+        "— a green row is exactly-once across the failure for a "
+        "depth-3 stateful chain.",
+    oracle=f"""
+        SELECT p.user_id AS pay_key,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(p.event_id) AS BIGINT) AS pay_id_sum,
+               CAST(SUM(d.event_id) AS BIGINT) AS det_id_sum
+        FROM events p
+        JOIN events d ON p.user_id = d.user_id
+         AND d.event_type = 'view'
+         AND d.ts BETWEEN p.ts - {_PAY_BACK} AND p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def app9x_pay_detail_crash_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app9x_build(spark, sf_dir)
+    back = spark.read.option(
+        "basePath", os.path.join(base, "out")
+    ).parquet(os.path.join(base, "out"))
+    return back.groupBy("pay_key").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("pay_id").cast("bigint").alias("pay_id_sum"),
+        F.sum("det_id").cast("bigint").alias("det_id_sum"),
+    )

@@ -216,9 +216,11 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_trade_cart_add_uu",
         "realtime-dws/.../DwsTradeCartAddUuWindow.java",
         "dws",
-        ("a5_windowed_uu",),
-        _q("a5_windowed_uu"),
-        "Cart-add UU per window (:71-139).",
+        ("app10s_cart_add_uu_stream_chain", "a5_windowed_uu"),
+        _q("app10s_cart_add_uu_stream_chain"),
+        "Cart-add UU per window (:71-139). app10s runs the WHOLE app as "
+        "ONE streaming query — the lastCartAddDate keyed state chained "
+        "into the in-plan tumbling UU count — vs a composed oracle.",
     ),
     AppTopology(
         "dws_trade_sku_order",

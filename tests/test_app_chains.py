@@ -384,3 +384,42 @@ def test_app9s_chain_is_two_dedups_and_interval_join(spark):
               "symmetricHashJoin"]
         for n in names
     ), names
+
+
+def test_app10s_matches_composed_oracle(spark):
+    q = _reg("app10s_cart_add_uu_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app9x_matches_oracle_across_crash_restart(spark):
+    q = _reg("app9x_pay_detail_crash_restart")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app9x_debris_replaced_and_chain_replayed(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app9x_build,
+    )
+
+    base = _app9x_build(spark, SF_DIR)
+    back = spark.read.option(
+        "basePath", os.path.join(base, "out")
+    ).parquet(os.path.join(base, "out"))
+    assert back.where(F.col("pay_id") == -999).count() == 0, (
+        "planted debris survived the epoch replay"
+    )
+    records = _progress(spark, _app9x_build, "app9x")
+    names = [
+        sorted(s["operatorName"] for s in r["stateOperators"])
+        for r in records
+        if r.get("stateOperators")
+    ]
+    assert names and all(
+        n == ["dedupeWithinWatermark", "dedupeWithinWatermark",
+              "symmetricHashJoin"]
+        for n in names
+    ), names

@@ -40,6 +40,8 @@ TIER1 = (
     "app7s_user_login_stream_chain",
     "app8s_keyword_window_stream_chain",
     "app9s_pay_detail_stream_chain",
+    "app9x_pay_detail_crash_restart",
+    "app10s_cart_add_uu_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.

@@ -61,6 +61,8 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("app7s_user_login_stream_chain", ("app7s",)),
     ("app8s_keyword_window_stream_chain", ("app8s",)),
     ("app9s_pay_detail_stream_chain", ("app9s",)),
+    ("app9x_pay_detail_crash_restart", ("app9x",)),
+    ("app10s_cart_add_uu_stream_chain", ("app10s",)),
 ]
 
 
