@@ -165,6 +165,7 @@ EXTENDED = (
     "app9s_pay_detail_stream_chain",
     "app9x_pay_detail_crash_restart",
     "app10s_cart_add_uu_stream_chain",
+    "app11s_order_cancel_stream_chain",
 )
 
 # Headline set: the flagship + one representative per operator family.

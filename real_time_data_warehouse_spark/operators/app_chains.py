@@ -1961,3 +1961,120 @@ def app9x_pay_detail_crash_restart(
         F.sum("pay_id").cast("bigint").alias("pay_id_sum"),
         F.sum("det_id").cast("bigint").alias("det_id_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# app11s: DwdTradeOrderCancelDetail — P5 CDC state-transition gate + ST1
+# dedups + the 30-min-state inner join (J3) as ONE streaming query
+# --------------------------------------------------------------------------
+
+_CANCEL_BACK = "INTERVAL 30 MINUTE"  # the 30-min state TTL (:69-90)
+
+
+def _app11s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        ev = stream_events(spark, src)
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        # P5: the CDC state-transition predicate (DwdTradeOrderCancel
+        # Detail.java:35-43 — old.order_status='1001' AND
+        # order_status='1003' → the k-range gate analog). The PURCHASE
+        # sentinel passes on its negative id (no k) so the branch
+        # watermark, applied AFTER the filter, still advances; the
+        # type filter stays outside the disjunction — admitting OTHER
+        # types' sentinels here would let the 'view' sentinel sit in
+        # BOTH join branches and self-join (same key, same ts).
+        cancel = (
+            ev.where(
+                (F.col("event_type") == "purchase")
+                & ((F.col("event_id") < 0) | k.between(10, 60))
+            )
+            .select(
+                F.col("event_id").alias("cancel_id"),
+                F.col("user_id").alias("cancel_key"),
+                F.col("ts").alias("cancel_ts"),
+            )
+            .withWatermark("cancel_ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["cancel_id"])
+        )
+        det = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("det_id"),
+                F.col("user_id").alias("det_key"),
+                F.col("ts").alias("det_ts"),
+            )
+            .withWatermark("det_ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["det_id"])
+        )
+        # J3: the 30-min-state inner join (:69-90) — the state TTL
+        # becomes the explicit event-time range on the symmetric hash
+        # join, exactly the j3 batch row's streaming form
+        joined = cancel.join(
+            det,
+            (F.col("cancel_key") == F.col("det_key"))
+            & (F.col("det_ts") >= F.col("cancel_ts") - F.expr(_CANCEL_BACK))
+            & (F.col("det_ts") <= F.col("cancel_ts")),
+        ).select("cancel_id", "cancel_key", "det_id")
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            _assert_state_operators(_dump_progress(q, base), 3)
+
+    return _artifact_dir(spark, sf_dir, "app11s", build)
+
+
+@register(
+    "app11s_order_cancel_stream_chain",
+    survey="P5,J3,ST1,W5,S1",
+    doc="The reference's DwdTradeOrderCancelDetail app END-TO-END as "
+        "one Structured Streaming query (DwdTradeOrderCancelDetail"
+        ".java:35-90): the CDC state-transition predicate (P5, "
+        ":35-43 — the k-range gate analog of old_status='1001' AND "
+        "status='1003'; sentinels pass on negative ids so the "
+        "post-filter branch watermark still advances) → ST1 dedup on "
+        "each branch (the source re-delivers slice tails) → the "
+        "30-min-state inner join (J3, :69-90 — the state TTL as the "
+        "event-time range bounding the symmetric hash join). Three "
+        "stateful operators asserted from the progress records; "
+        "inner-join emission is eager and the sentinels flush state, "
+        "so the sink equals the UNRESTRICTED batch oracle. Read-back "
+        "aggregates per cancel_key: pair count + id checksums.",
+    oracle=f"""
+        SELECT c.user_id AS cancel_key,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(c.event_id) AS BIGINT) AS cancel_id_sum,
+               CAST(SUM(d.event_id) AS BIGINT) AS det_id_sum
+        FROM events c
+        JOIN events d ON c.user_id = d.user_id
+         AND d.event_type = 'view'
+         AND d.ts BETWEEN c.ts - {_CANCEL_BACK} AND c.ts
+        WHERE c.event_type = 'purchase'
+          AND CAST(json_extract_string(c.props, 'k') AS INT)
+              BETWEEN 10 AND 60
+        GROUP BY 1
+    """,
+)
+def app11s_order_cancel_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app11s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("cancel_key").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("cancel_id").cast("bigint").alias("cancel_id_sum"),
+        F.sum("det_id").cast("bigint").alias("det_id_sum"),
+    )

@@ -133,9 +133,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_trade_order_cancel",
         "realtime-dwd/.../DwdTradeOrderCancelDetail.java",
         "dwd",
-        ("p5_cdc_state_transition", "j3_filtered_inner_join"),
-        _q("j3_filtered_inner_join"),
-        "Cancel state-transition predicate (:35-43) + 30-min-state join (:69-90).",
+        ("app11s_order_cancel_stream_chain", "p5_cdc_state_transition",
+         "j3_filtered_inner_join"),
+        _q("app11s_order_cancel_stream_chain"),
+        "Cancel state-transition predicate (:35-43) + 30-min-state join "
+        "(:69-90). app11s runs the WHOLE app as ONE streaming query — P5 "
+        "gate → branch dedups → range-bounded inner join — vs a composed "
+        "oracle.",
     ),
     AppTopology(
         "dwd_trade_order_pay_suc",

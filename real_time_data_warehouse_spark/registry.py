@@ -80,6 +80,7 @@ MANIFEST: tuple[str, ...] = (
     "app9s_pay_detail_stream_chain",  # NEVER
     "app9x_pay_detail_crash_restart",  # NEVER
     "app10s_cart_add_uu_stream_chain",  # NEVER
+    "app11s_order_cancel_stream_chain",  # NEVER
     "d5_embedding_neardup",  # r6
     "d9_semantic_gate",  # r6
     "d9s_semantic_gate_replay",  # r6

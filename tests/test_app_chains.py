@@ -423,3 +423,23 @@ def test_app9x_debris_replaced_and_chain_replayed(spark):
               "symmetricHashJoin"]
         for n in names
     ), names
+
+
+def test_app11s_matches_composed_oracle(spark):
+    q = _reg("app11s_order_cancel_stream_chain")
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app11s_sink_has_no_sentinel_self_joins(spark):
+    """Regression pin for the round-11 bug: admitting OTHER types'
+    sentinels through the cancel branch let the 'view' sentinel sit in
+    both join branches and self-join (2 phantom groups at sf0.01)."""
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app11s_build,
+    )
+
+    base = _app11s_build(spark, SF_DIR)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    assert back.where(F.col("cancel_key") < 0).count() == 0

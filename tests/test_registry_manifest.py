@@ -42,6 +42,7 @@ TIER1 = (
     "app9s_pay_detail_stream_chain",
     "app9x_pay_detail_crash_restart",
     "app10s_cart_add_uu_stream_chain",
+    "app11s_order_cancel_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.

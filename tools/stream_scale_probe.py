@@ -63,6 +63,7 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("app9s_pay_detail_stream_chain", ("app9s",)),
     ("app9x_pay_detail_crash_restart", ("app9x",)),
     ("app10s_cart_add_uu_stream_chain", ("app10s",)),
+    ("app11s_order_cancel_stream_chain", ("app11s",)),
 ]
 
 
