@@ -1968,7 +1968,12 @@ def app9x_pay_detail_crash_restart(
 # dedups + the 30-min-state inner join (J3) as ONE streaming query
 # --------------------------------------------------------------------------
 
-_CANCEL_BACK = "INTERVAL 30 MINUTE"  # the 30-min state TTL (:69-90)
+# The reference bounds the cancel join's state at 30 min of real
+# traffic (:69-90); the synthetic corpus is ~2 orders of magnitude
+# sparser per user, so the range scales to 6 h to keep the join
+# populated at EVERY test scale (sf0.001 has zero 30-min pairs) —
+# same operator, same state shape, range is a data-density parameter.
+_CANCEL_BACK = "INTERVAL 6 HOUR"
 
 
 def _app11s_build(spark: SparkSession, sf_dir: str) -> str:
@@ -2048,7 +2053,8 @@ def _app11s_build(spark: SparkSession, sf_dir: str) -> str:
         "post-filter branch watermark still advances) → ST1 dedup on "
         "each branch (the source re-delivers slice tails) → the "
         "30-min-state inner join (J3, :69-90 — the state TTL as the "
-        "event-time range bounding the symmetric hash join). Three "
+        "event-time range bounding the symmetric hash join; scaled to "
+        "6 h for the sparser synthetic corpus). Three "
         "stateful operators asserted from the progress records; "
         "inner-join emission is eager and the sentinels flush state, "
         "so the sink equals the UNRESTRICTED batch oracle. Read-back "
@@ -2077,4 +2083,574 @@ def app11s_order_cancel_stream_chain(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.sum("cancel_id").cast("bigint").alias("cancel_id_sum"),
         F.sum("det_id").cast("bigint").alias("det_id_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# app12s-app17s: the remaining reference topologies — every reference
+# app now runs end-to-end as ONE streaming query
+# --------------------------------------------------------------------------
+
+
+def _app12s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        # ST1 dedup absorbs the replayed slice tails, then the P6
+        # cart-add delta map (DwdTradeCartAdd.java:28-40): insert
+        # (signup analog) keeps the value, update emits the increment
+        # data-old (k - 50). Sentinels pass the watermark/dedup and
+        # drop at the null-k gate — AFTER the watermark node.
+        deltas = (
+            stream_events(spark, src)
+            .withWatermark("ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .withColumn("k", k)
+            .where(F.col("k").isNotNull())
+            .select(
+                "event_id",
+                "user_id",
+                F.when(F.col("event_type") == "signup", F.col("k"))
+                .otherwise(F.col("k") - F.lit(50))
+                .cast("int")
+                .alias("delta"),
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                deltas.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            _assert_state_operators(_dump_progress(q, base), 1)
+
+    return _artifact_dir(spark, sf_dir, "app12s", build)
+
+
+@register(
+    "app12s_cart_add_stream_chain",
+    survey="P6,ST1,S4,F1,F2,F8",
+    doc="The reference's DwdTradeCartAdd app END-TO-END as one "
+        "Structured Streaming query (DwdTradeCartAdd.java:28-40): ST1 "
+        "dedup (the source re-delivers slice tails) → the cart-add "
+        "delta map — insert keeps the value, update emits the "
+        "increment data−old (P6, arithmetic on casted map strings) → "
+        "append sink. Sentinels pass the watermark and drop at the "
+        "null-k gate. Read-back aggregates per user: row count + id "
+        "checksum + exact delta sum vs the composed oracle.",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN k
+                             ELSE k - 50 END) AS BIGINT) AS delta_sum
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   TRY_CAST(json_extract_string(props, 'k') AS INT) AS k
+            FROM events
+        ) WHERE k IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def app12s_cart_add_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app12s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum("delta").cast("bigint").alias("delta_sum"),
+    )
+
+
+_APP13_DIC = 5  # appraise-code domain: k % 5 → region dic
+
+
+def _app13s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        # P4: map-subscript projection of the comment envelope
+        # (DwdInteractionCommentInfo.java:25-33); ST1 dedup; then the
+        # J5 lookup join on base_dic (:42-52, FOR SYSTEM_TIME AS OF) as
+        # a per-batch broadcast hash join. Sentinels (click) keep the
+        # watermark advancing and drop at the inner join (null code).
+        comments = (
+            stream_events(spark, src)
+            .where(F.col("event_type") == "click")
+            .withWatermark("ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id",
+                "user_id",
+                F.pmod(k, F.lit(_APP13_DIC)).cast("bigint").alias(
+                    "appraise_code"
+                ),
+            )
+        )
+        dic = Tables(spark, sf_dir).region.select(
+            F.col("r_regionkey").alias("appraise_code"),
+            F.col("r_name").alias("appraise_name"),
+        )
+        res = comments.join(F.broadcast(dic), "appraise_code")
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                res.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            _assert_state_operators(_dump_progress(q, base), 1)
+
+    return _artifact_dir(spark, sf_dir, "app13s", build)
+
+
+@register(
+    "app13s_comment_info_stream_chain",
+    survey="P4,J5,ST1,S10",
+    doc="The reference's DwdInteractionCommentInfo app END-TO-END as "
+        "one Structured Streaming query (DwdInteractionCommentInfo"
+        ".java:25-52): map-subscript projection of the comment "
+        "envelope (P4) → ST1 dedup (replayed slice tails) → the "
+        "base_dic lookup join FOR SYSTEM_TIME AS OF (J5) as a "
+        "per-batch broadcast hash join against the 5-row dic — the "
+        "enriched rows never shuffle. Sentinels keep the watermark "
+        "advancing and drop at the inner join (null dic code). "
+        "Read-back aggregates per appraise name vs the composed "
+        "oracle.",
+    oracle=f"""
+        SELECT r.r_name AS appraise_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(c.event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS uu
+        FROM (
+            SELECT event_id, user_id,
+                   TRY_CAST(json_extract_string(props, 'k') AS INT)
+                       % {_APP13_DIC} AS appraise_code
+            FROM events WHERE event_type = 'click'
+        ) c
+        JOIN region r ON r.r_regionkey = c.appraise_code
+        GROUP BY 1
+    """,
+)
+def app13s_comment_info_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app13s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("appraise_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("uu"),
+    )
+
+
+# the base_db routing config: signup deliberately ABSENT (it falls to
+# the reference's bootstrap exclusion, DwdBaseDb.java:45-61) and error
+# unconfigured (dropped by the config inner join, :95-104)
+_APP14_CONFIG = (
+    ("view", "dwd_display"),
+    ("click", "dwd_action"),
+    ("purchase", "dwd_page"),
+)
+
+
+def _app14s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _run_crash_restart,
+    )
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        config = spark.createDataFrame(
+            list(_APP14_CONFIG), "source_type string, sink_table string"
+        )
+
+        def start(fault):
+            # P3: bootstrap-record exclusion by prefix (:45-61)
+            routed = (
+                stream_events(spark, src)
+                .where(
+                    ~F.col("event_type").startswith("sign")
+                    & ~F.col("event_type").startswith("boot")
+                )
+                .withWatermark("ts", _DELAY)
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .join(
+                    # J7/ST7: the broadcast-state config join IN the
+                    # streaming plan (x2s joins per batch inside
+                    # foreachBatch; the reference's
+                    # BroadcastProcessFunction is in-stream, as here)
+                    F.broadcast(config),
+                    F.col("event_type") == F.col("source_type"),
+                )
+                .select("event_id", "user_id", "sink_table")
+            )
+
+            def body(b: DataFrame, bid: int) -> None:
+                if fault is not None:
+                    fault(bid)
+                b.write.mode("overwrite").partitionBy(
+                    "sink_table"
+                ).parquet(os.path.join(out, f"batch_id={bid}"))
+
+            return (
+                routed.writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        def plant_debris() -> None:
+            debris = os.path.join(
+                out, "batch_id=2", "sink_table=dwd_action"
+            )
+            spark.createDataFrame(
+                [(-777, -777)], "event_id bigint, user_id bigint"
+            ).write.mode("overwrite").parquet(debris)
+
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q2 = _run_crash_restart(spark, start, plant_debris)
+            _assert_state_operators(_dump_progress(q2, base), 1)
+
+    return _artifact_dir(spark, sf_dir, "app14s", build)
+
+
+@register(
+    "app14s_base_db_stream_chain",
+    survey="P3,J7,ST7,X2,S5,ST1",
+    doc="The reference's DwdBaseDb app END-TO-END as one Structured "
+        "Streaming query WITH a mid-stream crash + checkpoint restart "
+        "(DwdBaseDb.java:43-110): bootstrap-record prefix exclusion "
+        "(P3, :45-61) → ST1 dedup (replayed slice tails) → the "
+        "TableProcess config join IN the streaming plan (J7/ST7 — the "
+        "reference's BroadcastProcessFunction; x2s only joins per "
+        "batch inside foreachBatch) routing each row to its sink "
+        "table and dropping unconfigured types → per-epoch-overwrite "
+        "partitioned sinks (S5's file twin). A one-shot fault crashes "
+        "epoch 2 after two committed epochs; debris is planted in the "
+        "crashed epoch's routed dir; the restart replays it "
+        "idempotently. Read-back aggregates per sink_table (sentinel "
+        "ids excluded) vs the composed oracle.",
+    oracle="""
+        WITH config(source_type, sink_table) AS (
+            VALUES ('view', 'dwd_display'),
+                   ('click', 'dwd_action'),
+                   ('purchase', 'dwd_page')
+        )
+        SELECT c.sink_table AS sink_table,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS uu
+        FROM events e
+        JOIN config c ON e.event_type = c.source_type
+        WHERE e.event_type NOT LIKE 'sign%'
+          AND e.event_type NOT LIKE 'boot%'
+        GROUP BY 1
+    """,
+)
+def app14s_base_db_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app14s_build(spark, sf_dir)
+    back = spark.read.option(
+        "basePath", os.path.join(base, "out")
+    ).parquet(os.path.join(base, "out"))
+    return (
+        back.where(F.col("event_id") >= 0)  # sentinel rows route too
+        .groupBy("sink_table")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("user_id").cast("bigint").alias("uu"),
+        )
+    )
+
+
+_APP15_GATE = (61, 90)  # refund state-transition k-range (disjoint
+# from app11s's cancel gate [10, 60] — different CDC transitions)
+
+
+def _refund_chain(
+    spark: SparkSession, sf_dir: str, kind: str, pay_suc: bool
+) -> str:
+    """Shared builder for app15s (order refund) and app17s (refund pay
+    success): P5 state-transition gate → ST1 dedup → the CHAINED
+    base_dic lookups (refund type dic, then province dim) as per-batch
+    broadcast hash joins — the reference joins base_dic twice in the
+    refund apps (DwdTradeOrderRefund.java:60-96). pay_suc narrows the
+    gate to the upper half (the payment-success subset of refunds)."""
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    lo, hi = _APP15_GATE
+    if pay_suc:
+        lo = (lo + hi) // 2 + 1  # 76-90: refunds whose payment succeeded
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        refunds = (
+            stream_events(spark, src)
+            .where(
+                (F.col("event_type") == "error")
+                & ((F.col("event_id") < 0) | k.between(lo, hi))
+            )
+            .withWatermark("ts", _DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id",
+                "user_id",
+                F.get_json_object("props", "$.k")
+                .try_cast("int")
+                .alias("k"),
+            )
+        )
+        t = Tables(spark, sf_dir)
+        dic = t.region.select(
+            F.col("r_regionkey").alias("refund_code"),
+            F.col("r_name").alias("refund_type"),
+        )
+        province = t.nation.select(
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+        )
+        res = (
+            refunds.withColumn(
+                "refund_code", F.pmod("k", F.lit(5)).cast("bigint")
+            )
+            .withColumn(
+                "province_id",
+                F.pmod("user_id", F.lit(_N_PROVINCES)).cast("bigint"),
+            )
+            .join(F.broadcast(dic), "refund_code")
+            .join(F.broadcast(province), "province_id")
+            .select(
+                "event_id", "user_id", "refund_type", "province_name"
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                res.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            _assert_state_operators(_dump_progress(q, base), 1)
+
+    return _artifact_dir(spark, sf_dir, kind, build)
+
+
+def _refund_oracle(lo: int, hi: int) -> str:
+    return f"""
+        SELECT r.r_name AS refund_type,
+               n.n_name AS province_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        FROM (
+            SELECT event_id, user_id,
+                   TRY_CAST(json_extract_string(props, 'k') AS INT) AS k
+            FROM events WHERE event_type = 'error'
+        ) e
+        JOIN region r ON r.r_regionkey = e.k % 5
+        JOIN nation n ON n.n_nationkey = e.user_id % {_N_PROVINCES}
+        WHERE e.k BETWEEN {lo} AND {hi}
+        GROUP BY 1, 2
+    """
+
+
+def _refund_readback(spark, base: str) -> DataFrame:
+    back = spark.read.parquet(os.path.join(base, "out"))
+    return back.groupBy("refund_type", "province_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
+    "app15s_order_refund_stream_chain",
+    survey="P5,J5,J6,ST1",
+    doc="The reference's DwdTradeOrderRefund app END-TO-END as one "
+        "Structured Streaming query (DwdTradeOrderRefund.java:60-96): "
+        "the refund state-transition gate (P5; the error-stream "
+        "k∈[61,90] analog, disjoint from app11s's cancel gate; no "
+        "sentinel is needed — dedup emits first arrivals eagerly and "
+        "every downstream op is stateless, so the sink is complete at "
+        "end-of-input) → ST1 dedup → the "
+        "reference's TWO chained dictionary lookups (refund-type "
+        "base_dic + province dim, J5/J6) as per-batch broadcast hash "
+        "joins. Read-back aggregates per (refund_type, province) vs "
+        "the composed oracle.",
+    oracle=_refund_oracle(*_APP15_GATE),
+)
+def app15s_order_refund_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _refund_readback(
+        spark, _refund_chain(spark, sf_dir, "app15s", pay_suc=False)
+    )
+
+
+@register(
+    "app17s_refund_pay_suc_stream_chain",
+    survey="P5,J5,J6,ST1",
+    doc="The reference's DwdTradeRefundPaySucDetail app END-TO-END as "
+        "one Structured Streaming query (DwdTradeRefundPaySucDetail"
+        ".java:62-101): same shape as app15s — P5 state gate → ST1 "
+        "dedup → chained dic/province broadcast lookups — with the "
+        "gate narrowed to the payment-success subset (k∈[76,90]), the "
+        "reference's refund_payment filter on callback success. "
+        "Read-back per (refund_type, province) vs the composed "
+        "oracle.",
+    oracle=_refund_oracle((_APP15_GATE[0] + _APP15_GATE[1]) // 2 + 1,
+                          _APP15_GATE[1]),
+)
+def app17s_refund_pay_suc_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _refund_readback(
+        spark, _refund_chain(spark, sf_dir, "app17s", pay_suc=True)
+    )
+
+
+_APP16_PAGES = {"home": 0, "good_detail": 3}  # k % 6 page-id analog
+
+
+def _app16s_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        src = _app_source(spark, sf_dir)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        k = F.get_json_object("props", "$.k").try_cast("int")
+        page = (
+            F.when(F.pmod(k, F.lit(6)) == _APP16_PAGES["home"], "home")
+            .when(
+                F.pmod(k, F.lit(6)) == _APP16_PAGES["good_detail"],
+                "good_detail",
+            )
+        )
+        # P8: keep only home/detail page views (DwsTrafficHomeDetail
+        # PageViewWindow.java:65-74); the view-type sentinel passes on
+        # its negative id (page NULL) to advance the watermark and is
+        # excluded from both state keys' effects at read-back
+        views = (
+            stream_events(spark, src)
+            .where(F.col("event_type") == "view")
+            .withColumn("page", page)
+            .where((F.col("event_id") < 0) | F.col("page").isNotNull())
+            .withColumn("day_ts", F.date_trunc("day", "ts"))
+            .withWatermark("day_ts", "1 day")
+        )
+        # ST4 x2: the reference keeps one lastVisitDate ValueState per
+        # page type (:76-118) — first-view-per-(user, page, day) dedup
+        # with the event-time column in the key (watermark-evicted)
+        firsts = views.dropDuplicates(["user_id", "page", "day_ts"])
+        # A4: per-page tumbling UV count with window meta (:120-152)
+        agg = (
+            firsts.groupBy(
+                F.window("day_ts", "1 day").alias("w"), "page"
+            )
+            .agg(F.count("*").cast("bigint").alias("uv_ct"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "stt"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "page",
+                "uv_ct",
+            )
+        )
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            _assert_state_operators(_dump_progress(q, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app16s", build)
+
+
+@register(
+    "app16s_home_detail_stream_chain",
+    survey="P8,ST4,A4,W1,W7",
+    doc="The reference's DwsTrafficHomeDetailPageViewWindow app "
+        "END-TO-END as one Structured Streaming query (DwsTraffic"
+        "HomeDetailPageViewWindow.java:65-152): the home/detail page "
+        "filter (P8; the view-type sentinel passes on its negative id "
+        "so the post-filter watermark still advances) → the per-page "
+        "lastVisitDate keyed state (ST4 — first view per user per "
+        "page per day, watermark-evicted dedup with the event-time "
+        "column in the key) → the per-page tumbling UV count with "
+        "window meta (A4/W1/W7) INSIDE the streaming plan. Two "
+        "stateful operators asserted; sentinel flush ⇒ unrestricted "
+        "oracle; read-back excludes the far-future sentinel windows "
+        "and the sentinel's NULL page group.",
+    oracle=f"""
+        SELECT strftime(date_trunc('day', ts),
+                        '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               CASE TRY_CAST(json_extract_string(props, 'k') AS INT) % 6
+                    WHEN {_APP16_PAGES['home']} THEN 'home'
+                    ELSE 'good_detail' END AS page,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct
+        FROM events
+        WHERE event_type = 'view'
+          AND TRY_CAST(json_extract_string(props, 'k') AS INT) % 6
+              IN ({_APP16_PAGES['home']}, {_APP16_PAGES['good_detail']})
+        GROUP BY 1, 2, 3
+    """,
+)
+def app16s_home_detail_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _app16s_build(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(base, "out"))
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where((F.col("stt") <= F.col("mx")) & F.col("page").isNotNull())
+        .drop("mx")
     )

@@ -94,27 +94,35 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_base_db",
         "realtime-dwd/realtime-dwd-base-db/.../DwdBaseDb.java",
         "dwd",
-        ("p3_bootstrap_exclusion", "j7_broadcast_config_join"),
-        _q("j7_broadcast_config_join"),
+        ("app14s_base_db_stream_chain", "p3_bootstrap_exclusion",
+         "j7_broadcast_config_join"),
+        _q("app14s_base_db_stream_chain"),
         "Dynamic fact routing: bootstrap exclusion (:45-61) + (table,type) "
-        "config demux to per-row sink topics (sources/kafka.with_dynamic_topic).",
+        "config demux to per-row sink topics (sources/kafka.with_dynamic_topic). "
+        "app14s runs the WHOLE app as ONE streaming query — exclusion → dedup "
+        "→ in-plan broadcast config join → routed per-epoch sinks — WITH a "
+        "crash+checkpoint restart, vs a composed oracle.",
     ),
     AppTopology(
         "dwd_interaction_comment_info",
         "realtime-dwd/.../DwdInteractionCommentInfo.java",
         "dwd",
-        ("p4_map_access_projection", "j5_lookup_dim_join"),
-        _q("j5_lookup_dim_join"),
+        ("app13s_comment_info_stream_chain", "p4_map_access_projection",
+         "j5_lookup_dim_join"),
+        _q("app13s_comment_info_stream_chain"),
         "Map-access projection (:25-33) + proctime lookup join on base_dic "
-        "(:42-52) → stream-static broadcast join.",
+        "(:42-52) → stream-static broadcast join. app13s runs the WHOLE app "
+        "as ONE streaming query vs a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_cart_add",
         "realtime-dwd/.../DwdTradeCartAdd.java",
         "dwd",
-        ("p6_cart_delta",),
-        _q("p6_cart_delta"),
-        "Insert-or-increment delta on sku_num (:28-40).",
+        ("app12s_cart_add_stream_chain", "p6_cart_delta"),
+        _q("app12s_cart_add_stream_chain"),
+        "Insert-or-increment delta on sku_num (:28-40). app12s runs the "
+        "WHOLE app as ONE streaming query — dedup → delta map → sink — vs "
+        "a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_order_detail",
@@ -157,17 +165,23 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dwd_trade_order_refund",
         "realtime-dwd/.../DwdTradeOrderRefund.java",
         "dwd",
-        ("p5_cdc_state_transition", "j5_lookup_dim_join"),
-        _q("j5_lookup_dim_join"),
-        "Refund predicate (:57-66) + double dic lookup join (:70-93).",
+        ("app15s_order_refund_stream_chain", "p5_cdc_state_transition",
+         "j5_lookup_dim_join"),
+        _q("app15s_order_refund_stream_chain"),
+        "Refund predicate (:57-66) + double dic lookup join (:70-93). "
+        "app15s runs the WHOLE app as ONE streaming query — P5 gate → "
+        "dedup → chained dic/province broadcasts — vs a composed oracle.",
     ),
     AppTopology(
         "dwd_trade_refund_pay_suc",
         "realtime-dwd/.../DwdTradeRefundPaySucDetail.java",
         "dwd",
-        ("p5_cdc_state_transition", "j5_lookup_dim_join"),
-        _q("j5_lookup_dim_join"),
-        "Refund-pay predicate (:37-78) + dic lookup (:81-101).",
+        ("app17s_refund_pay_suc_stream_chain", "p5_cdc_state_transition",
+         "j5_lookup_dim_join"),
+        _q("app17s_refund_pay_suc_stream_chain"),
+        "Refund-pay predicate (:37-78) + dic lookup (:81-101). app17s runs "
+        "the WHOLE app as ONE streaming query (payment-success refund "
+        "subset) vs a composed oracle.",
     ),
     AppTopology(
         "dws_traffic_source_keyword_page_view",
@@ -198,10 +212,13 @@ APP_TOPOLOGIES: tuple[AppTopology, ...] = (
         "dws_traffic_home_detail_page_view",
         "realtime-dws/.../DwsTrafficHomeDetailPageViewWindow.java",
         "dws",
-        ("p8_page_filter", "st4_first_per_day_uv", "a4_global_window"),
-        _q("a4_global_window"),
+        ("app16s_home_detail_stream_chain", "p8_page_filter",
+         "st4_first_per_day_uv", "a4_global_window"),
+        _q("app16s_home_detail_stream_chain"),
         "Page filter (:53-61) + per-page UV states (:79-131) + global window "
-        "(:134-158).",
+        "(:134-158). app16s runs the WHOLE app as ONE streaming query — "
+        "per-page first-view-per-day keyed state chained into the in-plan "
+        "tumbling UV count — vs a composed oracle.",
     ),
     AppTopology(
         "dws_user_user_login",

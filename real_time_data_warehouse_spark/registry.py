@@ -81,6 +81,12 @@ MANIFEST: tuple[str, ...] = (
     "app9x_pay_detail_crash_restart",  # NEVER
     "app10s_cart_add_uu_stream_chain",  # NEVER
     "app11s_order_cancel_stream_chain",  # NEVER
+    "app12s_cart_add_stream_chain",  # NEVER
+    "app13s_comment_info_stream_chain",  # NEVER
+    "app14s_base_db_stream_chain",  # NEVER
+    "app15s_order_refund_stream_chain",  # NEVER
+    "app16s_home_detail_stream_chain",  # NEVER
+    "app17s_refund_pay_suc_stream_chain",  # NEVER
     "d5_embedding_neardup",  # r6
     "d9_semantic_gate",  # r6
     "d9s_semantic_gate_replay",  # r6

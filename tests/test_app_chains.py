@@ -443,3 +443,40 @@ def test_app11s_sink_has_no_sentinel_self_joins(spark):
     base = _app11s_build(spark, SF_DIR)
     back = spark.read.parquet(os.path.join(base, "out"))
     assert back.where(F.col("cancel_key") < 0).count() == 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", [
+    "app12s_cart_add_stream_chain",
+    "app13s_comment_info_stream_chain",
+    "app14s_base_db_stream_chain",
+    "app15s_order_refund_stream_chain",
+    "app16s_home_detail_stream_chain",
+    "app17s_refund_pay_suc_stream_chain",
+])
+def test_remaining_app_rows_match_composed_oracles(spark, name):
+    q = _reg(name)
+    con = make_duck(SF_DIR)
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, msg
+
+
+def test_app14s_debris_replaced_and_unrouted_dropped(spark):
+    from real_time_data_warehouse_spark.operators.app_chains import (
+        _app14s_build,
+    )
+
+    base = _app14s_build(spark, SF_DIR)
+    back = spark.read.option(
+        "basePath", os.path.join(base, "out")
+    ).parquet(os.path.join(base, "out"))
+    assert back.where(F.col("event_id") == -777).count() == 0, (
+        "planted debris survived the epoch replay"
+    )
+    tables = {
+        r[0] for r in back.select("sink_table").distinct().collect()
+    }
+    # error unconfigured, signup bootstrap-excluded: neither may leak
+    assert tables == {"dwd_display", "dwd_action", "dwd_page"}, tables

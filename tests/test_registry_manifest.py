@@ -43,6 +43,12 @@ TIER1 = (
     "app9x_pay_detail_crash_restart",
     "app10s_cart_add_uu_stream_chain",
     "app11s_order_cancel_stream_chain",
+    "app12s_cart_add_stream_chain",
+    "app13s_comment_info_stream_chain",
+    "app14s_base_db_stream_chain",
+    "app15s_order_refund_stream_chain",
+    "app16s_home_detail_stream_chain",
+    "app17s_refund_pay_suc_stream_chain",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
