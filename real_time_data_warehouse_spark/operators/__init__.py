@@ -32,6 +32,7 @@ _MODULES = (
     "serving",
     "sink_readback",  # composes serving.SERVING_DATE — after serving
     "streaming_exec",  # reuses sink_readback's artifact cache
+    "dim_refresh",  # composes streaming_exec's sliced source — after it
     "app_chains",  # composes streaming_exec's sliced source — after it
     "layout",
     "audits",  # composes s1/s3/d2/d3 — must load last

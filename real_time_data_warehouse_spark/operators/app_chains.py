@@ -109,6 +109,33 @@ from real_time_data_warehouse_spark.tables import Tables
 
 _DELAY = "2 hours"  # watermark delay — must exceed the replay window
 
+# Data-density parameters, ONE table (round-11 verdict task 6): each
+# value is interpolated into BOTH an app's streaming plan and its DuckDB
+# oracle f-string, so hoisting them here makes it impossible to move a
+# stream's range/gate without moving its oracle. Ranges marked (scaled)
+# widen the reference's production value for the ~2-orders-of-magnitude
+# sparser synthetic corpus — same operator, same state shape, range is a
+# data-density parameter (e.g. app11s: the reference bounds the cancel
+# join's state at 30 min of real traffic, DwdTradeOrderCancelDetail
+# .java:69-90; at 30 min the synthetic corpus has ZERO pairs at
+# sf0.001).
+_APP_PARAMS: dict[str, object] = {
+    "oi_back": "INTERVAL 1 DAY",       # app1s J1: order_info lookback (scaled)
+    "act_fwd": "INTERVAL 6 HOUR",      # app1s J2: activity lookahead (scaled)
+    "cpn_fwd": "INTERVAL 1 HOUR",      # app1s J2#2: coupon lookahead (scaled)
+    "pay_back": "INTERVAL 30 MINUTE",  # app9s/9x J4: od.et >= pi.et - 30 min
+    "cancel_back": "INTERVAL 6 HOUR",  # app11s J3: 30-min state TTL (scaled)
+    "cancel_gate": (10, 60),           # app11s P5: status 1001→1003 analog
+    "refund_gate": (61, 90),           # app15s/17s P5: disjoint from cancel
+    "app3_drop_mod": 10,               # app3s P1: JSON-prop filter k%10==0
+    "app4_delete_mod": 17,             # app4s P1: k%17==0 → CDC delete
+    "app5_dirty_mod": 53,              # app5s P2: every 53rd props mangled
+    "app6_sv_mod": 7,                  # app6s: session-start flag k%7==0
+    "app8_search_mod": 4,              # app8s P10: k%4==1 → search view
+    "app13_dic": 5,                    # app13s: appraise-code domain k%5
+    "app16_pages": {"home": 0, "good_detail": 3},  # app16s P8: k%6 page ids
+}
+
 # State-store partition count for the app-chain queries. A CHAINED
 # topology multiplies the per-partition state-store overhead by the
 # operator count: app1s at 32 partitions maintains 5 ops x 32 stores x
@@ -122,9 +149,11 @@ _DELAY = "2 hours"  # watermark delay — must exceed the replay window
 _STATE_PARTS = 8
 _REPLAY_NS = 3600 * 10**9  # 1 h of each slice re-delivered in the next
 _SENT_NS = 30 * 86400 * 10**9  # sentinel 30 days past max event time
-_OI_BACK = "INTERVAL 1 DAY"  # order_info lookback (J1 range)
-_ACT_FWD = "INTERVAL 6 HOUR"  # activity lookahead (J2 range)
-_CPN_FWD = "INTERVAL 1 HOUR"  # coupon lookahead (second J2 range)
+# local aliases into _APP_PARAMS (usage sites read naturally; the table
+# above is the single point of edit)
+_OI_BACK = _APP_PARAMS["oi_back"]
+_ACT_FWD = _APP_PARAMS["act_fwd"]
+_CPN_FWD = _APP_PARAMS["cpn_fwd"]
 # app4s/k4 LWW commit-order packing: epoch_sec * 2^31 + event_id.
 # 2^31 (not 2^20) because the sf1 probe already generates event_ids to
 # 999,999 and a regeneration at larger n would silently invert LWW
@@ -242,47 +271,114 @@ def _assert_state_operators(records: list[dict], expect: int) -> None:
         )
 
 
+# --- shared chain scaffolding (18 builds; round-11 verdict task 7) --------
+
+
+def _run_append_chain(spark: SparkSession, base: str, df, n_ops: int) -> None:
+    """Run ``df`` as ONE append-mode streaming query into ``base/out``
+    (checkpoint at ``base/ckpt``), await completion, and assert the
+    planned stateful-operator count from the progress records."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    _assert_state_operators(_dump_progress(q, base), n_ops)
+
+
+def _chain_artifact(
+    spark: SparkSession, sf_dir: str, kind: str, n_ops: int, plan
+) -> str:
+    """Session-cached app-chain artifact: ``plan(ev)`` declares the
+    topology over the shared replay+sentinel source's event stream; the
+    result runs as one append-mode query at _STATE_PARTS state-store
+    partitions. Every parquet-sink chain build is this shape."""
+    from real_time_data_warehouse_spark.streaming.pipelines import (
+        stream_events,
+    )
+
+    def build(base: str) -> None:
+        ev = stream_events(spark, _app_source(spark, sf_dir))
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            _run_append_chain(spark, base, plan(ev), n_ops)
+
+    return _artifact_dir(spark, sf_dir, kind, build)
+
+
+def _typed_branch(
+    ev: DataFrame,
+    etype: str,
+    idn: str,
+    keyn: str,
+    tsn: str,
+    with_amount: bool = False,
+) -> DataFrame:
+    """One per-table sub-stream: BaseSQLApp.readOdsDb + the per-table
+    filter view, LWW-deduped within its own post-filter watermark (ST1
+    — the branch-watermark discipline from the module docstring)."""
+    cols = [
+        F.col("event_id").alias(idn),
+        F.col("user_id").alias(keyn),
+        F.col("ts").alias(tsn),
+    ]
+    if with_amount:
+        cols.append(F.col("value").alias("amount"))
+    return (
+        ev.where(F.col("event_type") == etype)
+        .select(*cols)
+        .withWatermark(tsn, _DELAY)
+        .dropDuplicatesWithinWatermark([idn])
+    )
+
+
+def _win_meta(w: str = "w") -> list:
+    """The reference's window-meta stt/edt columns (W7)."""
+    return [
+        F.date_format(f"{w}.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format(f"{w}.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+    ]
+
+
+def _drop_sentinel_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    back: DataFrame,
+    col: str = "stt",
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Exclude the far-future sentinel rows from a sink read-back: real
+    windows/dates all start at or before the real max event time (the
+    sentinel's own window is the only non-real row)."""
+    mx = Tables(spark, sf_dir).events.agg(
+        F.date_format(F.max("ts"), fmt).alias("mx")
+    )
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .where(F.col(col) <= F.col("mx"))
+        .drop("mx")
+    )
+
+
 # --------------------------------------------------------------------------
 # app1s: DwdTradeOrderDetail — ST1 + J1 + J2 as ONE streaming query
 # --------------------------------------------------------------------------
 
 
 def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
-        ev = stream_events(spark, src)
-
-        def table_stream(
-            etype: str, idn: str, keyn: str, tsn: str, with_amount: bool
-        ) -> DataFrame:
-            # BaseSQLApp.readOdsDb + the per-table filter views
-            # (DwdTradeOrderDetail.java:30-82), each branch LWW-deduped
-            # (ST1 — the DWS consumer's retract-dedup pulled up to the
-            # producer, same observable stream)
-            cols = [
-                F.col("event_id").alias(idn),
-                F.col("user_id").alias(keyn),
-                F.col("ts").alias(tsn),
-            ]
-            if with_amount:
-                cols.append(F.col("value").alias("amount"))
-            return (
-                ev.where(F.col("event_type") == etype)
-                .select(*cols)
-                .withWatermark(tsn, _DELAY)
-                .dropDuplicatesWithinWatermark([idn])
-            )
-
-        od = table_stream("purchase", "od_id", "order_key", "od_ts", True)
-        oi = table_stream("signup", "oi_id", "oi_key", "oi_ts", False)
-        act = table_stream("click", "act_id", "act_key", "act_ts", False)
-        cpn = table_stream("view", "cpn_id", "cpn_key", "cpn_ts", False)
+    def plan(ev: DataFrame) -> DataFrame:
+        # per-table filter views (DwdTradeOrderDetail.java:30-82), each
+        # branch LWW-deduped (ST1 — the DWS consumer's retract-dedup
+        # pulled up to the producer, same observable stream)
+        od = _typed_branch(
+            ev, "purchase", "od_id", "order_key", "od_ts", True
+        )
+        oi = _typed_branch(ev, "signup", "oi_id", "oi_key", "oi_ts")
+        act = _typed_branch(ev, "click", "act_id", "act_key", "act_ts")
+        cpn = _typed_branch(ev, "view", "cpn_id", "cpn_key", "cpn_ts")
         # J1: od ⋈ oi (DwdTradeOrderDetail.java:105 "join order_info");
         # the 10 s idle-state TTL (:26) becomes the explicit event-time
         # range bounding the symmetric-hash-join state. oi_ts is
@@ -310,7 +406,7 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
         # FOURTH stream, a second chained outer join whose final
         # null-pads flush one batch later than the first's (hence the
         # second sentinel slice in _app_source)
-        left2 = left.join(
+        return left.join(
             cpn,
             (F.col("order_key") == F.col("cpn_key"))
             & (F.col("cpn_ts") >= F.col("od_ts"))
@@ -320,20 +416,9 @@ def _app1s_build(spark: SparkSession, sf_dir: str) -> str:
             "od_id", "order_key", "amount", "od_ts", "oi_id", "act_id",
             "cpn_id",
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                left2.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # 4 dedups + 3 symmetric hash joins = 7 stateful operators
-            _assert_state_operators(_dump_progress(q, base), 7)
 
-    return _artifact_dir(spark, sf_dir, "app1s", build)
+    # 4 dedups + 3 symmetric hash joins = 7 stateful operators
+    return _chain_artifact(spark, sf_dir, "app1s", 7, plan)
 
 
 @register(
@@ -403,22 +488,14 @@ def app1s_order_detail_stream_chain(
 
 
 def _app2s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         # ST1: dedup by the detail's unique key (DwsTradeProvince
         # OrderWindow.java:74-99 — the retract-dedup ValueState with a
         # 10 s TTL, re-expressed as dropDuplicatesWithinWatermark: the
         # first arrival is emitted once, redelivered copies within the
         # watermark are suppressed by state)
         ded = (
-            stream_events(spark, src)
-            .where(F.col("event_type") == "purchase")
+            ev.where(F.col("event_type") == "purchase")
             .withWatermark("ts", _DELAY)
             .dropDuplicatesWithinWatermark(["event_id"])
             .withColumn(
@@ -447,29 +524,17 @@ def _app2s_build(spark: SparkSession, sf_dir: str) -> str:
             F.col("n_nationkey").alias("province_id"),
             F.col("n_name").alias("province_name"),
         )
-        res = agg.join(F.broadcast(nation), "province_id", "left").select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        return agg.join(F.broadcast(nation), "province_id", "left").select(
+            *_win_meta(),
             "province_id",
             "province_name",
             "n_details",
             "order_count",
             "order_amount",
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                res.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # dedup + windowed agg = 2 stateful operators
-            _assert_state_operators(_dump_progress(q, base), 2)
 
-    return _artifact_dir(spark, sf_dir, "app2s", build)
+    # dedup + windowed agg = 2 stateful operators
+    return _chain_artifact(spark, sf_dir, "app2s", 2, plan)
 
 
 @register(
@@ -509,34 +574,18 @@ def app2s_province_order_stream_chain(
 ) -> DataFrame:
     base = _app2s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    # the sentinel's own far-future window is the only non-real row:
-    # real windows all start at or before the real max event time
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("stt") <= F.col("mx"))
-        .drop("mx")
-    )
+    return _drop_sentinel_windows(spark, sf_dir, back)
 
 
 # --------------------------------------------------------------------------
 # app3s: DwsTradeSkuOrderWindow — P1/P11 + ST1 + A1/W1 + J6 as ONE query
 # --------------------------------------------------------------------------
 
-_APP3_DROP_MOD = 10  # JSON-prop filter drops k % 10 == 0 (~10% of rows)
+_APP3_DROP_MOD = _APP_PARAMS["app3_drop_mod"]
 
 
 def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         # P1/P11: per-row JSON parse + predicate filter — the
         # reference's tombstone/dirty-row gate ahead of the dedup
         # (DwsTradeSkuOrderWindow.java:133-142 drops null-'old' CDC
@@ -547,8 +596,7 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
         # NULL-falsy `k % 10 != 0` — symmetric semantics, not a
         # dataset-invariant coincidence.
         kept = (
-            stream_events(spark, src)
-            .where(F.col("event_type") == "purchase")
+            ev.where(F.col("event_type") == "purchase")
             .withColumn(
                 "k", F.get_json_object("props", "$.k").cast("int")
             )
@@ -578,7 +626,7 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
         )
         nation = t.nation.select("n_nationkey", "n_name", "n_regionkey")
         region = t.region.select("r_regionkey", "r_name")
-        res = (
+        return (
             agg.join(F.broadcast(cust), "user_id", "left")
             .join(
                 F.broadcast(nation),
@@ -591,10 +639,7 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
                 "left",
             )
             .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "stt"
-                ),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                *_win_meta(),
                 "user_id",
                 F.coalesce("n_name", F.lit("unknown")).alias(
                     "nation_name"
@@ -606,21 +651,10 @@ def _app3s_build(spark: SparkSession, sf_dir: str) -> str:
                 "order_amount",
             )
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                res.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # dedup + windowed agg = 2 stateful operators; the dim
-            # chain is stateless per-batch broadcasts
-            _assert_state_operators(_dump_progress(q, base), 2)
 
-    return _artifact_dir(spark, sf_dir, "app3s", build)
+    # dedup + windowed agg = 2 stateful operators; the dim chain is
+    # stateless per-batch broadcasts
+    return _chain_artifact(spark, sf_dir, "app3s", 2, plan)
 
 
 @register(
@@ -668,14 +702,7 @@ def app3s_sku_order_stream_chain(
 ) -> DataFrame:
     base = _app3s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("stt") <= F.col("mx"))
-        .drop("mx")
-    )
+    return _drop_sentinel_windows(spark, sf_dir, back)
 
 
 # --------------------------------------------------------------------------
@@ -690,7 +717,7 @@ _APP4_CONFIG = (
     ("click", "dim_action", ("value",)),
     ("signup", "dim_user", ("k",)),
 )
-_APP4_DELETE_MOD = 17  # k % 17 == 0 → CDC delete, else upsert
+_APP4_DELETE_MOD = _APP_PARAMS["app4_delete_mod"]
 
 
 def _app4s_build(spark: SparkSession, sf_dir: str) -> str:
@@ -885,7 +912,7 @@ def app4s_dim_app_stream_chain(
 # detection) — _app5_source asserts the two coincide on the dataset,
 # so a generator drift fails the build instead of silently breaking
 # parity.
-_APP5_DIRTY_MOD = 53
+_APP5_DIRTY_MOD = _APP_PARAMS["app5_dirty_mod"]
 _APP5_SIDES = ("dirty", "err", "start", "display", "action", "page")
 
 
@@ -1181,24 +1208,16 @@ def app5s_base_log_stream_chain(
 # ST1 replay dedup + A3 4-dim tumbling reduce as ONE streaming query
 # --------------------------------------------------------------------------
 
-_APP6_SV_MOD = 7  # session-start flag: props.k % 7 == 0 (stateless)
+_APP6_SV_MOD = _APP_PARAMS["app6_sv_mod"]
 
 
 def _app6s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(raw: DataFrame) -> DataFrame:
         # the 4 stat dims (vc/ch/ar/is_new, :77-92) derived from the
         # key so every event of a user carries identical dims — the
         # uv row's attribution is then arrival-order-independent
         ev = (
-            stream_events(spark, src)
-            .withColumn("day_ts", F.date_trunc("day", "ts"))
+            raw.withColumn("day_ts", F.date_trunc("day", "ts"))
             .withColumn("vc", F.pmod("user_id", F.lit(3)).cast("int"))
             .withColumn("ch", F.pmod("user_id", F.lit(7)).cast("int"))
             .withColumn("ar", F.pmod("user_id", F.lit(5)).cast("int"))
@@ -1251,28 +1270,15 @@ def _app6s_build(spark: SparkSession, sf_dir: str) -> str:
                 dec_sum("value", "dur_sum"),
             )
             .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "stt"
-                ),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                *_win_meta(),
                 "vc", "ch", "ar", "isn",
                 "pv_ct", "uv_ct", "sv_ct", "dur_sum",
             )
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # 2 dedup states + 1 windowed agg = 3 stateful operators
-            _assert_state_operators(_dump_progress(q, base), 3)
+        return agg
 
-    return _artifact_dir(spark, sf_dir, "app6s", build)
+    # 2 dedup states + 1 windowed agg = 3 stateful operators
+    return _chain_artifact(spark, sf_dir, "app6s", 3, plan)
 
 
 @register(
@@ -1326,14 +1332,7 @@ def app6s_traffic_page_view_stream_chain(
 ) -> DataFrame:
     base = _app6s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("stt") <= F.col("mx"))
-        .drop("mx")
-    )
+    return _drop_sentinel_windows(spark, sf_dir, back)
 
 
 # --------------------------------------------------------------------------
@@ -1345,19 +1344,13 @@ _APP8_VOCAB = (
     "data", "warehouse", "realtime", "stream",
     "query", "search", "window", "join",
 )
-_APP8_SEARCH_MOD = 4  # k % 4 == 1 → a "search" page view (P10)
+_APP8_SEARCH_MOD = _APP_PARAMS["app8_search_mod"]
 
 
 def _app8s_build(spark: SparkSession, sf_dir: str) -> str:
     from real_time_data_warehouse_spark.functions.text import tokenize
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
 
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         # P10: the search-page filter (DwsTrafficSourceKeywordPageView
         # Window.java:66-77 keeps last_page_id='search' pages with a
@@ -1366,8 +1359,7 @@ def _app8s_build(spark: SparkSession, sf_dir: str) -> str:
         # tokenizes to an empty array AFTER the watermark, so explode
         # drops them without stalling anything.
         searches = (
-            stream_events(spark, src)
-            .withColumn("k", k)
+            ev.withColumn("k", k)
             .where(
                 (F.col("event_id") < 0)
                 | (
@@ -1403,33 +1395,15 @@ def _app8s_build(spark: SparkSession, sf_dir: str) -> str:
             "ts", F.explode(tokenize(phrase)).alias("keyword")
         )
         # A6/W3: per-keyword tumbling count with window meta (:94-130)
-        agg = (
+        return (
             words.groupBy(F.window("ts", "1 day").alias("w"), "keyword")
             .agg(F.count("*").cast("bigint").alias("keyword_ct"))
-            .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "stt"
-                ),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
-                "keyword",
-                "keyword_ct",
-            )
+            .select(*_win_meta(), "keyword", "keyword_ct")
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # dedup + windowed count = 2 stateful operators; the
-            # tokenizer explode is stateless between them
-            _assert_state_operators(_dump_progress(q, base), 2)
 
-    return _artifact_dir(spark, sf_dir, "app8s", build)
+    # dedup + windowed count = 2 stateful operators; the tokenizer
+    # explode is stateless between them
+    return _chain_artifact(spark, sf_dir, "app8s", 2, plan)
 
 
 _APP8_VOCAB_SQL = "['" + "','".join(_APP8_VOCAB) + "']"
@@ -1485,14 +1459,7 @@ def app8s_keyword_window_stream_chain(
 ) -> DataFrame:
     base = _app8s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("stt") <= F.col("mx"))
-        .drop("mx")
-    )
+    return _drop_sentinel_windows(spark, sf_dir, back)
 
 
 # --------------------------------------------------------------------------
@@ -1502,7 +1469,18 @@ def app8s_keyword_window_stream_chain(
 # --------------------------------------------------------------------------
 
 
-def _app7s_build(spark: SparkSession, sf_dir: str) -> str:
+def _start_login_daily(spark: SparkSession, sf_dir: str, base: str, fault):
+    """Start the app7 topology (shared by app7s and app7x): login
+    filter → ST5 returning-user keyed state (DwsUserUserLoginWindow
+    .java:80-124; emits one row per NEW login date per user — the
+    source's replayed slice tails are absorbed by the state's own
+    d > last_login_date guard, idempotent under at-least-once, no
+    separate dedup operator needed) CHAINED into a per-date aggregate
+    in UPDATE mode: each micro-batch emits the changed dates' running
+    uu/back totals, and the LWW upsert keyed by cur_date (ord = batch
+    id, monotone) folds them so the FINAL store equals the complete
+    aggregate — the exact shape of the reference's keyed-process →
+    windowAll → upsert-sink, with no watermark and no horizon math."""
     from real_time_data_warehouse_spark.streaming.pipelines import (
         stream_events,
     )
@@ -1511,52 +1489,54 @@ def _app7s_build(spark: SparkSession, sf_dir: str) -> str:
         returning_user,
     )
 
+    store = os.path.join(base, "store")
+    logins = (
+        stream_events(spark, _app_source(spark, sf_dir))
+        .where(F.col("event_type").isin("signup", "click"))
+        .select("user_id", "ts")
+    )
+    daily = (
+        returning_user(logins)
+        .groupBy("cur_date")
+        .agg(
+            F.sum("is_uu").cast("bigint").alias("uu_ct"),
+            F.sum("is_back").cast("bigint").alias("back_ct"),
+        )
+    )
+
+    def body(b: DataFrame, bid: int) -> None:
+        if fault is not None:
+            fault(bid)
+        ups = b.withColumn(
+            "ord", F.lit(bid).cast("bigint")
+        ).withColumn("op", F.lit("upsert"))
+        upsert_dim(
+            spark, ups, store, ["cur_date"],
+            order_col="ord", type_col="op",
+        )
+
+    return (
+        daily.writeStream.foreachBatch(body)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _login_store_readback(
+    spark: SparkSession, sf_dir: str, base: str
+) -> DataFrame:
+    back = spark.read.parquet(os.path.join(base, "store"))
+    return _drop_sentinel_windows(
+        spark, sf_dir, back, col="cur_date", fmt="yyyy-MM-dd"
+    ).select("cur_date", "uu_ct", "back_ct")
+
+
+def _app7s_build(spark: SparkSession, sf_dir: str) -> str:
     def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        store = os.path.join(base, "store")
-        ckpt = os.path.join(base, "ckpt")
-        logins = (
-            stream_events(spark, src)
-            .where(F.col("event_type").isin("signup", "click"))
-            .select("user_id", "ts")
-        )
-        # ST5 keyed state (DwsUserUserLoginWindow.java:80-124) emits one
-        # row per NEW login date per user; the source's replayed slice
-        # tails are absorbed by the state itself (same-day re-deliveries
-        # fail the d > last_login_date guard — idempotent under
-        # at-least-once, no separate dedup operator needed). CHAINED
-        # into a per-date aggregate in UPDATE mode: each micro-batch
-        # emits the changed dates' running uu/back totals, and the LWW
-        # upsert keyed by cur_date (ord = batch id, monotone) folds
-        # them so the FINAL store equals the complete aggregate — the
-        # exact shape of the reference's keyed-process → windowAll →
-        # upsert-sink, with no watermark and no horizon math.
-        daily = (
-            returning_user(logins)
-            .groupBy("cur_date")
-            .agg(
-                F.sum("is_uu").cast("bigint").alias("uu_ct"),
-                F.sum("is_back").cast("bigint").alias("back_ct"),
-            )
-        )
-
-        def body(b: DataFrame, bid: int) -> None:
-            ups = b.withColumn(
-                "ord", F.lit(bid).cast("bigint")
-            ).withColumn("op", F.lit("upsert"))
-            upsert_dim(
-                spark, ups, store, ["cur_date"],
-                order_col="ord", type_col="op",
-            )
-
         with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                daily.writeStream.foreachBatch(body)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
+            q = _start_login_daily(spark, sf_dir, base, None)
             _await(q)
             # the keyed ST5 state + the update-mode aggregate state
             _assert_state_operators(_dump_progress(q, base), 2)
@@ -1588,16 +1568,68 @@ def _app7s_build(spark: SparkSession, sf_dir: str) -> str:
 def app7s_user_login_stream_chain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    base = _app7s_build(spark, sf_dir)
-    back = spark.read.parquet(os.path.join(base, "store"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("mx")
+    return _login_store_readback(spark, sf_dir, _app7s_build(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# app7x: the app7s chain under a MID-STREAM CRASH + checkpoint restart —
+# keyed applyInPandasWithState state recovery (ST5's forever-state)
+# --------------------------------------------------------------------------
+
+
+def _app7x_build(spark: SparkSession, sf_dir: str) -> str:
+    from real_time_data_warehouse_spark.operators.streaming_exec import (
+        _run_crash_restart,
     )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("cur_date") <= F.col("mx"))
-        .select("cur_date", "uu_ct", "back_ct")
-    )
+
+    def build(base: str) -> None:
+        # no debris: the store is an LWW merge sink (the app4s rule —
+        # debris modeling belongs to append sinks; a merge sink's
+        # mid-write atomicity is the ACID branch's job in production).
+        # The coverage here is the KEYED PYTHON STATE: the per-user
+        # last_login_date held by applyInPandasWithState must be
+        # restored from the checkpoint, or the replayed epoch re-emits
+        # already-counted dates with is_uu=1 and the uu totals inflate.
+        with _stream_shuffle_partitions(spark, _STATE_PARTS):
+            q2 = _run_crash_restart(
+                spark,
+                lambda fault: _start_login_daily(spark, sf_dir, base, fault),
+                lambda: None,
+            )
+            # the replayed epochs still plan the keyed ST5 state + the
+            # update-mode aggregate
+            _assert_state_operators(_dump_progress(q2, base), 2)
+
+    return _artifact_dir(spark, sf_dir, "app7x", build)
+
+
+@register(
+    "app7x_user_login_crash_restart",
+    survey="ST5,U2,A4,X1",
+    doc="The app7s chain under a MID-STREAM CRASH + checkpoint restart "
+        "— the one recovery class no other crash row covers: app4s and "
+        "app9x prove LWW-sink and built-in-operator (dedup/join) state "
+        "replay, but none of them recovers an applyInPandasWithState "
+        "operator's KEYED PYTHON STATE from a checkpoint. Here the "
+        "reference's hardest state — the no-TTL per-user "
+        "last_login_date of the 8-day returning-user computation "
+        "(DwsUserUserLoginWindow.java:80-124) — is held across epochs "
+        "when a one-shot fault kills epoch 2's first attempt after two "
+        "committed epochs. The restart must restore every user's state "
+        "from the state store (else the replayed epoch re-emits "
+        "already-counted dates with is_uu=1 and inflates the totals), "
+        "replay the epoch through the downstream update-mode "
+        "aggregate, and fold the re-emitted running totals "
+        "idempotently via the LWW upsert (same rows, same ord). Both "
+        "stateful operators asserted in the replayed epochs' progress "
+        "records; the FINAL store equals st5's unrestricted batch "
+        "oracle.",
+    oracle=None,  # st5's oracle verbatim — attached below
+)
+def app7x_user_login_crash_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _login_store_readback(spark, sf_dir, _app7x_build(spark, sf_dir))
 
 
 def _attach_app7s_oracle() -> None:
@@ -1608,10 +1640,14 @@ def _attach_app7s_oracle() -> None:
     )
     from real_time_data_warehouse_spark.registry import QUERY_REGISTRY
 
-    QUERY_REGISTRY["app7s_user_login_stream_chain"] = replace(
-        QUERY_REGISTRY["app7s_user_login_stream_chain"],
-        oracle=QUERY_REGISTRY["st5_returning_user"].oracle,
-    )
+    st5 = QUERY_REGISTRY["st5_returning_user"].oracle
+    for name in (
+        "app7s_user_login_stream_chain",
+        "app7x_user_login_crash_restart",
+    ):
+        QUERY_REGISTRY[name] = replace(
+            QUERY_REGISTRY[name], oracle=st5
+        )
 
 
 _attach_app7s_oracle()
@@ -1622,43 +1658,30 @@ _attach_app7s_oracle()
 # lookup-dim enrichment as ONE streaming query
 # --------------------------------------------------------------------------
 
-_PAY_BACK = "INTERVAL 30 MINUTE"  # od.et >= pi.et - 30 min (:96-97)
+_PAY_BACK = _APP_PARAMS["pay_back"]  # od.et >= pi.et - 30 min (:96-97)
+
+
+def _pay_detail_joined(ev: DataFrame) -> DataFrame:
+    """The app9 stateful core (shared by app9s and app9x): payment and
+    order-detail branches each ST1-deduped, then the J4 INTERVAL join
+    od.et ∈ [pi.et − 30 min, pi.et] (DwdTradeOrderPaySucDetail.java:
+    93-97). det_ts is projected away by the caller (one event-time
+    column downstream)."""
+    pay = _typed_branch(ev, "purchase", "pay_id", "pay_key", "pay_ts")
+    det = _typed_branch(ev, "view", "det_id", "det_key", "det_ts")
+    return pay.join(
+        det,
+        (F.col("pay_key") == F.col("det_key"))
+        & (F.col("det_ts") >= F.col("pay_ts") - F.expr(_PAY_BACK))
+        & (F.col("det_ts") <= F.col("pay_ts")),
+    )
 
 
 def _app9s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
-        ev = stream_events(spark, src)
-
-        def side(etype: str, idn: str, keyn: str, tsn: str) -> DataFrame:
-            return (
-                ev.where(F.col("event_type") == etype)
-                .select(
-                    F.col("event_id").alias(idn),
-                    F.col("user_id").alias(keyn),
-                    F.col("ts").alias(tsn),
-                )
-                .withWatermark(tsn, _DELAY)
-                .dropDuplicatesWithinWatermark([idn])
-            )
-
-        pay = side("purchase", "pay_id", "pay_key", "pay_ts")
-        det = side("view", "det_id", "det_key", "det_ts")
-        # J4: payment ⋈ order_detail INTERVAL join (DwdTradeOrderPaySuc
-        # Detail.java:93-97 — od.et in [pi.et - 30 min, pi.et]); det_ts
-        # projected away downstream (one event-time column)
-        joined = pay.join(
-            det,
-            (F.col("pay_key") == F.col("det_key"))
-            & (F.col("det_ts") >= F.col("pay_ts") - F.expr(_PAY_BACK))
-            & (F.col("det_ts") <= F.col("pay_ts")),
-        ).select("pay_id", "pay_key", "pay_ts", "det_id")
+    def plan(ev: DataFrame) -> DataFrame:
+        joined = _pay_detail_joined(ev).select(
+            "pay_id", "pay_key", "pay_ts", "det_id"
+        )
         # J5: the base_dic lookup join (:98 — FOR SYSTEM_TIME AS OF) as
         # a per-batch broadcast hash join against the 25-row dim; the
         # joined rows are enriched in place, no further shuffle
@@ -1666,7 +1689,7 @@ def _app9s_build(spark: SparkSession, sf_dir: str) -> str:
             F.col("n_nationkey").alias("province_id"),
             F.col("n_name").alias("province_name"),
         )
-        res = (
+        return (
             joined.withColumn(
                 "province_id",
                 F.pmod(F.col("pay_key"), F.lit(_N_PROVINCES)).cast(
@@ -1678,21 +1701,10 @@ def _app9s_build(spark: SparkSession, sf_dir: str) -> str:
                 "pay_id", "pay_key", "pay_ts", "det_id", "province_name"
             )
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                res.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # 2 dedups + 1 symmetric hash join = 3 stateful operators;
-            # the dim hop is a stateless per-batch broadcast
-            _assert_state_operators(_dump_progress(q, base), 3)
 
-    return _artifact_dir(spark, sf_dir, "app9s", build)
+    # 2 dedups + 1 symmetric hash join = 3 stateful operators; the dim
+    # hop is a stateless per-batch broadcast
+    return _chain_artifact(spark, sf_dir, "app9s", 3, plan)
 
 
 @register(
@@ -1747,22 +1759,14 @@ def app9s_pay_detail_stream_chain(
 
 
 def _app10s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         # ST4-shape keyed state: lastCartAddDate per user (DwsTradeCart
         # AddUuWindow.java:69-110) = first-cart-add-per-(user, day)
         # dedup with the event-time column IN the key (st16's
         # watermark-evicted form; the replayed slice tails are exact
         # copies, suppressed by the same state)
         firsts = (
-            stream_events(spark, src)
-            .where(F.col("event_type") == "click")
+            ev.where(F.col("event_type") == "click")
             .withColumn("day_ts", F.date_trunc("day", "ts"))
             .withWatermark("day_ts", "1 day")
             .dropDuplicates(["user_id", "day_ts"])
@@ -1771,31 +1775,14 @@ def _app10s_build(spark: SparkSession, sf_dir: str) -> str:
         # unlike st16 (which aggregates the sink in BATCH at read-back)
         # the window aggregate here runs INSIDE the streaming plan,
         # chained after the dedup state
-        agg = (
+        return (
             firsts.groupBy(F.window("day_ts", "1 day").alias("w"))
             .agg(F.count("*").cast("bigint").alias("cart_add_uu"))
-            .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "stt"
-                ),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
-                "cart_add_uu",
-            )
+            .select(*_win_meta(), "cart_add_uu")
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            # dedup state + window state = 2 stateful operators
-            _assert_state_operators(_dump_progress(q, base), 2)
 
-    return _artifact_dir(spark, sf_dir, "app10s", build)
+    # dedup state + window state = 2 stateful operators
+    return _chain_artifact(spark, sf_dir, "app10s", 2, plan)
 
 
 @register(
@@ -1830,14 +1817,7 @@ def app10s_cart_add_uu_stream_chain(
 ) -> DataFrame:
     base = _app10s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where(F.col("stt") <= F.col("mx"))
-        .drop("mx")
-    )
+    return _drop_sentinel_windows(spark, sf_dir, back)
 
 
 # --------------------------------------------------------------------------
@@ -1861,27 +1841,9 @@ def _app9x_build(spark: SparkSession, sf_dir: str) -> str:
 
         def start(fault):
             ev = stream_events(spark, src)
-
-            def side(etype, idn, keyn, tsn):
-                return (
-                    ev.where(F.col("event_type") == etype)
-                    .select(
-                        F.col("event_id").alias(idn),
-                        F.col("user_id").alias(keyn),
-                        F.col("ts").alias(tsn),
-                    )
-                    .withWatermark(tsn, _DELAY)
-                    .dropDuplicatesWithinWatermark([idn])
-                )
-
-            pay = side("purchase", "pay_id", "pay_key", "pay_ts")
-            det = side("view", "det_id", "det_key", "det_ts")
-            joined = pay.join(
-                det,
-                (F.col("pay_key") == F.col("det_key"))
-                & (F.col("det_ts") >= F.col("pay_ts") - F.expr(_PAY_BACK))
-                & (F.col("det_ts") <= F.col("pay_ts")),
-            ).select("pay_id", "pay_key", "det_id")
+            joined = _pay_detail_joined(ev).select(
+                "pay_id", "pay_key", "det_id"
+            )
 
             def body(b: DataFrame, bid: int) -> None:
                 if fault is not None:
@@ -1968,78 +1930,38 @@ def app9x_pay_detail_crash_restart(
 # dedups + the 30-min-state inner join (J3) as ONE streaming query
 # --------------------------------------------------------------------------
 
-# The reference bounds the cancel join's state at 30 min of real
-# traffic (:69-90); the synthetic corpus is ~2 orders of magnitude
-# sparser per user, so the range scales to 6 h to keep the join
-# populated at EVERY test scale (sf0.001 has zero 30-min pairs) —
-# same operator, same state shape, range is a data-density parameter.
-_CANCEL_BACK = "INTERVAL 6 HOUR"
+_CANCEL_BACK = _APP_PARAMS["cancel_back"]
+_APP11_GATE = _APP_PARAMS["cancel_gate"]
 
 
 def _app11s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
-        ev = stream_events(spark, src)
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         # P5: the CDC state-transition predicate (DwdTradeOrderCancel
         # Detail.java:35-43 — old.order_status='1001' AND
         # order_status='1003' → the k-range gate analog). The PURCHASE
         # sentinel passes on its negative id (no k) so the branch
         # watermark, applied AFTER the filter, still advances; the
-        # type filter stays outside the disjunction — admitting OTHER
-        # types' sentinels here would let the 'view' sentinel sit in
-        # BOTH join branches and self-join (same key, same ts).
-        cancel = (
-            ev.where(
-                (F.col("event_type") == "purchase")
-                & ((F.col("event_id") < 0) | k.between(10, 60))
-            )
-            .select(
-                F.col("event_id").alias("cancel_id"),
-                F.col("user_id").alias("cancel_key"),
-                F.col("ts").alias("cancel_ts"),
-            )
-            .withWatermark("cancel_ts", _DELAY)
-            .dropDuplicatesWithinWatermark(["cancel_id"])
+        # type filter stays ANDed with the gate inside _typed_branch —
+        # admitting OTHER types' sentinels would let the 'view'
+        # sentinel sit in BOTH join branches and self-join (same key,
+        # same ts).
+        cancel = _typed_branch(
+            ev.where((F.col("event_id") < 0) | k.between(*_APP11_GATE)),
+            "purchase", "cancel_id", "cancel_key", "cancel_ts",
         )
-        det = (
-            ev.where(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("det_id"),
-                F.col("user_id").alias("det_key"),
-                F.col("ts").alias("det_ts"),
-            )
-            .withWatermark("det_ts", _DELAY)
-            .dropDuplicatesWithinWatermark(["det_id"])
-        )
+        det = _typed_branch(ev, "view", "det_id", "det_key", "det_ts")
         # J3: the 30-min-state inner join (:69-90) — the state TTL
         # becomes the explicit event-time range on the symmetric hash
         # join, exactly the j3 batch row's streaming form
-        joined = cancel.join(
+        return cancel.join(
             det,
             (F.col("cancel_key") == F.col("det_key"))
             & (F.col("det_ts") >= F.col("cancel_ts") - F.expr(_CANCEL_BACK))
             & (F.col("det_ts") <= F.col("cancel_ts")),
         ).select("cancel_id", "cancel_key", "det_id")
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            _assert_state_operators(_dump_progress(q, base), 3)
 
-    return _artifact_dir(spark, sf_dir, "app11s", build)
+    return _chain_artifact(spark, sf_dir, "app11s", 3, plan)
 
 
 @register(
@@ -2070,7 +1992,7 @@ def _app11s_build(spark: SparkSession, sf_dir: str) -> str:
          AND d.ts BETWEEN c.ts - {_CANCEL_BACK} AND c.ts
         WHERE c.event_type = 'purchase'
           AND CAST(json_extract_string(c.props, 'k') AS INT)
-              BETWEEN 10 AND 60
+              BETWEEN {_APP11_GATE[0]} AND {_APP11_GATE[1]}
         GROUP BY 1
     """,
 )
@@ -2093,23 +2015,15 @@ def app11s_order_cancel_stream_chain(
 
 
 def _app12s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         # ST1 dedup absorbs the replayed slice tails, then the P6
         # cart-add delta map (DwdTradeCartAdd.java:28-40): insert
         # (signup analog) keeps the value, update emits the increment
         # data-old (k - 50). Sentinels pass the watermark/dedup and
         # drop at the null-k gate — AFTER the watermark node.
-        deltas = (
-            stream_events(spark, src)
-            .withWatermark("ts", _DELAY)
+        return (
+            ev.withWatermark("ts", _DELAY)
             .dropDuplicatesWithinWatermark(["event_id"])
             .withColumn("k", k)
             .where(F.col("k").isNotNull())
@@ -2122,19 +2036,8 @@ def _app12s_build(spark: SparkSession, sf_dir: str) -> str:
                 .alias("delta"),
             )
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                deltas.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            _assert_state_operators(_dump_progress(q, base), 1)
 
-    return _artifact_dir(spark, sf_dir, "app12s", build)
+    return _chain_artifact(spark, sf_dir, "app12s", 1, plan)
 
 
 @register(
@@ -2174,18 +2077,11 @@ def app12s_cart_add_stream_chain(
     )
 
 
-_APP13_DIC = 5  # appraise-code domain: k % 5 → region dic
+_APP13_DIC = _APP_PARAMS["app13_dic"]
 
 
 def _app13s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         # P4: map-subscript projection of the comment envelope
         # (DwdInteractionCommentInfo.java:25-33); ST1 dedup; then the
@@ -2193,8 +2089,7 @@ def _app13s_build(spark: SparkSession, sf_dir: str) -> str:
         # a per-batch broadcast hash join. Sentinels (click) keep the
         # watermark advancing and drop at the inner join (null code).
         comments = (
-            stream_events(spark, src)
-            .where(F.col("event_type") == "click")
+            ev.where(F.col("event_type") == "click")
             .withWatermark("ts", _DELAY)
             .dropDuplicatesWithinWatermark(["event_id"])
             .select(
@@ -2209,20 +2104,9 @@ def _app13s_build(spark: SparkSession, sf_dir: str) -> str:
             F.col("r_regionkey").alias("appraise_code"),
             F.col("r_name").alias("appraise_name"),
         )
-        res = comments.join(F.broadcast(dic), "appraise_code")
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                res.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            _assert_state_operators(_dump_progress(q, base), 1)
+        return comments.join(F.broadcast(dic), "appraise_code")
 
-    return _artifact_dir(spark, sf_dir, "app13s", build)
+    return _chain_artifact(spark, sf_dir, "app13s", 1, plan)
 
 
 @register(
@@ -2392,8 +2276,7 @@ def app14s_base_db_stream_chain(
     )
 
 
-_APP15_GATE = (61, 90)  # refund state-transition k-range (disjoint
-# from app11s's cancel gate [10, 60] — different CDC transitions)
+_APP15_GATE = _APP_PARAMS["refund_gate"]
 
 
 def _refund_chain(
@@ -2405,22 +2288,14 @@ def _refund_chain(
     broadcast hash joins — the reference joins base_dic twice in the
     refund apps (DwdTradeOrderRefund.java:60-96). pay_suc narrows the
     gate to the upper half (the payment-success subset of refunds)."""
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
     lo, hi = _APP15_GATE
     if pay_suc:
         lo = (lo + hi) // 2 + 1  # 76-90: refunds whose payment succeeded
 
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         refunds = (
-            stream_events(spark, src)
-            .where(
+            ev.where(
                 (F.col("event_type") == "error")
                 & ((F.col("event_id") < 0) | k.between(lo, hi))
             )
@@ -2443,7 +2318,7 @@ def _refund_chain(
             F.col("n_nationkey").alias("province_id"),
             F.col("n_name").alias("province_name"),
         )
-        res = (
+        return (
             refunds.withColumn(
                 "refund_code", F.pmod("k", F.lit(5)).cast("bigint")
             )
@@ -2457,19 +2332,8 @@ def _refund_chain(
                 "event_id", "user_id", "refund_type", "province_name"
             )
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                res.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            _assert_state_operators(_dump_progress(q, base), 1)
 
-    return _artifact_dir(spark, sf_dir, kind, build)
+    return _chain_artifact(spark, sf_dir, kind, 1, plan)
 
 
 def _refund_oracle(lo: int, hi: int) -> str:
@@ -2544,18 +2408,11 @@ def app17s_refund_pay_suc_stream_chain(
     )
 
 
-_APP16_PAGES = {"home": 0, "good_detail": 3}  # k % 6 page-id analog
+_APP16_PAGES = _APP_PARAMS["app16_pages"]
 
 
 def _app16s_build(spark: SparkSession, sf_dir: str) -> str:
-    from real_time_data_warehouse_spark.streaming.pipelines import (
-        stream_events,
-    )
-
-    def build(base: str) -> None:
-        src = _app_source(spark, sf_dir)
-        out = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
+    def plan(ev: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").try_cast("int")
         page = (
             F.when(F.pmod(k, F.lit(6)) == _APP16_PAGES["home"], "home")
@@ -2569,8 +2426,7 @@ def _app16s_build(spark: SparkSession, sf_dir: str) -> str:
         # its negative id (page NULL) to advance the watermark and is
         # excluded from both state keys' effects at read-back
         views = (
-            stream_events(spark, src)
-            .where(F.col("event_type") == "view")
+            ev.where(F.col("event_type") == "view")
             .withColumn("page", page)
             .where((F.col("event_id") < 0) | F.col("page").isNotNull())
             .withColumn("day_ts", F.date_trunc("day", "ts"))
@@ -2581,33 +2437,15 @@ def _app16s_build(spark: SparkSession, sf_dir: str) -> str:
         # with the event-time column in the key (watermark-evicted)
         firsts = views.dropDuplicates(["user_id", "page", "day_ts"])
         # A4: per-page tumbling UV count with window meta (:120-152)
-        agg = (
+        return (
             firsts.groupBy(
                 F.window("day_ts", "1 day").alias("w"), "page"
             )
             .agg(F.count("*").cast("bigint").alias("uv_ct"))
-            .select(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "stt"
-                ),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
-                "page",
-                "uv_ct",
-            )
+            .select(*_win_meta(), "page", "uv_ct")
         )
-        with _stream_shuffle_partitions(spark, _STATE_PARTS):
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await(q)
-            _assert_state_operators(_dump_progress(q, base), 2)
 
-    return _artifact_dir(spark, sf_dir, "app16s", build)
+    return _chain_artifact(spark, sf_dir, "app16s", 2, plan)
 
 
 @register(
@@ -2646,11 +2484,6 @@ def app16s_home_detail_stream_chain(
 ) -> DataFrame:
     base = _app16s_build(spark, sf_dir)
     back = spark.read.parquet(os.path.join(base, "out"))
-    mx = Tables(spark, sf_dir).events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx")
-    )
-    return (
-        back.crossJoin(F.broadcast(mx))
-        .where((F.col("stt") <= F.col("mx")) & F.col("page").isNotNull())
-        .drop("mx")
+    return _drop_sentinel_windows(
+        spark, sf_dir, back.where(F.col("page").isNotNull())
     )

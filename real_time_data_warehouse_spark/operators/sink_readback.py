@@ -240,6 +240,62 @@ def k2_serving_partition_readback(
     )
 
 
+# --- k2b: multi-day range scan over the serving store (S7 rollover) --------
+
+_K2B_DAYS = 2  # yesterday + today — the publisher's midnight rollover
+# the rollover's "yesterday": chosen so BOTH days carry orders at every
+# test scale (sf0.001's order stream is sparse — ~1 order/day — and the
+# serving window's first days are empty there; an empty-vs-empty match
+# would be a vacuous driver signal)
+_K2B_FROM = "1998-01-04"
+
+
+@register(
+    "k2b_serving_rollover_readback",
+    survey="S7,A7",
+    doc="The publisher's midnight-ROLLOVER serving path over the k2 "
+        "day-partitioned store: the default 'today' query widened to a "
+        "date RANGE of yesterday+today (DateFormatUtil.java:12-15 in "
+        "the publisher module — stats pages query today and fall back "
+        "across the midnight boundary), i.e. a partition-column "
+        f"predicate spanning {_K2B_DAYS} days. k2 proves single-range "
+        "pruning at 7 days from the range's start; this row pins the "
+        "MULTI-partition pruning contract at the rollover shape — the "
+        "directory listing must touch exactly the two requested day "
+        "dirs (PartitionFilters with both bounds, asserted on the plan "
+        "in tests/test_sink_readback.py), and the totals must equal "
+        "the oracle's recomputation from orders. Same artifact as k2 "
+        "(shared via the session cache), so this row costs one pruned "
+        "scan, not a rebuild.",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               {oracle_dec_sum('o_totalprice', 'gmv')}
+        FROM orders
+        WHERE o_orderdate >= DATE '{_K2B_FROM}'
+          AND o_orderdate < DATE '{_K2B_FROM}'
+              + INTERVAL {_K2B_DAYS} DAY
+        GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+    """,
+)
+def k2b_serving_rollover_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_data_warehouse_spark.functions.money import dec
+
+    base = _k2_build(spark, sf_dir)
+    lo = F.lit(_K2B_FROM).cast("date")
+    back = spark.read.option("basePath", base).parquet(base)
+    pruned = back.where(
+        (F.col("cur_date") >= lo)
+        & (F.col("cur_date") < F.date_add(lo, _K2B_DAYS))
+    ).withColumn("cur_date", F.col("cur_date").cast("string"))
+    return pruned.groupBy("cur_date").agg(
+        F.count("*").cast("bigint").alias("order_ct"),
+        F.sum(dec("o_totalprice")).cast("double").alias("gmv"),
+    )
+
+
 # --- k3: fixed-topic sink, read back (S4) ----------------------------------
 
 

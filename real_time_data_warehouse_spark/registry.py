@@ -63,66 +63,21 @@ def register(
 # it here — ordered_registry() fails loud on any mismatch, and
 # tests/test_registry_manifest.py pins the tiers.
 MANIFEST: tuple[str, ...] = (
-    # Round-11 rotation (tools/rotation.py freshness order): tier 1 =
-    # the two queries NEW this round — app5s (DwdBaseLog end-to-end:
-    # dirty side-output + keyed ST3 visitor repair + 5-way split with
-    # child explode, 6 sinks, crash+restart) and app6s
-    # (DwsTrafficVcChArIsNewPageViewWindow: two keyed dedup states
-    # unioned into the 4-dim tumbling reduce); tier 2 = the stalest
-    # greens — the 17-query r6 cohort (d5/d9/d9s/f_scalar/a2b/j9/a12/
-    # a11b/d7s/q0/f_json/j6-j8b/a1/a2), then the oldest r7 rows up to
-    # the 50-slot cap. Everything below the cap carries r7-r10 signal
-    # and rotates back by freshness next round.
-    "app5s_base_log_stream_chain",  # NEVER
-    "app6s_traffic_page_view_stream_chain",  # NEVER
-    "app7s_user_login_stream_chain",  # NEVER
-    "app8s_keyword_window_stream_chain",  # NEVER
-    "app9s_pay_detail_stream_chain",  # NEVER
-    "app9x_pay_detail_crash_restart",  # NEVER
-    "app10s_cart_add_uu_stream_chain",  # NEVER
-    "app11s_order_cancel_stream_chain",  # NEVER
-    "app12s_cart_add_stream_chain",  # NEVER
-    "app13s_comment_info_stream_chain",  # NEVER
-    "app14s_base_db_stream_chain",  # NEVER
-    "app15s_order_refund_stream_chain",  # NEVER
-    "app16s_home_detail_stream_chain",  # NEVER
-    "app17s_refund_pay_suc_stream_chain",  # NEVER
-    "d5_embedding_neardup",  # r6
-    "d9_semantic_gate",  # r6
-    "d9s_semantic_gate_replay",  # r6
-    "f_scalar_suite",  # r6
-    "a2b_approx_distinct",  # r6
-    "j9_salted_skew_join",  # r6
-    "a12_salted_skew_agg",  # r6
-    "a11b_approx_percentiles",  # r6
-    "d7s_dedup_gate_replay",  # r6
-    "q0_flagship_trade_summary",  # r6
-    "f_json_roundtrip",  # r6
-    "j6_dim_chain_join",  # r6
-    "j7_broadcast_config_join",  # r6
-    "j8_semi_anti_join",  # r6
-    "j8b_full_outer_join",  # r6
-    "a1_windowed_sum",  # r6
-    "a2_distinct_count",  # r6
-    "s10b_knn_noise_ivf",  # r7
-    "s10c_knn_shortlist_recall",  # r7
-    "g1s_pagerank_replay",  # r7
-    "k1_dynamic_topic_readback",  # r7
-    "k2_serving_partition_readback",  # r7
-    "k3_fixed_topic_readback",  # r7
-    "k4_keyed_upsert_readback",  # r7
-    "p12_maxwell_envelope_parse",  # r7
-    "z4_snapshot_diff",  # r7
-    "st14_dws_stream_readback",  # r7
-    "a3_multikey_window",  # r7
-    "a4_global_window",  # r7
-    "a5_windowed_uu",  # r7
-    "a6_keyword_count",  # r7
-    "a7_daily_gmv",  # r7
-    "a8_province_amount",  # r7
-    "a9_topk_channel",  # r7
-    "a10_rollup",  # r7
-    "a10b_cube",  # r7
+    # Round-12 rotation (tools/rotation.py freshness order): tier 1 =
+    # the three queries NEW this round — j16 (mid-stream dim refresh:
+    # the S11 Redis-invalidation semantics; a concurrent writer
+    # rewrites the dim store between micro-batches and every batch
+    # re-reads it fresh), app7x (crash + checkpoint restart over the
+    # ST5 applyInPandasWithState keyed Python state — the one recovery
+    # class no other crash row covered) and k2b (the publisher's
+    # yesterday+today rollover: multi-partition pruning on the k2
+    # serving store); tier 2 = the stalest greens — the 31-query r7
+    # cohort, then the oldest r8 rows up to the 50-slot cap. Slots
+    # below the cap all carry r8-r11 signal and rotate back by
+    # freshness next round.
+    "j16_dim_refresh_stream_readback",  # NEVER
+    "app7x_user_login_crash_restart",  # NEVER
+    "k2b_serving_rollover_readback",  # NEVER
     "a11_percentiles",  # r7
     "w8_sliding_window",  # r7
     "w8b_session_window",  # r7
@@ -134,7 +89,7 @@ MANIFEST: tuple[str, ...] = (
     "st6_session_count",  # r7
     "x1_log_split",  # r7
     "x1b_explode_children",  # r7
-    "x3_set_ops",  # r7  # --- driver cap (50) ---
+    "x3_set_ops",  # r7
     "s4_cluster_stats",  # r7
     "s2b_lsh_multiband_topk",  # r7
     "d7_dedup_gate",  # r7
@@ -169,7 +124,7 @@ MANIFEST: tuple[str, ...] = (
     "t8_pmi_bigrams",  # r8
     "c9_doc_chunks",  # r8
     "c3s_packing_replay",  # r8
-    "c1s_curation_replay",  # r8
+    "c1s_curation_replay",  # r8  # --- driver cap (50) ---
     "c10_corpus_profile",  # r8
     "d6b_cluster_histogram",  # r8
     "t9_unigram_surprisal",  # r8
@@ -304,6 +259,56 @@ MANIFEST: tuple[str, ...] = (
     "sql1_order_detail_app",  # r10
     "sql2_keyword_window_app",  # r10
     "sql3_serving_gmv_app",  # r10
+    "app5s_base_log_stream_chain",  # r11
+    "app6s_traffic_page_view_stream_chain",  # r11
+    "app7s_user_login_stream_chain",  # r11
+    "app8s_keyword_window_stream_chain",  # r11
+    "app9s_pay_detail_stream_chain",  # r11
+    "app9x_pay_detail_crash_restart",  # r11
+    "app10s_cart_add_uu_stream_chain",  # r11
+    "app11s_order_cancel_stream_chain",  # r11
+    "app12s_cart_add_stream_chain",  # r11
+    "app13s_comment_info_stream_chain",  # r11
+    "app14s_base_db_stream_chain",  # r11
+    "app15s_order_refund_stream_chain",  # r11
+    "app16s_home_detail_stream_chain",  # r11
+    "app17s_refund_pay_suc_stream_chain",  # r11
+    "d5_embedding_neardup",  # r11
+    "d9_semantic_gate",  # r11
+    "d9s_semantic_gate_replay",  # r11
+    "f_scalar_suite",  # r11
+    "a2b_approx_distinct",  # r11
+    "j9_salted_skew_join",  # r11
+    "a12_salted_skew_agg",  # r11
+    "a11b_approx_percentiles",  # r11
+    "d7s_dedup_gate_replay",  # r11
+    "q0_flagship_trade_summary",  # r11
+    "f_json_roundtrip",  # r11
+    "j6_dim_chain_join",  # r11
+    "j7_broadcast_config_join",  # r11
+    "j8_semi_anti_join",  # r11
+    "j8b_full_outer_join",  # r11
+    "a1_windowed_sum",  # r11
+    "a2_distinct_count",  # r11
+    "s10b_knn_noise_ivf",  # r11
+    "s10c_knn_shortlist_recall",  # r11
+    "g1s_pagerank_replay",  # r11
+    "k1_dynamic_topic_readback",  # r11
+    "k2_serving_partition_readback",  # r11
+    "k3_fixed_topic_readback",  # r11
+    "k4_keyed_upsert_readback",  # r11
+    "p12_maxwell_envelope_parse",  # r11
+    "z4_snapshot_diff",  # r11
+    "st14_dws_stream_readback",  # r11
+    "a3_multikey_window",  # r11
+    "a4_global_window",  # r11
+    "a5_windowed_uu",  # r11
+    "a6_keyword_count",  # r11
+    "a7_daily_gmv",  # r11
+    "a8_province_amount",  # r11
+    "a9_topk_channel",  # r11
+    "a10_rollup",  # r11
+    "a10b_cube",  # r11
 )
 
 

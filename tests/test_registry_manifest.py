@@ -2,15 +2,14 @@
 
 The external correctness driver truncates at 50 queries per round
 (observed rounds 1-5 — documented in BASELINE.md), so the first 50
-manifest slots are the only hard-signal slots. Round-11 rotation
-(tools/rotation.py freshness order): tier 1 = the round-11 additions
-(never driver-verified — app5s: DwdBaseLog end-to-end with dirty
-side-output + keyed ST3 repair + 5-way split + crash/restart; app6s:
-DwsTrafficVcChArIsNewPageViewWindow with two keyed dedup states
-unioned into the 4-dim tumbling reduce); tier 2 = the stalest greens —
-the 17-query r6 cohort, then the oldest r7 rows up to the cap. Slots
-below the cap all carry r7-r10 green signal and rotate back by
-freshness later.
+manifest slots are the only hard-signal slots. Round-12 rotation
+(tools/rotation.py freshness order): tier 1 = the round-12 additions
+(never driver-verified — j16: mid-stream dim refresh under the real
+runtime; app7x: crash restart over the ST5 applyInPandasWithState
+keyed state; k2b: multi-day partition pruning on the serving store);
+tier 2 = the stalest greens — the 31-query r7 cohort, then the oldest
+r8 rows up to the cap. Slots below the cap all carry r8-r11 green
+signal and rotate back by freshness later.
 
 Tier tuples are spelled out literally (not derived from MANIFEST) ON
 PURPOSE: the test exists to catch an accidental manifest edit, so the
@@ -32,44 +31,63 @@ from real_time_data_warehouse_spark.registry import (
 
 DRIVER_CAP = 50
 
-# Never driver-verified (the round-11 additions): lead the manifest
+# Never driver-verified (the round-12 additions): lead the manifest
 # unconditionally.
 TIER1 = (
-    "app5s_base_log_stream_chain",
-    "app6s_traffic_page_view_stream_chain",
-    "app7s_user_login_stream_chain",
-    "app8s_keyword_window_stream_chain",
-    "app9s_pay_detail_stream_chain",
-    "app9x_pay_detail_crash_restart",
-    "app10s_cart_add_uu_stream_chain",
-    "app11s_order_cancel_stream_chain",
-    "app12s_cart_add_stream_chain",
-    "app13s_comment_info_stream_chain",
-    "app14s_base_db_stream_chain",
-    "app15s_order_refund_stream_chain",
-    "app16s_home_detail_stream_chain",
-    "app17s_refund_pay_suc_stream_chain",
+    "j16_dim_refresh_stream_readback",
+    "app7x_user_login_crash_restart",
+    "k2b_serving_rollover_readback",
 )
 # Stalest hard signal: must sit inside the cap so their signal
 # refreshes this round.
 TIER2 = (
-    "d5_embedding_neardup",
-    "d9_semantic_gate",
-    "d9s_semantic_gate_replay",
-    "f_scalar_suite",
-    "a2b_approx_distinct",
-    "j9_salted_skew_join",
-    "a12_salted_skew_agg",
-    "a11b_approx_percentiles",
-    "d7s_dedup_gate_replay",
-    "q0_flagship_trade_summary",
-    "f_json_roundtrip",
-    "j6_dim_chain_join",
-    "j7_broadcast_config_join",
-    "j8_semi_anti_join",
-    "j8b_full_outer_join",
-    "a1_windowed_sum",
-    "a2_distinct_count",
+    "a11_percentiles",
+    "w8_sliding_window",
+    "w8b_session_window",
+    "w9_over_analytics",
+    "st1_dedup_last_wins",
+    "st3_visitor_state_fix",
+    "st4_first_per_day_uv",
+    "st5_returning_user",
+    "st6_session_count",
+    "x1_log_split",
+    "x1b_explode_children",
+    "x3_set_ops",
+    "s4_cluster_stats",
+    "s2b_lsh_multiband_topk",
+    "d7_dedup_gate",
+    "s3_ivf_ann_topk",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d2b_jaccard_capped",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "d6_dedup_clusters",
+    "d8_decontamination",
+    "s1_cosine_topk",
+    "j10_asof_join",
+    "st8_scd2_intervals",
+    "c7_quota_sample",
+    "s5_pq_adc_topk",
+    "st8s_scd2_replay",
+    "st9_retract_changelog",
+    "c8_leakage_safe_split",
+    "st15_returning_user_stream_readback",
+    "st16_daily_uv_stream_readback",
+    "st17_visitor_fix_stream_readback",
+    "j13_interval_join_stream_readback",
+    "j14_left_outer_stream_readback",
+    "k5_config_ddl_readback",
+    "k6_jdbc_dim_roundtrip",
+    "st18_dws_update_upsert_readback",
+    "d12_shingle_containment",
+    "s6_bm25_topk",
+    "s7_hybrid_rerank",
+    "t7_ngram_stats",
+    "t8_pmi_bigrams",
+    "c9_doc_chunks",
+    "c3s_packing_replay",
+    "c1s_curation_replay",
 )
 
 

@@ -25,6 +25,27 @@ def test_k2_readback_prunes_partitions(spark):
     assert all(r["order_ct"] > 0 for r in rows)
 
 
+def test_k2b_rollover_prunes_to_two_partitions(spark):
+    """The yesterday+today rollover range must reach the partition
+    listing as a two-day filter — the scan touches exactly the two
+    requested day dirs, not the year of partitions in the store."""
+    from real_time_data_warehouse_spark.operators.sink_readback import (
+        _K2B_DAYS,
+        k2b_serving_rollover_readback,
+    )
+
+    df = k2b_serving_rollover_readback(spark, SF_DIR)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in physical.splitlines() if "PartitionFilters" in ln]
+    assert scan, physical
+    assert "cur_date" in scan[0]
+    # both range bounds reach the listing (1998-01-04 <= d < 1998-01-06)
+    assert "1998-01-04" in scan[0] and "1998-01-06" in scan[0]
+    rows = df.collect()
+    assert 0 < len(rows) <= _K2B_DAYS
+    assert all(r["order_ct"] > 0 for r in rows)
+
+
 def test_k2_artifact_is_day_partitioned(spark):
     from real_time_data_warehouse_spark.operators.sink_readback import (
         _k2_build,

@@ -132,6 +132,99 @@ def test_returning_user_stream_cross_batch_state(spark, tmp_path, events_dir):
     assert got_rows == exp_rows
 
 
+class _FakeGroupState:
+    """Minimal GroupState double for driving the ST5 state function
+    deterministically (a real ProcessingTimeTimeout keeps an
+    availableNow query alive to service registered timeouts — the
+    exact reason TTL is opt-in; see streaming/stateful.py docstring)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _ru_drive(fn, dates, state):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(dates)})
+    out = pd.concat(list(fn((7,), iter([pdf]), state)))
+    return [tuple(r) for r in out.itertuples(index=False)]
+
+
+def test_returning_user_idle_ttl_policy():
+    """The deliberate ST5 state-bound policy (round-11 verdict task 5):
+    the reference keeps returning-user state FOREVER
+    (DwsUserUserLoginWindow.java:80-124); the Spark twin bounds it with
+    an opt-in idle TTL (DEFAULT_IDLE_TTL_MS = 90 days ≫ the 8-day
+    semantic gap). Three contracts, driven deterministically through
+    the state function (a registered ProcessingTimeTimeout keeps an
+    availableNow query alive, so the policy is pinned at this level):
+
+    1. ACTIVE-USER INVARIANCE: with state retained (no eviction
+       happened), the TTL'd function emits byte-identical rows and
+       final state to the no-TTL function — the TTL only ever ADDS a
+       setTimeoutDuration call.
+    2. EVICTION: a timed-out key's state is removed, nothing emitted.
+    3. THE DOCUMENTED TRADE: a login AFTER eviction re-emits
+       is_uu=1/is_back=0 (the user re-counts as new-that-day and loses
+       only is_back attribution) — vs is_back=1 had state survived.
+       SCALE.md §ST5 documents why 90 days makes this acceptable."""
+    from real_time_data_warehouse_spark.streaming.stateful import (
+        DEFAULT_IDLE_TTL_MS,
+        _make_returning_user_fn,
+    )
+
+    fn_ttl = _make_returning_user_fn(DEFAULT_IDLE_TTL_MS)
+    fn_raw = _make_returning_user_fn(None)
+    dates = ["2024-01-01", "2024-01-03", "2024-01-12", "2024-01-12"]
+
+    # 1. active-user invariance (fresh key, then a pre-loaded key)
+    for init in (None, ("2023-12-20",)):
+        s_ttl = _FakeGroupState(init)
+        s_raw = _FakeGroupState(init)
+        assert _ru_drive(fn_ttl, dates, s_ttl) == _ru_drive(
+            fn_raw, dates, s_raw
+        )
+        assert s_ttl.get == s_raw.get
+        assert s_ttl.timeout_ms == DEFAULT_IDLE_TTL_MS  # TTL re-armed
+        assert s_raw.timeout_ms is None
+
+    # 2. eviction branch: timed-out key → state removed, no output
+    s = _FakeGroupState(("2024-01-01",), timed_out=True)
+    assert _ru_drive(fn_ttl, [], s) == []
+    assert s.removed and not s.exists
+
+    # 3. the trade: post-eviction login re-counts as uu, loses is_back
+    evicted = _FakeGroupState(None)
+    kept = _FakeGroupState(("2024-01-01",))
+    assert _ru_drive(fn_ttl, ["2024-06-01"], evicted) == [
+        (7, "2024-06-01", 1, 0)
+    ]
+    assert _ru_drive(fn_ttl, ["2024-06-01"], kept) == [
+        (7, "2024-06-01", 1, 1)
+    ]
+
+
 def test_visitor_fix_stream(spark, tmp_path, events_dir):
     """ST3 streaming repair equals the batch min-date-over-partition twin."""
     stream_df = visitor_fix(

@@ -104,6 +104,17 @@ SHOWCASE = (
      "bloom grid built by bit_or partial→final off the distinct-pairs "
      "dedup; probe/grid/geometry joins all broadcast — no shuffle join "
      "anywhere"),
+    # round-12 additions
+    ("k2b_serving_rollover_readback",
+     "the yesterday+today rollover range reaches the partition listing "
+     "as a TWO-day filter (PartitionFilters carries both bounds) — the "
+     "scan touches exactly two day dirs of the year-sized store"),
+    ("j16_dim_refresh_stream_readback",
+     "mid-stream dim refresh (S11 invalidation): every micro-batch "
+     "re-reads the dim dir FRESH inside foreachBatch — a new file "
+     "index per batch, never a cached InMemoryFileIndex serving the "
+     "pre-update listing — then broadcast-joins the 25-row dim; the "
+     "read-back below is one hash aggregate over the enriched sink"),
 )
 
 
