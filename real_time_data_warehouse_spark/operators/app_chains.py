@@ -42,6 +42,12 @@ query against a composed oracle. These rows close that gap:
 - ``app8s``: DwsTrafficSourceKeywordPageViewWindow — search filter,
   ST1 dedup, tokenizer explode (stateless between the stateful pair),
   per-keyword tumbling count.
+- ``app9s``-``app17s``: the remaining reference topologies (interval
+  join + lookup, cancel/refund state gates, routing, UU windows);
+  ``app9x``/``app7x`` additionally crash mid-stream and restart from
+  the checkpoint — app9x over a depth-3 built-in-operator chain, app7x
+  over the ST5 applyInPandasWithState KEYED PYTHON STATE (the per-user
+  last_login_date must survive the restart).
 
 Three execution-model facts make these rows exact (not
 horizon-truncated like st14/j14):

@@ -88,19 +88,24 @@ def dsir_logratio_frame(
     )
     bg_c = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb_c"))
     hist_c = bg_c.groupBy("w1").agg(F.sum("cb_c").alias("cu_c"))
-    vocab_c = documents.select(F.explode(toks).alias("w")).agg(
-        F.countDistinct("w").alias("v_c")
-    )
     bg_t = (
         tf.where(F.col("is_t"))
         .groupBy("w1", "w2")
         .agg(F.sum("tf").alias("cb_t"))
     )
     hist_t = bg_t.groupBy("w1").agg(F.sum("cb_t").alias("cu_t"))
-    vocab_t = (
-        documents.where(target_pred)
-        .select(F.explode(toks).alias("w"))
-        .agg(F.countDistinct("w").cast("bigint").alias("v_t"))
+    # BOTH vocabulary sizes from ONE corpus tokenization (round-12
+    # drift fix: two separate explode+countDistinct passes were the
+    # 2nd and 3rd full tokenize of the corpus in this query) — the
+    # target count distinct-counts only the target slice's tokens via
+    # a conditional, same values as the oracle's two subqueries
+    vocabs = documents.select(
+        target_pred.alias("is_t"), F.explode(toks).alias("w")
+    ).agg(
+        F.countDistinct("w").alias("v_c"),
+        F.countDistinct(F.when(F.col("is_t"), F.col("w")))
+        .cast("bigint")
+        .alias("v_t"),
     )
 
     def nll(cu: F.Column, cb: F.Column, v: F.Column) -> F.Column:
@@ -114,8 +119,7 @@ def dsir_logratio_frame(
         bg_c.join(hist_c, "w1")
         .join(bg_t, ["w1", "w2"], "left")
         .join(hist_t, "w1", "left")
-        .crossJoin(F.broadcast(vocab_c))
-        .crossJoin(F.broadcast(vocab_t))
+        .crossJoin(F.broadcast(vocabs))  # 1-row (v_c, v_t) frame
         .select(
             "w1",
             "w2",

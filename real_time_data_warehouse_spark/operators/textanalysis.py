@@ -934,12 +934,17 @@ def t14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = Tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text")
-    per_doc = docs.select(
-        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n")
+    # tokenize ONCE: the size() curve and the first-doc-per-type curve
+    # both read the checkpointed token arrays (round-12 drift fix —
+    # two separate passes each re-ran the regex split over the corpus)
+    toked = t.documents.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).localCheckpoint(eager=True)
+    per_doc = toked.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n")
     )
     firsts = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        toked.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy("first_doc")

@@ -39,10 +39,31 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Session-scoped plan cache: (applicationId, sf_dir, table) → DataFrame.
+# A loaded table is an immutable logical plan over an immutable fixture
+# dir (the driver regenerates /root/testdata only BETWEEN rounds, never
+# inside a process), so rebuilding it per query call pays a fresh file
+# listing + a dtype-probe analysis roundtrip for nothing — measured
+# 0.13-0.27 s per table at sf0.1, which made the 5-table j6 dim chain
+# spend ~1.7 s CONSTRUCTING a 1.0 s query (round-12 j6 drift
+# adjudication; the regression was driver-side, not the plan). Entries
+# are keyed by applicationId so a stopped-and-recreated session never
+# serves dead JVM references. NOT for mutable dirs: anything with
+# update-in-place semantics (j16's refreshed dim store, the LWW dim
+# stores) must keep re-reading its directory per batch — this cache is
+# exactly the stale-file-listing trap j16 exists to avoid, safe here
+# only because the fixture tables are frozen for the process lifetime.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     tune(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # W6 "ts unit normalization" discipline (SURVEY.md §2.5): the reference
     # mixes epoch seconds and millis per topic; the fixture generator has
@@ -58,6 +79,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _LOAD_CACHE[key] = df
     return df
 
 
