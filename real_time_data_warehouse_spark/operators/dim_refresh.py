@@ -66,25 +66,37 @@ from real_time_data_warehouse_spark.tables import Tables
 
 _N_DIM = 25  # nation-table domain; province_id = user_id % 25
 _SWAP_SLICE = 2  # dim goes v2 at the first batch of time-slice >= 2
+_DEL_MOD = 5  # j16b: keys ≡ 0 (mod 5) are DELETED in generation v2
 
 
-def _dim_df(spark: SparkSession, sf_dir: str, v2: bool) -> DataFrame:
+def _dim_df(
+    spark: SparkSession, sf_dir: str, v2: bool, deletes: bool = False
+) -> DataFrame:
     name = F.col("n_name")
+    dim = Tables(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("province_id"), F.col("n_name")
+    )
     if v2:
         # keyed update: even keys renamed, odd keys untouched — the
         # read-back must show BOTH (granular invalidation, not a
         # whole-table reload artifact)
         name = F.when(
-            F.pmod("n_nationkey", F.lit(2)) == 0,
+            F.pmod("province_id", F.lit(2)) == 0,
             F.concat(F.col("n_name"), F.lit("_v2")),
         ).otherwise(F.col("n_name"))
-    return Tables(spark, sf_dir).nation.select(
-        F.col("n_nationkey").alias("province_id"),
-        name.alias("province_name"),
-    )
+        if deletes:
+            # j16b: the DELETE path of the reference's invalidation —
+            # the row is gone from the store, so post-swap lookups must
+            # miss (→ the left join's 'unknown'), not serve the cached
+            # v1 row
+            dim = dim.where(F.pmod("province_id", F.lit(_DEL_MOD)) != 0)
+    return dim.select("province_id", name.alias("province_name"))
 
 
-def _j16_build(spark: SparkSession, sf_dir: str) -> str:
+def _j16_build(
+    spark: SparkSession, sf_dir: str, kind: str = "j16",
+    deletes: bool = False,
+) -> str:
     from real_time_data_warehouse_spark.streaming.pipelines import (
         stream_events,
     )
@@ -117,10 +129,11 @@ def _j16_build(spark: SparkSession, sf_dir: str) -> str:
                 if sl >= _SWAP_SLICE and not swapped["done"]:
                     # the concurrent writer commits generation v2
                     # between micro-batches (HBaseSinkFunction.java:
-                    # 57-61's update path)
-                    _dim_df(spark, sf_dir, v2=True).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(dim_dir)
+                    # 57-61 — update path; deletes=True adds the
+                    # delete path: rows REMOVED from the store)
+                    _dim_df(
+                        spark, sf_dir, v2=True, deletes=deletes
+                    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
                     swapped["done"] = True
             # FRESH read per batch — a new file index every time; this
             # line is the whole point (a DataFrame built once outside
@@ -132,7 +145,15 @@ def _j16_build(spark: SparkSession, sf_dir: str) -> str:
                     F.pmod("user_id", F.lit(_N_DIM)).cast("bigint"),
                 )
                 .join(F.broadcast(dim), "province_id", "left")
-                .select("event_id", "user_id", "province_name")
+                .select(
+                    "event_id",
+                    "user_id",
+                    # a missed lookup (deleted dim row) is 'unknown' —
+                    # inert for j16 (every key matches both gens)
+                    F.coalesce(
+                        "province_name", F.lit("unknown")
+                    ).alias("province_name"),
+                )
             )
             enriched.write.mode("overwrite").parquet(
                 os.path.join(out, f"batch_id={bid}")
@@ -153,7 +174,7 @@ def _j16_build(spark: SparkSession, sf_dir: str) -> str:
             "mid-stream dim update"
         )
 
-    return _artifact_dir(spark, sf_dir, "j16", build)
+    return _artifact_dir(spark, sf_dir, kind, build)
 
 
 @register(
@@ -204,7 +225,10 @@ def _j16_build(spark: SparkSession, sf_dir: str) -> str:
 def j16_dim_refresh_stream_readback(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    base = _j16_build(spark, sf_dir)
+    return _j16_readback(spark, _j16_build(spark, sf_dir))
+
+
+def _j16_readback(spark: SparkSession, base: str) -> DataFrame:
     back = spark.read.option(
         "basePath", os.path.join(base, "out")
     ).parquet(os.path.join(base, "out"))
@@ -212,4 +236,56 @@ def j16_dim_refresh_stream_readback(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
         F.countDistinct("user_id").cast("bigint").alias("uu"),
+    )
+
+
+@register(
+    "j16b_dim_delete_stream_readback",
+    survey="S11,S8,J5",
+    doc="The DELETE path of the S11 invalidation (HBaseSinkFunction"
+        ".java:57-61 fires delKey on delete too, and the dim row is "
+        "removed from HBase): same topology as j16, but generation v2 "
+        f"also REMOVES every key ≡ 0 (mod {_DEL_MOD}) from the dim "
+        "store. Post-swap batches must MISS those keys — the fresh "
+        "per-batch re-read sees the shrunken store and the left join "
+        "falls to 'unknown' — while a stale cached listing would keep "
+        "serving the deleted rows' v1 files. Pre-swap batches still "
+        "enrich every key; the time-versioned oracle encodes all "
+        "three post-swap outcomes (deleted → 'unknown', even → "
+        "renamed, odd → unchanged) per slice.",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(epoch_us(ts)) AS lo,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) + 1 AS span
+            FROM events
+        ),
+        sliced AS (
+            SELECT e.event_id, e.user_id,
+                   e.user_id % {_N_DIM} AS province_id,
+                   LEAST({_SRC_FILES - 1},
+                         ((epoch_us(e.ts) - b.lo) * {_SRC_FILES})
+                             // b.span) AS sl
+            FROM events e CROSS JOIN bounds b
+        )
+        SELECT CASE
+                 WHEN s.sl >= {_SWAP_SLICE}
+                      AND n.n_nationkey % {_DEL_MOD} = 0
+                   THEN 'unknown'
+                 WHEN s.sl >= {_SWAP_SLICE} AND n.n_nationkey % 2 = 0
+                   THEN n.n_name || '_v2'
+                 ELSE n.n_name
+               END AS province_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(s.event_id) AS BIGINT) AS id_sum,
+               CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS uu
+        FROM sliced s
+        LEFT JOIN nation n ON n.n_nationkey = s.province_id
+        GROUP BY 1
+    """,
+)
+def j16b_dim_delete_stream_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _j16_readback(
+        spark, _j16_build(spark, sf_dir, kind="j16b", deletes=True)
     )

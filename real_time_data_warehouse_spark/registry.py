@@ -76,6 +76,7 @@ MANIFEST: tuple[str, ...] = (
     # below the cap all carry r8-r11 signal and rotate back by
     # freshness next round.
     "j16_dim_refresh_stream_readback",  # NEVER
+    "j16b_dim_delete_stream_readback",  # NEVER
     "app7x_user_login_crash_restart",  # NEVER
     "k2b_serving_rollover_readback",  # NEVER
     "a11_percentiles",  # r7
@@ -123,8 +124,8 @@ MANIFEST: tuple[str, ...] = (
     "t7_ngram_stats",  # r8
     "t8_pmi_bigrams",  # r8
     "c9_doc_chunks",  # r8
-    "c3s_packing_replay",  # r8
-    "c1s_curation_replay",  # r8  # --- driver cap (50) ---
+    "c3s_packing_replay",  # r8  # --- driver cap (50) ---
+    "c1s_curation_replay",  # r8 (slot 51 — below cap)
     "c10_corpus_profile",  # r8
     "d6b_cluster_histogram",  # r8
     "t9_unigram_surprisal",  # r8

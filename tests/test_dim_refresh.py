@@ -69,3 +69,20 @@ def test_j16_dim_store_ends_at_v2(spark):
             assert name.endswith("_v2"), (k, name)
         else:
             assert not name.endswith("_v2"), (k, name)
+
+
+def test_j16b_dim_store_drops_deleted_keys(spark):
+    """After j16b's run the store is v2-with-deletes: mod-5 keys gone,
+    surviving even keys renamed, surviving odd keys untouched."""
+    from real_time_data_warehouse_spark.operators.dim_refresh import (
+        _DEL_MOD,
+        _j16_build,
+    )
+
+    base = _j16_build(spark, SF_DIR, kind="j16b", deletes=True)
+    dim = spark.read.parquet(os.path.join(base, "dim"))
+    rows = {r["province_id"]: r["province_name"] for r in dim.collect()}
+    assert len(rows) == 25 - len(range(0, 25, _DEL_MOD))
+    for k, name in rows.items():
+        assert k % _DEL_MOD != 0, f"deleted key {k} still in the store"
+        assert name.endswith("_v2") == (k % 2 == 0), (k, name)

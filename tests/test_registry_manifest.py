@@ -35,6 +35,7 @@ DRIVER_CAP = 50
 # unconditionally.
 TIER1 = (
     "j16_dim_refresh_stream_readback",
+    "j16b_dim_delete_stream_readback",
     "app7x_user_login_crash_restart",
     "k2b_serving_rollover_readback",
 )
@@ -87,7 +88,6 @@ TIER2 = (
     "t8_pmi_bigrams",
     "c9_doc_chunks",
     "c3s_packing_replay",
-    "c1s_curation_replay",
 )
 
 
