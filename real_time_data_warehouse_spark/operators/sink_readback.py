@@ -46,7 +46,7 @@ _CACHE: dict[tuple[str, str, str], str] = {}  # (app, sf_dir, kind) → dir
 # cold rebuilds (round-9 session 2: extended_total 145 s → 271 s the
 # moment kinds crossed 16). Each artifact is MBs at bench scale, so
 # the disk cost of headroom is trivial next to a single rebuild.
-_CACHE_MAX = 48
+_CACHE_MAX = 64  # round 12: kinds reached ~43 (j16/j16b/app7x/k2b new)
 _ATEXIT_ARMED = False
 
 

@@ -833,8 +833,18 @@ def t13_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
+    # Spread tokenization past the input-split granularity (the d2
+    # idiom): a compact single-row-group documents file yields ONE
+    # split, and the whole regex-tokenize+explode stage runs on one
+    # task — measured 17.3x on 10x data (round-12 decade probe) before
+    # this repartition, 55x of single-thread work hiding behind a
+    # perfect TakeOrdered plan. Shuffling the skinny text projection is
+    # ~free relative to the per-token work it parallelizes.
+    docs = t.documents.select("text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     freq = (
-        t.documents.select(F.explode(tokenize("text")).alias("tok"))
+        docs.select(F.explode(tokenize("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("f"))
     )

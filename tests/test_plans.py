@@ -546,12 +546,16 @@ def test_d17_cell_join_is_equi_not_nested_loop(spark):
 def test_t13_head_is_take_ordered(spark):
     """t13: the vocabulary head must arrive via TakeOrdered (top-K per
     partition, K-row merge) — a global sort of the vocabulary would be
-    the scale bug; the single token-count shuffle is the only exchange
-    (the K-row window/fit adds none)."""
+    the scale bug. Two exchanges exactly: the deliberate round-robin
+    spread of the skinny text projection (the d2 single-input-split
+    guard — without it the whole tokenize stage runs on ONE task and
+    the round-12 decade probe measured 17.3x on 10x data) and the
+    token-count shuffle; the K-row window/fit adds none."""
     df = q("t13_zipf_slope", spark)
     plan = formatted_plan(df)
     assert "TakeOrdered" in plan, plan
-    assert shuffle_count(df) <= 1, plan
+    assert "roundrobin" in plan.lower(), plan  # the spread is pinned too
+    assert shuffle_count(df) <= 2, plan
 
 
 def test_a18_prefix_sum_is_two_phase(spark):

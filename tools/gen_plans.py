@@ -35,7 +35,8 @@ SHOWCASE = (
      "cluster-scoped self-join on the cell key; checkpointed single "
      "assignment pass"),
     ("t13_zipf_slope",
-     "vocabulary head via TakeOrdered; ONE token-count shuffle"),
+     "vocabulary head via TakeOrdered; round-robin spread past the "
+     "single-input-split trap + ONE token-count shuffle"),
     ("z2_column_stats",
      "one parquet scan; multi-distinct as Expand + partial aggregation"),
     ("a7_daily_gmv",
