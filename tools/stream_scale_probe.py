@@ -70,6 +70,11 @@ ROWS: list[tuple[str, tuple[str, ...]]] = [
     ("app15s_order_refund_stream_chain", ("app15s",)),
     ("app16s_home_detail_stream_chain", ("app16s",)),
     ("app17s_refund_pay_suc_stream_chain", ("app17s",)),
+    # round-12 additions: the keyed-Python-state crash restart and the
+    # two mid-stream dim-refresh rows (update + delete paths)
+    ("app7x_user_login_crash_restart", ("app7x",)),
+    ("j16_dim_refresh_stream_readback", ("j16",)),
+    ("j16b_dim_delete_stream_readback", ("j16b",)),
 ]
 
 
