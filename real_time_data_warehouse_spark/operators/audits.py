@@ -47,6 +47,10 @@ _MINHASH_FLOOR_X100 = 90
     """,
 )
 def s9_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (round-12 adjudication): truth feeds the stats agg AND the
+    # semi-join, but Catalyst's ReuseExchange already deduplicates the
+    # exact-scan subtree — an explicit localCheckpoint here A/B-measured
+    # SLOWER (+25% on s14b, the same shape), so the lazy form is kept.
     truth = QUERY_REGISTRY["s1_cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -82,7 +86,7 @@ def s9_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d14_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = QUERY_REGISTRY["d2_ngram_jaccard_pairs"].fn(spark, sf_dir).select(
         "doc_a", "doc_b"
-    )
+    )  # lazy on purpose — see the s9 ReuseExchange note
     approx = QUERY_REGISTRY["d3_minhash_lsh_pairs"].fn(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
@@ -138,7 +142,7 @@ _SQ8_FLOOR_X100 = 80
 def s14b_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = QUERY_REGISTRY["s1_cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    )  # lazy on purpose — see the s9 ReuseExchange note
     approx = QUERY_REGISTRY["s14_sq8_ann_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )

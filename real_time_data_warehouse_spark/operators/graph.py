@@ -144,11 +144,22 @@ def pagerank_frame(
             "left",
         ).withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
     meta = meta.localCheckpoint(eager=True)
-    # distributed counts; ONE job returns both bounded scalars
-    n, n_seed = meta.agg(
-        F.count("*"),
-        F.sum(F.when(F.col("is_seed"), 1).otherwise(0)).cast("bigint"),
-    ).first()
+    # ONE job returns every bounded scalar the loop needs: node/seed
+    # counts from meta plus the exactness bound's max edge weight from
+    # the already-materialized edges (the max over `edges` equals the
+    # max over `ew` — the outd join keeps every edge). Previously the
+    # count agg and the max agg were two separate driver round-trips.
+    n, n_seed, max_w = (
+        meta.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ns"),
+        )
+        .crossJoin(edges.agg(F.max("w").cast("bigint").alias("mw")))
+        .first()
+    )
+    max_w = max_w or 0
     if n == 0 or n_seed == 0:
         return meta.limit(0).select(
             F.col("node"),
@@ -164,8 +175,7 @@ def pagerank_frame(
     # assuming it: rank_unit ≤ SCALE (total mass), so the bigint product
     # rank_unit*w in the contrib stays exact-in-double and far from int64
     # wrap (where Spark wraps silently but DuckDB raises) iff
-    # max(w)*SCALE < 2^53. One-row agg on the already-materialized edges.
-    max_w = ew.agg(F.max("w").cast("bigint")).first()[0] or 0
+    # max(w)*SCALE < 2^53.
     if max_w * SCALE >= 2**53:
         raise ValueError(
             f"pagerank exactness bound violated: max edge weight {max_w} "
@@ -179,9 +189,11 @@ def pagerank_frame(
     r0 = math.floor(SCALE / n_seed)
     base = math.floor((3 * SCALE) / (20 * n_seed))
     seed_i = F.when(F.col("is_seed"), 1).otherwise(0).cast("bigint")
+    # rank0 is a trivial projection over the checkpointed meta — no
+    # materialization job of its own; round 1 re-derives it in place
     ranks = meta.select(
         "node", (seed_i * F.lit(r0)).cast("bigint").alias("rank_unit")
-    ).localCheckpoint(eager=True)
+    )
     for it in range(n_iters):
         contrib = (
             ew.join(ranks, ew["src"] == ranks["node"])

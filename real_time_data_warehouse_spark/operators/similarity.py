@@ -387,16 +387,24 @@ def s2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
         F.col("bucket").alias("qb"),
     )
     n = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
         F.col("bucket").alias("nb"),
     )
+    # norms precomputed per row (s1 discipline): one fold per pair
     scored = (
         q.join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -495,15 +503,23 @@ def s2b_lsh_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qv = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
     )
-    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
+    )
+    # norms precomputed per row (s1 discipline): one fold per pair
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -593,12 +609,17 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         va = emb.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),
         )
         vb = emb.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
         )
-        sim = cosine(F.col("va"), F.col("vb"))
+        # norms precomputed per row (s1 discipline): one fold per pair
+        sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
             cand.join(va, "vec_a")
             .join(vb, "vec_b")
@@ -861,19 +882,28 @@ def s3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top2 = _topcells_udf(cents, _IVF_PROBES)
     cellcol = emb.withColumn("cells", top2(F.col("v")))
     assign = cellcol.select("vec_id", "v", F.col("cells")[0].alias("cell"))
+    # norms precomputed per row on each side (s1 discipline): one fold
+    # per candidate pair instead of three
     probes = cellcol.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
         F.explode("cells").alias("cell"),
     )
     cand = probes.join(
         assign.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell"
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
+            "cell",
         ),
         "cell",
     ).where(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+        .alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1471,14 +1501,22 @@ def _assigned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asgn = _assigned_cells(spark, sf_dir)
-    a = asgn.select("vec_id", "cell", F.col("vq").alias("va"))
+    # norms precomputed ONCE per row on each side (the s1 discipline):
+    # the pair filter then evaluates a single array fold instead of
+    # three — sqrt(dot(x,x)) just moves above the join, same doubles
+    a = asgn.select(
+        "vec_id",
+        "cell",
+        F.col("vq").alias("va"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("na"),
+    )
     b = asgn.select(
-        F.col("vec_id").alias("vec_b"), "cell", F.col("vq").alias("vb")
+        F.col("vec_id").alias("vec_b"),
+        "cell",
+        F.col("vq").alias("vb"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("nb"),
     )
-    pair_sim = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    pair_sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dups = (
         a.join(b, "cell")
         .where(F.col("vec_b") < F.col("vec_id"))
@@ -1731,12 +1769,18 @@ def d17c_semantic_dedup_multiprobe(
         .select("va", "vb")
         .distinct()
     )
-    x = asgn.select(F.col("vec_id").alias("va"), F.col("vq").alias("xq"))
-    y = asgn.select(F.col("vec_id").alias("vb"), F.col("vq").alias("yq"))
-    pair_sim = dot(F.col("xq"), F.col("yq")) / (
-        F.sqrt(dot(F.col("xq"), F.col("xq")))
-        * F.sqrt(dot(F.col("yq"), F.col("yq")))
+    # per-row norms (the s1 discipline): one fold per verified pair
+    x = asgn.select(
+        F.col("vec_id").alias("va"),
+        F.col("vq").alias("xq"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("nx"),
     )
+    y = asgn.select(
+        F.col("vec_id").alias("vb"),
+        F.col("vq").alias("yq"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("ny"),
+    )
+    pair_sim = dot(F.col("xq"), F.col("yq")) / (F.col("nx") * F.col("ny"))
     dups = (
         cand.join(x, "va")
         .join(y, "vb")
@@ -1837,12 +1881,15 @@ def d20_semantic_decontamination(
         F.col("vec_id").alias("train_id"),
         F.col("cells")[0].alias("cell"),
         F.col("vq").alias("xq"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("nx"),
     )
     evalp = asgn.where(is_eval).select(
         F.col("vec_id").alias("eval_id"), F.explode("cells").alias("cell")
     )
     evalv = asgn.where(is_eval).select(
-        F.col("vec_id").alias("eval_id"), F.col("vq").alias("yq")
+        F.col("vec_id").alias("eval_id"),
+        F.col("vq").alias("yq"),
+        F.sqrt(dot(F.col("vq"), F.col("vq"))).alias("ny"),
     )
     cand = (
         train.select("train_id", "cell")
@@ -1850,12 +1897,10 @@ def d20_semantic_decontamination(
         .select("train_id", "eval_id")
         .distinct()
     )
-    pair_sim = dot(F.col("xq"), F.col("yq")) / (
-        F.sqrt(dot(F.col("xq"), F.col("xq")))
-        * F.sqrt(dot(F.col("yq"), F.col("yq")))
-    )
+    # per-row norms (the s1 discipline): one fold per verified pair
+    pair_sim = dot(F.col("xq"), F.col("yq")) / (F.col("nx") * F.col("ny"))
     return (
-        cand.join(train.select("train_id", "xq"), "train_id")
+        cand.join(train.select("train_id", "xq", "nx"), "train_id")
         .join(F.broadcast(evalv), "eval_id")
         .where(pair_sim >= _NEARDUP_COS)
         .select(
@@ -2211,8 +2256,18 @@ def s10b_shortlist_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, nid): the EXACT top-_KNN_K under the identical SQ8 metric
     over the full collection — the truth side of the s10c gate. Audit
-    shape like s10 itself: the anchor probe frame broadcasts against
-    the corpus scan; the production path (s10b) never does this."""
+    shape like s10 itself: the anchor code matrix is the bounded
+    audit-side driver artifact (1/_KNN_SAMPLE_MOD of the corpus — the
+    same materialization s10's exact anchor matmul makes), and the
+    corpus scan scores ALL anchors per Arrow batch in ONE integer
+    numpy matmul (guide §4.2: whole batches to native code) instead of
+    an interpreted per-pair array fold. Each batch emits only rows
+    that can still reach the global top-K (rows below the batch's
+    k-th-largest score per anchor are outranked by >= K strictly
+    better rows, so dropping them is exact, not approximate); the
+    final window then computes the identical (sim DESC, nid ASC)
+    top-K the broadcast-join form produced. All dots are integer-
+    valued doubles < 2^53 — exact under any summation order."""
     from pyspark.sql.window import Window
 
     from real_time_data_warehouse_spark.operators.retrieval import (
@@ -2223,20 +2278,42 @@ def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
     codes = _sq8_codes(_normalized(emb))
-    q = codes.where(F.col("vec_id") % _KNN_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("qc").alias("qcode")
+    qrows = (
+        codes.where(F.col("vec_id") % _KNN_SAMPLE_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
     )
-    n = codes.select(
-        F.col("vec_id").alias("nid"), F.col("qc").alias("ncode")
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(n)
-        .where(F.col("nid") != F.col("qid"))
-        .select(
-            "qid", "nid", int_dot(F.col("qcode"), F.col("ncode")).alias("sim")
-        )
-    )
+    if not qrows:
+        return spark.createDataFrame([], "qid long, nid long")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qc"]) for r in qrows], dtype=np.float64)
+    k = _KNN_K
+
+    def score_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            N = np.array(list(pdf["qc"]), dtype=np.float64)
+            nids = pdf["vec_id"].to_numpy().astype(np.int64)
+            S = Q @ N.T  # exact: integer-valued doubles, |sums| < 2^53
+            # self-pairs can never be emitted: mask below every real score
+            S[qids[:, None] == nids[None, :]] = -np.inf
+            if S.shape[1] > k:
+                # k-th largest per anchor; keep ties inclusively — the
+                # kept set is a SUPERSET of each anchor's global top-K
+                thresh = np.partition(S, -k, axis=1)[:, -k]
+            else:
+                thresh = np.full(S.shape[0], -np.inf)
+            qi, ni = np.nonzero(S >= thresh[:, None])
+            yield pd.DataFrame(
+                {
+                    "qid": qids[qi],
+                    "nid": nids[ni],
+                    "sim": S[qi, ni].astype(np.int64),
+                }
+            )
+
+    scored = codes.mapInPandas(score_batches, "qid long, nid long, sim long")
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from real_time_data_warehouse_spark.streaming.state_store import (
     read_snapshot,
-    write_snapshot,
+    write_then_read,
 )
 
 _STATE_SCHEMA = "day string, hour int, n_rows long, bytes long"
@@ -68,16 +68,19 @@ def apply_compaction_batch(
         )
     )
     state = read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
-    merged = (
+    # the snapshot write IS the catalog materialization; the re-plan
+    # reads the written catalog back (one job fewer per batch)
+    merged = write_then_read(
         state.unionByName(part)
         .groupBy(*_KEY)
         .agg(
             F.sum("n_rows").cast("long").alias("n_rows"),
             F.sum("bytes").cast("long").alias("bytes"),
-        )
-        .localCheckpoint(eager=True)  # feeds snapshot AND the re-plan
+        ),
+        state_dir,
+        batch_id,
+        _STATE_SCHEMA,
     )
-    write_snapshot(merged, state_dir, batch_id)
     plan = compaction_bins(merged)
     if batch_id == 0:
         assert_no_cartesian(plan, "compaction.apply_compaction_batch")

@@ -69,14 +69,18 @@ def curate_batch(
             .otherwise("kept")
             .alias("reason"),
         )
-        .localCheckpoint(eager=True)  # decisions feed two writes below
     )
     if batch_id == 0:
         # one-shot (plan shape is batch-invariant): the registry-wide
         # lint skips replay queries, so the guard lives in the applier
         assert_no_cartesian(decisions, "curation.apply_curation_batch")
-    decisions.write.mode("overwrite").parquet(
-        os.path.join(base_dir, "decisions", f"batch_id={batch_id}")
+    # the decisions write IS their materialization: the admitted filter
+    # reads the written bytes back (one job fewer per batch than
+    # checkpoint + two writes)
+    dec_path = os.path.join(base_dir, "decisions", f"batch_id={batch_id}")
+    decisions.write.mode("overwrite").parquet(dec_path)
+    decisions = spark.read.schema("doc_id long, keep int, reason string").parquet(
+        dec_path
     )
     admitted = docs.join(
         decisions.where(F.col("keep") == 1).select("doc_id"), "doc_id"

@@ -51,22 +51,29 @@ def apply_distinct_batch(
 ) -> None:
     """One micro-batch of the incremental windowed UU over
     (user_id, ts, event_type)."""
-    triples = (
-        batch.select(
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                "cur_date"
-            ),
-            "event_type",
-            "user_id",
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # triples has one consumer (the anti-join) — stays lazy
+    triples = batch.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "cur_date"
+        ),
+        "event_type",
+        "user_id",
+    ).distinct()
     state = _read_state(spark, state_dir, batch_id)
     new_members = triples.join(
         state, [*_KEY, "user_id"], "leftanti"
     ).localCheckpoint(eager=True)
-    all_members = state.unionByName(new_members)
+    # the membership-set snapshot write IS its materialization; the
+    # touched-group counts then read the written set back (one job
+    # fewer per batch than counting and snapshotting independently —
+    # and the count pass reads parquet instead of re-running the union)
+    from real_time_data_warehouse_spark.streaming.state_store import (
+        write_then_read,
+    )
+
+    all_members = write_then_read(
+        state.unionByName(new_members), state_dir, batch_id, _STATE_SCHEMA
+    )
     touched = new_members.select(*_KEY).distinct()
     counts = (
         all_members.join(F.broadcast(touched), _KEY, "leftsemi")
@@ -75,9 +82,6 @@ def apply_distinct_batch(
     )
     counts.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
-    )
-    all_members.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch_id={batch_id}")
     )
 
 

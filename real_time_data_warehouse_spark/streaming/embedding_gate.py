@@ -47,7 +47,7 @@ from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from real_time_data_warehouse_spark.operators.similarity import (
     _NEARDUP_COS,
     _banded_sig,
-    cosine,
+    dot,
 )
 
 _STORE_SCHEMA = "vec_id long, band int, bucket int, v array<double>"
@@ -76,11 +76,17 @@ def classify_batch(
     )
     store = _read_store(spark, store_dir).drop("batch_id")
     targets = store.unionByName(batch_entry)
+    # norms precomputed per side row (the s1 discipline): the verify
+    # then pays ONE array fold per deduped pair instead of three —
+    # sqrt(dot(x,x)) just moves above the join, identical doubles
     cand = (
-        batch_entry.join(
+        batch_entry.withColumn(
+            "nv", F.sqrt(dot(F.col("v"), F.col("v")))
+        ).join(
             targets.select(
                 F.col("vec_id").alias("tid"), "band", "bucket",
                 F.col("v").alias("tv"),
+                F.sqrt(dot(F.col("v"), F.col("v"))).alias("tn"),
             ),
             ["band", "bucket"],
         )
@@ -89,8 +95,9 @@ def classify_batch(
         # before the exact-cosine verify so each pair is scored once
         .dropDuplicates(["vec_id", "tid"])
     )
+    pair_sim = dot(F.col("v"), F.col("tv")) / (F.col("nv") * F.col("tn"))
     near = (
-        cand.where(cosine(F.col("v"), F.col("tv")) >= _NEARDUP_COS)
+        cand.where(pair_sim >= _NEARDUP_COS)
         .groupBy("vec_id")
         .agg(F.min("tid").alias("dup_of"))
     )

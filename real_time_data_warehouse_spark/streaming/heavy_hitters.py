@@ -59,11 +59,13 @@ def apply_hh_batch(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    if merged.count() > cap:
+    # ONE driver round-trip decides overflow AND the cut: the top cap+1
+    # counters come back (≤ cap+1 rows — the same bounded driver state
+    # as before); a full count() job just to test overflow is redundant
+    top = merged.orderBy(F.col("cnt").desc(), "w").limit(cap + 1).collect()
+    if len(top) > cap:
         # the (cap+1)-th largest counter is the MG decrement cut
-        cut = merged.orderBy(F.col("cnt").desc(), "w").limit(cap + 1).collect()[
-            -1
-        ]["cnt"]
+        cut = top[-1]["cnt"]
         merged = merged.select(
             "w", (F.col("cnt") - cut).cast("bigint").alias("cnt")
         ).where(F.col("cnt") > 0)

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from real_time_data_warehouse_spark.streaming.state_store import (
     read_snapshot,
-    write_snapshot,
+    write_then_read,
 )
 
 _STATE_SCHEMA = (
@@ -60,12 +60,16 @@ def apply_last_wins_batch(
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    new_state = (
+    # the snapshot write IS the state materialization (write_then_read
+    # replaces checkpoint + write + derive — one job fewer per batch)
+    new_state = write_then_read(
         state.unionByName(rows)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .drop("rn")
-        .localCheckpoint(eager=True)
+        .drop("rn"),
+        state_dir,
+        batch_id,
+        _STATE_SCHEMA,
     )
     touched = rows.select("user_id", "event_type").distinct()
     out = new_state.join(
@@ -81,7 +85,6 @@ def apply_last_wins_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    write_snapshot(new_state, state_dir, batch_id)
 
 
 def compact_last_wins_log(spark: SparkSession, out_dir: str) -> DataFrame:

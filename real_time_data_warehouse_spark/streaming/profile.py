@@ -39,7 +39,6 @@ from real_time_data_warehouse_spark.functions.money import dec4
 from real_time_data_warehouse_spark.functions.text import tokenize
 from real_time_data_warehouse_spark.streaming.state_store import (
     read_snapshot,
-    write_snapshot,
 )
 
 _STATE_SCHEMA = (
@@ -82,9 +81,17 @@ def apply_profile_batch(
     state_dir: str,
     out_dir: str,
 ) -> None:
-    """One profiling micro-batch over (doc_id, text, source)."""
+    """One profiling micro-batch over (doc_id, text, source).
+
+    The emitted generations ARE snapshots (each batch re-emits the full
+    bounded leaf table — the pagerank_stream discipline), so the carried
+    state reads the PREVIOUS generation from out_dir and the batch runs
+    as ONE job; a separate state copy would write every byte twice.
+    ``state_dir`` stays in the signature for the shared harness shape
+    but holds nothing."""
+    del state_dir  # generations double as snapshots — see docstring
     partials = _leaf_partials(batch)
-    state = read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
+    state = read_snapshot(spark, out_dir, batch_id, _STATE_SCHEMA)
     merged = (
         state.unionByName(partials)
         .groupBy(*_KEY)
@@ -95,12 +102,10 @@ def apply_profile_batch(
             .cast("decimal(18,4)")
             .alias("quality_sum"),
         )
-        .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    write_snapshot(merged, state_dir, batch_id)
 
 
 def rollup_profile(spark: SparkSession, out_dir: str) -> DataFrame:

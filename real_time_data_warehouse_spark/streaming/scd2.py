@@ -133,14 +133,20 @@ def apply_scd2_batch(
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
         "version",
-    ).localCheckpoint(eager=True)
+    )
     if batch_id == 0:
         # one-shot (plan shape is batch-invariant): the registry-wide
         # lint skips replay queries, so the guard lives in the applier
         assert_no_cartesian(intervals, "scd2.apply_scd2_batch")
-    intervals.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"batch_id={batch_id}")
-    )
+    # the out-partition write IS the touched-versions materialization:
+    # the open-interval snapshot derives from the written bytes instead
+    # of a separate checkpoint job (one job fewer per batch)
+    out_path = os.path.join(out_dir, f"batch_id={batch_id}")
+    intervals.write.mode("overwrite").parquet(out_path)
+    intervals = spark.read.schema(
+        "user_id long, event_type string, valid_from timestamp, "
+        "valid_to timestamp, version int"
+    ).parquet(out_path)
     new_open = intervals.where(F.col("valid_to").isNull()).select(
         "user_id", "event_type", "valid_from", "version"
     )

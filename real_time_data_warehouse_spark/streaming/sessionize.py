@@ -127,19 +127,21 @@ def apply_session_batch(
             .cast("int"),
         )
     )
-    sessions = (
-        assigned.groupBy("user_id", "session_seq")
-        .agg(
-            F.min("start_c").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.sum("contrib_n").cast("long").alias("n_events"),
-            F.sum("contrib_sum").cast("decimal(18,2)").alias("value_sum"),
-        )
-        .localCheckpoint(eager=True)
+    # the out-partition write IS the touched-sessions materialization:
+    # the open-session snapshot derives from the written bytes instead
+    # of a separate checkpoint job (one job fewer per batch)
+    sessions = assigned.groupBy("user_id", "session_seq").agg(
+        F.min("start_c").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("contrib_n").cast("long").alias("n_events"),
+        F.sum("contrib_sum").cast("decimal(18,2)").alias("value_sum"),
     )
-    sessions.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"batch_id={batch_id}")
-    )
+    out_path = os.path.join(out_dir, f"batch_id={batch_id}")
+    sessions.write.mode("overwrite").parquet(out_path)
+    sessions = spark.read.schema(
+        "user_id long, session_seq int, session_start timestamp, "
+        "session_end timestamp, n_events long, value_sum decimal(18,2)"
+    ).parquet(out_path)
     w_last = Window.partitionBy("user_id").orderBy(
         F.col("session_seq").desc()
     )

@@ -24,7 +24,9 @@ def read_snapshot(
 ) -> DataFrame:
     """Latest ``batch_id=K`` snapshot under *state_dir* with
     K < *batch_id* (the replay bound), else an empty frame of
-    *schema*."""
+    *schema*. The caller-declared schema is handed to the reader so
+    the driver skips the per-batch parquet footer probe (guide §6 —
+    schema inference is driver-side work paid once per read)."""
     best = -1
     if os.path.isdir(state_dir):
         for name in os.listdir(state_dir):
@@ -32,7 +34,7 @@ def read_snapshot(
             if m and int(m.group(1)) < batch_id:
                 best = max(best, int(m.group(1)))
     if best >= 0:
-        return spark.read.parquet(
+        return spark.read.schema(schema).parquet(
             os.path.join(state_dir, f"batch_id={best}")
         )
     return spark.createDataFrame([], schema)
@@ -41,5 +43,20 @@ def read_snapshot(
 def write_snapshot(df: DataFrame, state_dir: str, batch_id: int) -> None:
     """Overwrite snapshot *batch_id* (idempotent under replay)."""
     df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def write_then_read(
+    df: DataFrame, state_dir: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Overwrite snapshot *batch_id* and return a READ of the written
+    files. For a frame that feeds both its own snapshot write and a
+    downstream derivation, this replaces the localCheckpoint +
+    write + derive pattern (3 jobs over the same rows) with write +
+    derive (2): the snapshot write IS the materialization, and the
+    read-back is the same bytes the checkpoint would have held."""
+    write_snapshot(df, state_dir, batch_id)
+    return df.sparkSession.read.schema(schema).parquet(
         os.path.join(state_dir, f"batch_id={batch_id}")
     )

@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from real_time_data_warehouse_spark.streaming.state_store import (
     read_snapshot,
     write_snapshot,
+    write_then_read,
 )
 
 # --- ST3: visitor-flag repair ---------------------------------------------
@@ -71,7 +72,9 @@ def apply_visitor_batch(
     batch_first = ev.groupBy("user_id").agg(F.min("d").alias("batch_d"))
     # time-ascending batches ⇒ carried first_d <= every batch date, so
     # least(carried, batch_min) is the user's true first-ever date
-    merged = (
+    # the snapshot write IS the state materialization (write_then_read
+    # replaces checkpoint + write + derive — one job fewer per batch)
+    merged = write_then_read(
         state.join(batch_first, "user_id", "full")
         .select(
             "user_id",
@@ -79,8 +82,10 @@ def apply_visitor_batch(
                 F.coalesce("first_d", "batch_d"),
                 F.coalesce("batch_d", "first_d"),
             ).alias("first_d"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        state_dir,
+        batch_id,
+        _VISITOR_STATE_SCHEMA,
     )
     out = ev.join(merged, "user_id").select(
         "event_id",
@@ -91,7 +96,6 @@ def apply_visitor_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    write_snapshot(merged, state_dir, batch_id)
 
 
 # --- ST5: returning-user / daily-UU accumulation --------------------------
@@ -156,7 +160,9 @@ def apply_returning_batch(
     dstate = read_snapshot(
         spark, _days_dir(state_dir), batch_id, _DAY_STATE_SCHEMA
     )
-    new_dstate = (
+    # the snapshot write IS the day-state materialization (one job
+    # fewer per batch than checkpoint + write)
+    new_dstate = write_then_read(
         dstate.unionByName(
             increments.select(
                 "d",
@@ -168,8 +174,10 @@ def apply_returning_batch(
         .agg(
             F.sum("uu_ct").cast("long").alias("uu_ct"),
             F.sum("back_ct").cast("long").alias("back_ct"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        _days_dir(state_dir),
+        batch_id,
+        _DAY_STATE_SCHEMA,
     )
     touched = increments.select("d")
     new_dstate.join(F.broadcast(touched), "d", "leftsemi").select(
@@ -187,7 +195,6 @@ def apply_returning_batch(
         .agg(F.max("last_d").alias("last_d"))
     )
     write_snapshot(new_ustate, _users_dir(state_dir), batch_id)
-    write_snapshot(new_dstate, _days_dir(state_dir), batch_id)
 
 
 def compact_returning_log(spark: SparkSession, out_dir: str) -> DataFrame:

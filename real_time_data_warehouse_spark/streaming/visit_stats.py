@@ -34,6 +34,7 @@ from real_time_data_warehouse_spark.plans.audit import assert_no_cartesian
 from real_time_data_warehouse_spark.streaming.state_store import (
     read_snapshot,
     write_snapshot,
+    write_then_read,
 )
 
 # --- ST4: first-event-per-day daily UV ------------------------------------
@@ -60,24 +61,28 @@ def apply_daily_uv_batch(
     """One micro-batch of daily-UV accumulation over (user_id, ts):
     each (user, day) pair counts once ever; touched days re-emit their
     accumulated count."""
-    pairs = (
-        batch.select(
-            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # job budget (the replay rows pay per-batch job overhead 4x): the
+    # anti-join materializes once (it feeds the seen-snapshot write AND
+    # the increments), the day-state write IS its materialization
+    # (write_then_read), and `pairs`/`inc` stay lazy — 4 jobs per batch
+    # where the previous checkpoint-per-frame form ran 6.
+    pairs = batch.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
     seen = read_snapshot(spark, _seen_dir(state_dir), batch_id, _SEEN_SCHEMA)
     new = pairs.join(seen, ["user_id", "d"], "left_anti").localCheckpoint(
         eager=True
     )
+    write_snapshot(seen.unionByName(new), _seen_dir(state_dir), batch_id)
     inc = new.groupBy("d").agg(F.count("*").cast("long").alias("uv_inc"))
     dstate = read_snapshot(spark, _days_dir(state_dir), batch_id, _DAY_SCHEMA)
-    new_dstate = (
+    new_dstate = write_then_read(
         dstate.unionByName(inc.select("d", F.col("uv_inc").alias("uv_ct")))
         .groupBy("d")
-        .agg(F.sum("uv_ct").cast("long").alias("uv_ct"))
-        .localCheckpoint(eager=True)
+        .agg(F.sum("uv_ct").cast("long").alias("uv_ct")),
+        _days_dir(state_dir),
+        batch_id,
+        _DAY_SCHEMA,
     )
     touched = inc.select("d")
     out = new_dstate.join(F.broadcast(touched), "d", "leftsemi").select(
@@ -88,8 +93,6 @@ def apply_daily_uv_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    write_snapshot(seen.unionByName(new), _seen_dir(state_dir), batch_id)
-    write_snapshot(new_dstate, _days_dir(state_dir), batch_id)
 
 
 def compact_daily_uv_log(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -120,9 +123,9 @@ def apply_session_count_batch(
     (user_id, ts, event_id): a batch's first event per user consults
     the CARRIED last_ts (time-ascending contract), later events the
     in-batch lag; touched users re-emit their accumulated count."""
-    ev = batch.select("user_id", "ts", "event_id").localCheckpoint(
-        eager=True
-    )
+    # ev has one consumer — stays lazy (a checkpoint here is a whole
+    # extra job per batch for nothing)
+    ev = batch.select("user_id", "ts", "event_id")
     state = read_snapshot(spark, state_dir, batch_id, _SESS_SCHEMA)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -143,7 +146,9 @@ def apply_session_count_batch(
         F.sum("n").cast("long").alias("batch_new"),
         F.max("ts").alias("batch_last"),
     ).localCheckpoint(eager=True)
-    new_state = (
+    # the snapshot write IS the state materialization (write_then_read
+    # replaces checkpoint + write + derive — one job fewer per batch)
+    new_state = write_then_read(
         state.join(per_user, "user_id", "full")
         .select(
             "user_id",
@@ -152,8 +157,10 @@ def apply_session_count_batch(
             (F.coalesce("ct", F.lit(0)) + F.coalesce("batch_new", F.lit(0)))
             .cast("long")
             .alias("ct"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        state_dir,
+        batch_id,
+        _SESS_SCHEMA,
     )
     touched = per_user.select("user_id")
     out = new_state.join(F.broadcast(touched), "user_id", "leftsemi").select(
@@ -164,7 +171,6 @@ def apply_session_count_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={batch_id}")
     )
-    write_snapshot(new_state, state_dir, batch_id)
 
 
 def compact_session_log(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from real_time_data_warehouse_spark.functions.money import dec
 from real_time_data_warehouse_spark.functions.time import tumble
 
-from real_time_data_warehouse_spark.streaming.state_store import read_snapshot
+from real_time_data_warehouse_spark.streaming.state_store import (
+    read_snapshot,
+)
 
 _STATE_SCHEMA = (
     "wstart timestamp, sku_group string, "
@@ -79,19 +81,17 @@ def apply_window_batch(
     touched = part.select(*_KEY).distinct()
     carried = state.join(F.broadcast(touched), _KEY, "leftsemi")
     untouched = state.join(F.broadcast(touched), _KEY, "leftanti")
-    merged = (
-        carried.unionByName(part)
-        .groupBy(*_KEY)
-        .agg(
-            F.sum("order_amount").cast("decimal(18,2)").alias("order_amount"),
-            F.sum("order_ct").cast("long").alias("order_ct"),
-        )
-        .localCheckpoint(eager=True)
+    # the out-partition write IS the merged-groups materialization:
+    # the snapshot pass reads those bytes back instead of a separate
+    # checkpoint job (one job fewer per batch)
+    merged = carried.unionByName(part).groupBy(*_KEY).agg(
+        F.sum("order_amount").cast("decimal(18,2)").alias("order_amount"),
+        F.sum("order_ct").cast("long").alias("order_ct"),
     )
-    merged.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"batch_id={batch_id}")
-    )
-    untouched.unionByName(merged).write.mode("overwrite").parquet(
+    out_path = os.path.join(out_dir, f"batch_id={batch_id}")
+    merged.write.mode("overwrite").parquet(out_path)
+    merged_back = spark.read.schema(_STATE_SCHEMA).parquet(out_path)
+    untouched.unionByName(merged_back).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={batch_id}")
     )
 
