@@ -182,7 +182,6 @@ def pagerank_frame(
             f"* SCALE {SCALE} >= 2^53 — rescale edge weights or lower "
             "SCALE before iterating"
         )
-    dang = meta.where(F.col("outw").isNull()).select("node")
     # Python float division mirrors the engines' int/int → IEEE-double
     # exactly (operands < 2^53), so these two driver-side constants are
     # lattice-exact against the oracle's in-SQL forms
@@ -190,13 +189,25 @@ def pagerank_frame(
     base = math.floor((3 * SCALE) / (20 * n_seed))
     seed_i = F.when(F.col("is_seed"), 1).otherwise(0).cast("bigint")
     # rank0 is a trivial projection over the checkpointed meta — no
-    # materialization job of its own; round 1 re-derives it in place
+    # materialization job of its own; round 1 re-derives it in place.
+    # is_seed and the dangling flag ride ALONG IN ranks (two booleans
+    # per node): the dangling-mass scalar then comes from a FILTER over
+    # ranks instead of a per-round join against the dangling node set,
+    # and the next-rank update joins contrib straight onto ranks
+    # instead of re-joining meta — one join fewer per round, measured
+    # ~10% off the whole loop (round-12 A/B), identical arithmetic.
     ranks = meta.select(
-        "node", (seed_i * F.lit(r0)).cast("bigint").alias("rank_unit")
+        "node",
+        "is_seed",
+        F.col("outw").isNull().alias("dg"),
+        (seed_i * F.lit(r0)).cast("bigint").alias("rank_unit"),
     )
     for it in range(n_iters):
         contrib = (
-            ew.join(ranks, ew["src"] == ranks["node"])
+            ew.join(
+                ranks.select("node", "rank_unit"),
+                ew["src"] == F.col("node"),
+            )
             .select(
                 F.col("dst").alias("cnode"),
                 F.floor(
@@ -206,15 +217,17 @@ def pagerank_frame(
             .groupBy("cnode")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        dmass = ranks.join(dang, "node").agg(
+        dmass = ranks.where(F.col("dg")).agg(
             F.coalesce(F.sum("rank_unit"), F.lit(0)).cast("bigint").alias("d")
         )
         ranks = (
-            meta.select("node", "is_seed")
+            ranks.select("node", "is_seed", "dg")
             .join(contrib, F.col("node") == F.col("cnode"), "left")
             .crossJoin(F.broadcast(dmass))  # one-row dangling scalar
             .select(
                 "node",
+                "is_seed",
+                "dg",
                 (
                     seed_i * F.lit(base)
                     + F.floor(
@@ -233,7 +246,9 @@ def pagerank_frame(
         # checkpoint every SECOND round (and the last): lineage over two
         # unrolled rounds stays small, and halving the materialization
         # count halves the dominant per-round scheduling cost of the
-        # loop — the iteration itself is tiny at any one moment
+        # loop — the iteration itself is tiny at any one moment.
+        # (Cadences 3/5/10 re-measured this round: 3 ≈ 2, 5+ LOSES —
+        # the unrolled-plan depth costs more than the jobs saved.)
         if it % 2 == 1 or it == n_iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(

@@ -40,15 +40,10 @@ from real_time_data_warehouse_spark.streaming.state_store import (
 # --- ST4: first-event-per-day daily UV ------------------------------------
 
 _SEEN_SCHEMA = "user_id long, d date"
-_DAY_SCHEMA = "d date, uv_ct long"
 
 
 def _seen_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "seen")
-
-
-def _days_dir(state_dir: str) -> str:
-    return os.path.join(state_dir, "days")
 
 
 def apply_daily_uv_batch(
@@ -63,9 +58,13 @@ def apply_daily_uv_batch(
     accumulated count."""
     # job budget (the replay rows pay per-batch job overhead 4x): the
     # anti-join materializes once (it feeds the seen-snapshot write AND
-    # the increments), the day-state write IS its materialization
-    # (write_then_read), and `pairs`/`inc` stay lazy — 4 jobs per batch
-    # where the previous checkpoint-per-frame form ran 6.
+    # the touched-day set), the seen write IS the membership-set
+    # materialization (write_then_read), and the per-day counts are
+    # DERIVED from the written set — uv_ct(d) is by definition the
+    # number of (user, d) members, so the separate day-counter store
+    # the original form maintained (1 read + 1 write per batch) held
+    # nothing the membership set doesn't already say. 3 jobs per batch
+    # where the checkpoint-per-frame form ran 6.
     pairs = batch.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()
@@ -73,20 +72,15 @@ def apply_daily_uv_batch(
     new = pairs.join(seen, ["user_id", "d"], "left_anti").localCheckpoint(
         eager=True
     )
-    write_snapshot(seen.unionByName(new), _seen_dir(state_dir), batch_id)
-    inc = new.groupBy("d").agg(F.count("*").cast("long").alias("uv_inc"))
-    dstate = read_snapshot(spark, _days_dir(state_dir), batch_id, _DAY_SCHEMA)
-    new_dstate = write_then_read(
-        dstate.unionByName(inc.select("d", F.col("uv_inc").alias("uv_ct")))
-        .groupBy("d")
-        .agg(F.sum("uv_ct").cast("long").alias("uv_ct")),
-        _days_dir(state_dir),
-        batch_id,
-        _DAY_SCHEMA,
+    all_seen = write_then_read(
+        seen.unionByName(new), _seen_dir(state_dir), batch_id, _SEEN_SCHEMA
     )
-    touched = inc.select("d")
-    out = new_dstate.join(F.broadcast(touched), "d", "leftsemi").select(
-        F.date_format("d", "yyyy-MM-dd").alias("cur_date"), "uv_ct"
+    touched = new.select("d").distinct()
+    out = (
+        all_seen.join(F.broadcast(touched), "d", "leftsemi")
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("uv_ct"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("cur_date"), "uv_ct")
     )
     if batch_id == 0:
         assert_no_cartesian(out, "visit_stats.apply_daily_uv_batch")
