@@ -56,18 +56,24 @@ def _replay_batches(
     id_col: str,
     apply_batch: Callable[[SparkSession, DataFrame, int, str, str], None],
     finalize: Callable[[SparkSession, str], DataFrame] | None = None,
+    span: int | None = None,
 ) -> DataFrame:
     """Split ``rows`` into ``_N_BATCHES`` ascending ``id_col`` ranges,
     feed them sequentially through ``apply_batch`` (the streaming gate's
     foreachBatch body) against a throwaway store, and return the
     concatenated decisions detached from the scratch dirs. ``finalize``
     overrides the default read of out_dir (e.g. upsert-log compaction
-    for the SCD2 stream)."""
-    max_id = rows.agg(F.max(id_col)).first()[0]
-    # empty input: still drive the applier once with the empty batch —
-    # appliers are empty-batch-hardened (tests/test_empty_inputs.py) and
-    # write a correctly-schemaed empty partition for the final read
-    span = (int(max_id) if max_id is not None else 0) + 1
+    for the SCD2 stream). Callers that already know the id range pass
+    ``span`` so the max-id scalar job (a full input scan) is skipped —
+    the time-split family derives it from the same aggregate that finds
+    the 0-base (guide §1.2: fewer passes)."""
+    if span is None:
+        max_id = rows.agg(F.max(id_col)).first()[0]
+        # empty input: still drive the applier once with the empty
+        # batch — appliers are empty-batch-hardened
+        # (tests/test_empty_inputs.py) and write a correctly-schemaed
+        # empty partition for the final read
+        span = (int(max_id) if max_id is not None else 0) + 1
     tmp = tempfile.mkdtemp(prefix="rtdw_gate_replay_")
     store_dir = os.path.join(tmp, "store")
     out_dir = os.path.join(tmp, "out")
@@ -267,13 +273,14 @@ def st13s_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIME (the open session's last_ts must precede every batch ts), so
     # split on the shared derived 0-based time key like j4s/j2s — not
     # event_id, whose monotonicity in ts is a fixture accident
-    rows = _with_tsec(ev)
+    rows, span = _with_tsec(ev)
     return _replay_batches(
         spark,
         rows,
         "tsec",
         sessionize.apply_session_batch,
         finalize=sessionize.compact_session_log,
+        span=span,
     )
 
 
@@ -355,17 +362,15 @@ def j4s_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_id", "user_id", "ts", "event_type")
     # time-ranged batches need a 0-based integer time key (the helper
-    # splits [0, max] into N ranges)
-    t0 = ev.agg(F.min("ts")).first()[0]
-    rows = ev.withColumn(
-        "tsec",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
-    )
+    # splits [0, max] into N ranges); _with_tsec returns the span from
+    # the same aggregate so no separate max-id scan runs
+    rows, span = _with_tsec(ev)
     return _replay_batches(
         spark,
         rows,
         "tsec",
         sjoins.apply_interval_join_batch,
+        span=span,
         finalize=sjoins.read_interval_join_log,
     )
 
@@ -413,11 +418,7 @@ def j2s_left_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_id", "user_id", "ts", "event_type")
-    t0 = ev.agg(F.min("ts")).first()[0]
-    rows = ev.withColumn(
-        "tsec",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
-    )
+    rows, span = _with_tsec(ev)
     return _replay_batches(
         spark,
         rows,
@@ -428,6 +429,7 @@ def j2s_left_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             sp, b, i, out
         ),
         finalize=sjoins.finalize_left_outer,
+        span=span,
     )
 
 
@@ -469,17 +471,27 @@ QUERY_REGISTRY["a5s_windowed_uu_replay"] = _dc17.replace(
 )
 
 
-def _with_tsec(ev: DataFrame) -> DataFrame:
+def _with_tsec(ev: DataFrame) -> tuple[DataFrame, int]:
     """0-based integer event-time key for time-range batch splitting —
     the carried-state appliers' ordering contract (batches ascend in
-    event time), independent of any id/ts correlation in the fixture."""
-    t0 = ev.agg(F.min("ts")).first()[0]
-    if t0 is None:  # empty stream — any constant key splits it validly
-        return ev.withColumn("tsec", F.lit(0).cast("long"))
-    return ev.withColumn(
+    event time), independent of any id/ts correlation in the fixture.
+
+    Returns ``(rows, span)``: ONE scalar job yields both the 0-base and
+    the batch span (min and max unix seconds ride the same aggregate).
+    The previous two-helper form paid two full input scans per replay
+    row — one for min(ts) here, one for max(tsec) in _replay_batches
+    (guide §1.2: fewer passes). min(unix_timestamp) == unix_timestamp
+    of the min (floor is monotonic), so tsec values are unchanged."""
+    mn, mx = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    if mn is None:  # empty stream — any constant key splits it validly
+        return ev.withColumn("tsec", F.lit(0).cast("long")), 1
+    rows = ev.withColumn(
         "tsec",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(t0))).cast("long"),
+        (F.unix_timestamp("ts") - F.lit(int(mn))).cast("long"),
     )
+    return rows, int(mx) - int(mn) + 1
 
 
 @register(
@@ -501,9 +513,9 @@ def st3s_visitor_fix_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.streaming import user_state
 
     t = Tables(spark, sf_dir)
-    rows = _with_tsec(t.events.select("event_id", "user_id", "ts"))
+    rows, span = _with_tsec(t.events.select("event_id", "user_id", "ts"))
     return _replay_batches(
-        spark, rows, "tsec", user_state.apply_visitor_batch
+        spark, rows, "tsec", user_state.apply_visitor_batch, span=span
     )
 
 
@@ -526,13 +538,14 @@ def st5s_returning_user_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.streaming import user_state
 
     t = Tables(spark, sf_dir)
-    rows = _with_tsec(t.events.select("user_id", "ts", "event_type"))
+    rows, span = _with_tsec(t.events.select("user_id", "ts", "event_type"))
     return _replay_batches(
         spark,
         rows,
         "tsec",
         user_state.apply_returning_batch,
         finalize=user_state.compact_returning_log,
+        span=span,
     )
 
 
@@ -697,13 +710,14 @@ def st6s_session_count_replay(
     from real_time_data_warehouse_spark.streaming import visit_stats
 
     t = Tables(spark, sf_dir)
-    rows = _with_tsec(t.events.select("event_id", "user_id", "ts"))
+    rows, span = _with_tsec(t.events.select("event_id", "user_id", "ts"))
     return _replay_batches(
         spark,
         rows,
         "tsec",
         visit_stats.apply_session_count_batch,
         finalize=visit_stats.compact_session_log,
+        span=span,
     )
 
 
@@ -744,13 +758,14 @@ def z3s_compaction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     ev = t.events.select("ts", "props")
-    rows = _with_tsec(ev)
+    rows, span = _with_tsec(ev)
     return _replay_batches(
         spark,
         rows,
         "tsec",
         compaction.apply_compaction_batch,
         finalize=compaction.compact_plan_log,
+        span=span,
     )
 
 
@@ -790,8 +805,7 @@ def s15s_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_PROBES,
         _N_QUERIES,
         _as_double,
-        _normalized,
-        _sq8_codes,
+        _sq8_code_col,
         _topcells_udf,
         _trained_centroids,
     )
@@ -803,20 +817,18 @@ def s15s_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _trained_centroids(sf_dir, emb_full)  # frozen artifact
     topcells = _topcells_udf(cents, _IVF_PROBES)
-    probes = (
-        emb_full.where(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(topcells(F.col("v"))).alias("cell"),
-        )
-        .join(
-            _sq8_codes(_normalized(emb_full)).select(
-                F.col("vec_id").alias("query_id"),
-                F.col("qc").alias("qcode"),
-            ),
-            "query_id",
-        )
-        .localCheckpoint(eager=True)  # detach from the scratch dirs
+    # probe cells and query codes are both per-row functions of v, so
+    # they fuse into ONE projection over the ~_N_QUERIES query rows —
+    # the previous form SQ8-encoded the ENTIRE corpus and equi-joined
+    # it back just to pick up the handful of query codes (guide §2.3:
+    # project/filter before the exchange). _sq8_code_col replays the
+    # exact _sq8_codes(_normalized(...)) IEEE sequence. probes feeds
+    # only the finalize searcher (fixture tables, not scratch dirs), so
+    # it needs no checkpoint of its own.
+    probes = emb_full.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(topcells(F.col("v"))).alias("cell"),
+        _sq8_code_col(F.col("v")).alias("qcode"),
     )
     rows = t.embeddings.select("vec_id", "embedding")
     return _replay_batches(
@@ -857,7 +869,7 @@ def g1s_pagerank_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_warehouse_spark.streaming import pagerank_stream
 
     t = Tables(spark, sf_dir)
-    rows = _with_tsec(
+    rows, span = _with_tsec(
         t.events.select("user_id", "ts", "event_id", "props")
     )
     return _replay_batches(
@@ -866,6 +878,7 @@ def g1s_pagerank_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tsec",
         pagerank_stream.apply_pagerank_batch,
         finalize=pagerank_stream.pagerank_from_log,
+        span=span,
     )
 
 

@@ -203,9 +203,15 @@ def pagerank_frame(
         (seed_i * F.lit(r0)).cast("bigint").alias("rank_unit"),
     )
     for it in range(n_iters):
+        # Both per-round joins are pinned SHUFFLE_HASH (guide §3.1):
+        # checkpointed frames carry no stats, so the planner's default
+        # is SortMergeJoin — which re-SORTS the edge list and the rank
+        # vector every round. The hash build side is the rank-vector
+        # side (|nodes| rows, the smaller side per partition at any
+        # scale: nodes ≤ edges); join strategy does not change results.
         contrib = (
             ew.join(
-                ranks.select("node", "rank_unit"),
+                ranks.select("node", "rank_unit").hint("shuffle_hash"),
                 ew["src"] == F.col("node"),
             )
             .select(
@@ -222,7 +228,11 @@ def pagerank_frame(
         )
         ranks = (
             ranks.select("node", "is_seed", "dg")
-            .join(contrib, F.col("node") == F.col("cnode"), "left")
+            .join(
+                contrib.hint("shuffle_hash"),
+                F.col("node") == F.col("cnode"),
+                "left",
+            )
             .crossJoin(F.broadcast(dmass))  # one-row dangling scalar
             .select(
                 "node",

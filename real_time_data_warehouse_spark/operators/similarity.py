@@ -1950,6 +1950,19 @@ def _sq8_codes(u: DataFrame) -> DataFrame:
     return u.select("vec_id", code.alias("qc"))
 
 
+def _sq8_code_col(v: Column) -> Column:
+    """SQ8 code of a RAW vector column — ``_sq8_codes(_normalized(...))``
+    as one expression (the identical IEEE op sequence: n = sqrt(dot),
+    x/n, floor(·*SCALE + 0.5)), so callers can fuse cell assignment and
+    encoding into a single projection instead of joining two derived
+    frames on vec_id (guide §2.4: remove shuffles outright)."""
+    n = F.sqrt(dot(v, v))
+    return F.transform(
+        F.transform(v, lambda x: x / n),
+        lambda x: F.floor(x * _SQ8_SCALE + F.lit(0.5)).cast("bigint"),
+    )
+
+
 def int_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -2070,33 +2083,25 @@ def s15_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    codes = _sq8_codes(_normalized(emb)).localCheckpoint(eager=True)
-    # inverted list: every corpus vector under its top-1 trained cell,
-    # carrying only its int8 code
-    inv = (
-        _assigned_cells(spark, sf_dir)
-        .select("vec_id", "cell")
-        .join(codes, "vec_id")
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            F.col("qc").alias("ncode"),
-        )
-    )
     cents = _trained_centroids(sf_dir, emb)
+    # inverted list: every corpus vector under its top-1 trained cell,
+    # carrying only its int8 code. Cell assignment and SQ8 encoding are
+    # both per-row functions of v, so they FUSE into one projection —
+    # the previous form derived them as two frames and equi-joined them
+    # back on vec_id (a full-corpus shuffle for a column that never
+    # left the row; guide §2.4). _sq8_code_col runs the identical IEEE
+    # sequence as _sq8_codes(_normalized(...)), so codes are unchanged.
+    best = _topcells_udf(cents, 1)
+    inv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        best(F.col("v"))[0].alias("cell"),
+        _sq8_code_col(F.col("v")).alias("ncode"),
+    )
     topcells = _topcells_udf(cents, _IVF_PROBES)
-    probes = (
-        emb.where(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(topcells(F.col("v"))).alias("cell"),
-        )
-        .join(
-            codes.select(
-                F.col("vec_id").alias("query_id"), F.col("qc").alias("qcode")
-            ),
-            "query_id",
-        )
+    probes = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(topcells(F.col("v"))).alias("cell"),
+        _sq8_code_col(F.col("v")).alias("qcode"),
     )
     scored = (
         F.broadcast(probes)

@@ -45,17 +45,21 @@ def make_ingest_applier(cents: list[tuple[int, list[float]]]):
     ) -> None:
         from real_time_data_warehouse_spark.operators.similarity import (
             _as_double,
-            _normalized,
-            _sq8_codes,
+            _sq8_code_col,
             _topcells_udf,
         )
 
+        # cell assignment and SQ8 encoding are both per-row functions of
+        # v — ONE projection, where the previous form built two derived
+        # frames and equi-joined them back on vec_id (a shuffle per
+        # micro-batch for nothing; guide §2.4). _sq8_code_col replays
+        # the exact _sq8_codes(_normalized(...)) IEEE sequence.
         emb = batch.select("vec_id", _as_double("embedding").alias("v"))
         best = _topcells_udf(cents, 1)
-        asgn = emb.select("vec_id", best(F.col("v"))[0].alias("cell"))
-        codes = _sq8_codes(_normalized(emb))
-        rows = asgn.join(codes, "vec_id").select(
-            "vec_id", "cell", F.col("qc").alias("ncode")
+        rows = emb.select(
+            "vec_id",
+            best(F.col("v"))[0].alias("cell"),
+            _sq8_code_col(F.col("v")).alias("ncode"),
         )
         if batch_id == 0:
             assert_no_cartesian(rows, "ivf_index.apply_ingest_batch")
