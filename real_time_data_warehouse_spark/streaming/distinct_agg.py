@@ -60,21 +60,26 @@ def apply_distinct_batch(
         "user_id",
     ).distinct()
     state = _read_state(spark, state_dir, batch_id)
-    new_members = triples.join(
-        state, [*_KEY, "user_id"], "leftanti"
-    ).localCheckpoint(eager=True)
-    # the membership-set snapshot write IS its materialization; the
-    # touched-group counts then read the written set back (one job
-    # fewer per batch than counting and snapshotting independently —
-    # and the count pass reads parquet instead of re-running the union)
+    # the new-member flag rides IN the membership snapshot (projected
+    # away by next batch's declared-schema read), so the anti-join has
+    # ONE consumer (no checkpoint job) and the touched groups derive
+    # from the written bytes — 2 jobs per batch where the checkpoint
+    # form ran 3 (fold-touched-into-snapshot; guide §1.2). The count
+    # pass still PRUNES to touched groups via the broadcast semi-join,
+    # the scale-correct shape.
+    new_members = triples.join(state, [*_KEY, "user_id"], "leftanti")
     from real_time_data_warehouse_spark.streaming.state_store import (
         write_then_read,
     )
 
     all_members = write_then_read(
-        state.unionByName(new_members), state_dir, batch_id, _STATE_SCHEMA
+        state.withColumn("nb", F.lit(0))
+        .unionByName(new_members.withColumn("nb", F.lit(1))),
+        state_dir,
+        batch_id,
+        _STATE_SCHEMA + ", nb int",
     )
-    touched = new_members.select(*_KEY).distinct()
+    touched = all_members.where(F.col("nb") == 1).select(*_KEY).distinct()
     counts = (
         all_members.join(F.broadcast(touched), _KEY, "leftsemi")
         .groupBy(*_KEY)

@@ -55,26 +55,32 @@ def apply_last_wins_batch(
     rows = batch.select(
         "user_id", "event_type", "ts", "event_id",
         F.col("value").cast("double").alias("value"),
-    ).localCheckpoint(eager=True)
+    )
     state = read_snapshot(spark, state_dir, batch_id, _STATE_SCHEMA)
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    # the snapshot write IS the state materialization (write_then_read
-    # replaces checkpoint + write + derive — one job fewer per batch)
+    wp = Window.partitionBy("user_id", "event_type")
+    # the snapshot write IS the state materialization, and the
+    # touched-in-this-batch flag rides IN the snapshot (one extra int
+    # column; next batch's read_snapshot declares _STATE_SCHEMA so the
+    # flag is projected away): winner and flag come from ONE window
+    # pass over state ∪ batch, the out pass is a FILTER over the
+    # written bytes, and the batch needs no checkpoint of its own —
+    # 2 jobs per batch where the checkpoint + semi-join form ran 3
+    # (fold-touched-into-snapshot; guide §1.2, §2.4).
     new_state = write_then_read(
-        state.unionByName(rows)
+        state.withColumn("tb", F.lit(0))
+        .unionByName(rows.withColumn("tb", F.lit(1)))
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("tb", F.max("tb").over(wp))
         .where(F.col("rn") == 1)
         .drop("rn"),
         state_dir,
         batch_id,
-        _STATE_SCHEMA,
+        _STATE_SCHEMA + ", tb int",
     )
-    touched = rows.select("user_id", "event_type").distinct()
-    out = new_state.join(
-        F.broadcast(touched), ["user_id", "event_type"], "leftsemi"
-    ).select(
+    out = new_state.where(F.col("tb") == 1).select(
         "user_id",
         "event_type",
         F.col("event_id").alias("last_event_id"),

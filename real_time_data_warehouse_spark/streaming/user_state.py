@@ -156,31 +156,36 @@ def apply_returning_batch(
                 & (F.datediff("d", "eff_prev") >= _BACK_GAP_DAYS)
             ).cast("long")
         ).alias("back_inc"),
-    ).localCheckpoint(eager=True)
+    )
     dstate = read_snapshot(
         spark, _days_dir(state_dir), batch_id, _DAY_STATE_SCHEMA
     )
-    # the snapshot write IS the day-state materialization (one job
-    # fewer per batch than checkpoint + write)
+    # the snapshot write IS the day-state materialization, and the
+    # touched-date flag rides IN the snapshot (max of a 0/1 provenance
+    # column through the merge agg; next batch's declared-schema read
+    # projects it away) — increments has ONE consumer, so its
+    # checkpoint job is gone and the out pass filters the written
+    # bytes (fold-touched-into-snapshot; guide §1.2).
     new_dstate = write_then_read(
-        dstate.unionByName(
+        dstate.withColumn("tb", F.lit(0))
+        .unionByName(
             increments.select(
                 "d",
                 F.col("uu_inc").alias("uu_ct"),
                 F.col("back_inc").alias("back_ct"),
-            )
+            ).withColumn("tb", F.lit(1))
         )
         .groupBy("d")
         .agg(
             F.sum("uu_ct").cast("long").alias("uu_ct"),
             F.sum("back_ct").cast("long").alias("back_ct"),
+            F.max("tb").alias("tb"),
         ),
         _days_dir(state_dir),
         batch_id,
-        _DAY_STATE_SCHEMA,
+        _DAY_STATE_SCHEMA + ", tb int",
     )
-    touched = increments.select("d")
-    new_dstate.join(F.broadcast(touched), "d", "leftsemi").select(
+    new_dstate.where(F.col("tb") == 1).select(
         F.date_format("d", "yyyy-MM-dd").alias("cur_date"),
         "uu_ct",
         "back_ct",

@@ -69,13 +69,20 @@ def apply_daily_uv_batch(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()
     seen = read_snapshot(spark, _seen_dir(state_dir), batch_id, _SEEN_SCHEMA)
-    new = pairs.join(seen, ["user_id", "d"], "left_anti").localCheckpoint(
-        eager=True
-    )
+    # the new-member flag rides IN the membership snapshot (projected
+    # away by next batch's declared-schema read), so the anti-join has
+    # ONE consumer (no checkpoint job) and touched days derive from the
+    # written bytes — 2 jobs per batch where the checkpoint form ran 3
+    # (fold-touched-into-snapshot; guide §1.2).
+    new = pairs.join(seen, ["user_id", "d"], "left_anti")
     all_seen = write_then_read(
-        seen.unionByName(new), _seen_dir(state_dir), batch_id, _SEEN_SCHEMA
+        seen.withColumn("nb", F.lit(0))
+        .unionByName(new.withColumn("nb", F.lit(1))),
+        _seen_dir(state_dir),
+        batch_id,
+        _SEEN_SCHEMA + ", nb int",
     )
-    touched = new.select("d").distinct()
+    touched = all_seen.where(F.col("nb") == 1).select("d").distinct()
     out = (
         all_seen.join(F.broadcast(touched), "d", "leftsemi")
         .groupBy("d")
@@ -139,9 +146,14 @@ def apply_session_count_batch(
     ).agg(
         F.sum("n").cast("long").alias("batch_new"),
         F.max("ts").alias("batch_last"),
-    ).localCheckpoint(eager=True)
-    # the snapshot write IS the state materialization (write_then_read
-    # replaces checkpoint + write + derive — one job fewer per batch)
+    )
+    # the snapshot write IS the state materialization, and the
+    # touched-user flag (batch side present in the full join) rides IN
+    # the snapshot — per_user has ONE consumer (no checkpoint job) and
+    # the out pass filters the written bytes: 2 jobs per batch where
+    # the checkpoint + semi-join form ran 3 (fold-touched-into-
+    # snapshot; guide §1.2). Next batch's declared-schema read projects
+    # the flag away.
     new_state = write_then_read(
         state.join(per_user, "user_id", "full")
         .select(
@@ -151,13 +163,13 @@ def apply_session_count_batch(
             (F.coalesce("ct", F.lit(0)) + F.coalesce("batch_new", F.lit(0)))
             .cast("long")
             .alias("ct"),
+            F.col("batch_new").isNotNull().cast("int").alias("tb"),
         ),
         state_dir,
         batch_id,
-        _SESS_SCHEMA,
+        _SESS_SCHEMA + ", tb int",
     )
-    touched = per_user.select("user_id")
-    out = new_state.join(F.broadcast(touched), "user_id", "leftsemi").select(
+    out = new_state.where(F.col("tb") == 1).select(
         "user_id", F.col("ct").cast("bigint").alias("session_ct")
     )
     if batch_id == 0:

@@ -72,27 +72,47 @@ def apply_window_batch(
         .select(
             F.col("window.start").alias("wstart"),
             "sku_group",
-            "order_amount",
-            "order_ct",
+            F.col("order_amount").alias("p_amount"),
+            F.col("order_ct").alias("p_ct"),
         )
-        .localCheckpoint(eager=True)
     )
     state = _read_state(spark, state_dir, batch_id)
-    touched = part.select(*_KEY).distinct()
-    carried = state.join(F.broadcast(touched), _KEY, "leftsemi")
-    untouched = state.join(F.broadcast(touched), _KEY, "leftanti")
-    # the out-partition write IS the merged-groups materialization:
-    # the snapshot pass reads those bytes back instead of a separate
-    # checkpoint job (one job fewer per batch)
-    merged = carried.unionByName(part).groupBy(*_KEY).agg(
-        F.sum("order_amount").cast("decimal(18,2)").alias("order_amount"),
-        F.sum("order_ct").cast("long").alias("order_ct"),
+    # one keyed FULL join merges carried totals with the batch partials
+    # (a + 0.00 / a + b — the identical two-term decimal adds the
+    # union + re-aggregate form computed), and the touched flag (batch
+    # side present) rides IN the snapshot. part has ONE consumer (no
+    # checkpoint job), the semi/anti broadcast pair is gone, and the
+    # out pass filters the written bytes — 2 jobs per batch where the
+    # checkpoint form ran 3 (fold-touched-into-snapshot; guide §1.2,
+    # §2.4). Next batch's declared-schema read projects the flag away.
+    from real_time_data_warehouse_spark.streaming.state_store import (
+        write_then_read,
     )
-    out_path = os.path.join(out_dir, f"batch_id={batch_id}")
-    merged.write.mode("overwrite").parquet(out_path)
-    merged_back = spark.read.schema(_STATE_SCHEMA).parquet(out_path)
-    untouched.unionByName(merged_back).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch_id={batch_id}")
+
+    zero = F.lit(0).cast("decimal(18,2)")
+    merged_all = write_then_read(
+        state.join(part, _KEY, "full").select(
+            "wstart",
+            "sku_group",
+            (
+                F.coalesce("order_amount", zero)
+                + F.coalesce("p_amount", zero)
+            )
+            .cast("decimal(18,2)")
+            .alias("order_amount"),
+            (F.coalesce("order_ct", F.lit(0)) + F.coalesce("p_ct", F.lit(0)))
+            .cast("long")
+            .alias("order_ct"),
+            F.col("p_ct").isNotNull().cast("int").alias("tb"),
+        ),
+        state_dir,
+        batch_id,
+        _STATE_SCHEMA + ", tb int",
+    )
+    merged_all.where(F.col("tb") == 1).select(
+        "wstart", "sku_group", "order_amount", "order_ct"
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
     )
 
 
