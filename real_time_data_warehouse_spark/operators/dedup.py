@@ -595,18 +595,37 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     )
     converged = False
     for _ in range(max_rounds):
+        # Per-round joins are pinned SHUFFLE_HASH (the pagerank_frame
+        # adjudication, guide §3.1): checkpointed frames carry no stats
+        # so the planner defaults to SortMergeJoin, re-sorting the edge
+        # list and label table every round; the hash build side is the
+        # label/neighbor-min side (|edge nodes| rows). Strategy cannot
+        # change the label values.
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(
+                labels.select("node", "label").hint("shuffle_hash"),
+                edges["dst"] == F.col("node"),
+            )
             .groupBy(F.col("src").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            labels.select("node", "label")
+            .join(
+                neighbor_min.hint("shuffle_hash"),
+                F.col("node") == F.col("node2"),
+                "left",
+            )
             .select(
                 "node",
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+                # previous round's final label, carried through both
+                # steps so the convergence test is a FILTER over this
+                # round's checkpoint instead of a join back against the
+                # previous round's frame — one join fewer per round
+                F.col("label").alias("old_label"),
             )
         )
         # pointer doubling: follow my label's label (labels ⊆ nodes, so
@@ -616,22 +635,22 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         new_labels = (
             new_labels.join(
-                lab_of, new_labels["label"] == lab_of["lnode"], "left"
+                lab_of.hint("shuffle_hash"),
+                new_labels["label"] == lab_of["lnode"],
+                "left",
             )
             .select(
                 "node",
                 F.least(
                     "label", F.coalesce("llabel", F.col("label"))
                 ).alias("label"),
+                "old_label",
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where(
+            F.col("label") != F.col("old_label")
+        ).count()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -641,7 +660,9 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"min_label_propagation did not converge in "
             f"{max_rounds} rounds (pathological component diameter)"
         )
-    return labels
+    # drop the convergence-test carrier column — (node, label) is the
+    # function's contract
+    return labels.select("node", "label")
 
 
 # Keyed by (applicationId, sf_dir) with the owning session held by

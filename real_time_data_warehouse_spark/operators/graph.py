@@ -149,12 +149,15 @@ def pagerank_frame(
     # the already-materialized edges (the max over `edges` equals the
     # max over `ew` — the outd join keeps every edge). Previously the
     # count agg and the max agg were two separate driver round-trips.
-    n, n_seed, max_w = (
+    n, n_seed, n_dangling, max_w = (
         meta.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
             .cast("bigint")
             .alias("ns"),
+            F.sum(F.when(F.col("outw").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nd"),
         )
         .crossJoin(edges.agg(F.max("w").cast("bigint").alias("mw")))
         .first()
@@ -223,35 +226,39 @@ def pagerank_frame(
             .groupBy("cnode")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        dmass = ranks.where(F.col("dg")).agg(
-            F.coalesce(F.sum("rank_unit"), F.lit(0)).cast("bigint").alias("d")
+        joined = ranks.select("node", "is_seed", "dg").join(
+            contrib.hint("shuffle_hash"),
+            F.col("node") == F.col("cnode"),
+            "left",
         )
-        ranks = (
-            ranks.select("node", "is_seed", "dg")
-            .join(
-                contrib.hint("shuffle_hash"),
-                F.col("node") == F.col("cnode"),
-                "left",
-            )
-            .crossJoin(F.broadcast(dmass))  # one-row dangling scalar
-            .select(
-                "node",
-                "is_seed",
-                "dg",
-                (
-                    seed_i * F.lit(base)
-                    + F.floor(
-                        F.lit(DAMP_NUM)
-                        * (
-                            F.coalesce(F.col("s"), F.lit(0))
-                            + seed_i * F.floor(F.col("d") / F.lit(n_seed))
-                        )
-                        / F.lit(DAMP_DEN)
-                    )
-                )
+        # Dangling-mass term: dangling is STRUCTURAL (outw is null,
+        # fixed per node), so with n_dangling == 0 (from the pre-loop
+        # scalar job) the dmass filter selects no rows in EVERY round —
+        # d ≡ 0, floor(0/n_seed) = 0, and the broadcast subquery job it
+        # costs per round is an algebraic no-op. Skip it; graphs with
+        # dangling nodes keep the general path unchanged.
+        if n_dangling:
+            dmass = ranks.where(F.col("dg")).agg(
+                F.coalesce(F.sum("rank_unit"), F.lit(0))
                 .cast("bigint")
-                .alias("rank_unit"),
+                .alias("d")
             )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            mass = F.coalesce(F.col("s"), F.lit(0)) + seed_i * F.floor(
+                F.col("d") / F.lit(n_seed)
+            )
+        else:
+            mass = F.coalesce(F.col("s"), F.lit(0))
+        ranks = joined.select(
+            "node",
+            "is_seed",
+            "dg",
+            (
+                seed_i * F.lit(base)
+                + F.floor(F.lit(DAMP_NUM) * mass / F.lit(DAMP_DEN))
+            )
+            .cast("bigint")
+            .alias("rank_unit"),
         )
         # checkpoint every SECOND round (and the last): lineage over two
         # unrolled rounds stays small, and halving the materialization
