@@ -140,12 +140,21 @@ _SQ8_FLOOR_X100 = 80
     """,
 )
 def s14b_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_data_warehouse_spark.operators.similarity import (
+        sq8_topk_matmul,
+    )
+
     truth = QUERY_REGISTRY["s1_cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )  # lazy on purpose — see the s9 ReuseExchange note
-    approx = QUERY_REGISTRY["s14_sq8_ann_topk"].fn(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
+    # the approx side through the s10c numpy-matmul pattern (guide
+    # §4.2): bit-identical rows to s14's pinned BroadcastNestedLoopJoin
+    # form (integer scores, same tie-break — pinned by
+    # test_semantic_dedup.py::test_s14b_matmul_matches_s14), without
+    # re-running the interpreted per-pair int_dot fold here. The s14
+    # registry row itself is untouched — it IS the brute-force
+    # contract row.
+    approx = sq8_topk_matmul(spark, sf_dir)
     hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
     stats = truth.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries"),

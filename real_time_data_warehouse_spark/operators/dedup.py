@@ -582,7 +582,11 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
     # materialize once: every loop round joins against `edges`, and without
-    # this the upstream candidate pipeline would re-execute each round
+    # this the upstream candidate pipeline would re-execute each round.
+    # (Round-13: pre-partitioning by dst through an AQE-off checkpoint —
+    # the pagerank_frame §2.1 idea — was measured and REVERTED there;
+    # same trade-off here: the pinned width disables AQE coalescing for
+    # every propagation round. See graph.py pagerank_frame note.)
     edges = edges.localCheckpoint(eager=True)
     # the loop runs over EDGE NODES only: a doc with no near-dup edge can
     # never change label, and near-dup graph nodes are a sliver of the

@@ -170,7 +170,17 @@ def pagerank_frame(
             F.lit(None).cast("double").alias("rank"),
         )
     # out-weight folded onto the edges once — the per-round join then
-    # touches only (edges ⋈ ranks), never a third table
+    # touches only (edges ⋈ ranks), never a third table.
+    # NOTE (round-13 adjudication): pre-hash-partitioning ew by src
+    # before the checkpoint (repartition("src") + an AQE-off
+    # localCheckpoint so the LogicalRDD keeps hashpartitioning and the
+    # per-round join skips the edge-side Exchange — guide §2.1) was
+    # implemented and A/B-measured 3.15x SLOWER end-to-end at sf0.1:
+    # a fixed-partitioning join side disables AQE partition coalescing
+    # for every loop stage, and 10 rounds of full-width tiny tasks cost
+    # far more than the ~5 edge re-exchanges saved. On a cluster where
+    # |edges| shuffle bytes dominate task overhead the trade reverses —
+    # revisit there, not here.
     ew = edges.join(
         outd.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)

@@ -57,13 +57,24 @@ def dsir_logratio_frame(
     # split per gram element (O(len²)/doc); the explode boundary keeps
     # CollapseProject from re-inlining the projection
     tcol = F.col("toks")
+    # every token emits one row: token i as w1 with its successor as w2,
+    # the LAST token with w2 = NULL. The null-w2 tail rows make the
+    # vocabulary derivable from the tf table itself (distinct w1 ==
+    # distinct tokens — every token of every doc appears as a w1 exactly
+    # once per position), which drops the separate full corpus
+    # re-tokenize + explode pass the vocab count used to pay (guide
+    # §1.2: fewer passes). They are bigram-inert everywhere else: the
+    # model aggregation filters them and the scoring equi-join on w2
+    # never matches NULL.
     grams = F.when(
-        F.size(tcol) >= 2,
+        F.size(tcol) >= 1,
         F.transform(
-            F.sequence(F.lit(0), F.size(tcol) - 2),
+            F.sequence(F.lit(0), F.size(tcol) - 1),
             lambda i: F.struct(
                 F.element_at(tcol, i + 1).alias("w1"),
-                F.element_at(tcol, i + 2).alias("w2"),
+                F.when(
+                    i < F.size(tcol) - 1, F.element_at(tcol, i + 2)
+                ).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
@@ -79,31 +90,31 @@ def dsir_logratio_frame(
             F.col("g.w2").alias("w2"),
         )
     )
-    # per-(doc, bigram) tf — feeds corpus model, target model AND the
-    # scoring fold; one materialization (t16 discipline)
+    # per-(doc, bigram) tf — feeds corpus model, target model, the
+    # vocabulary counts AND the scoring fold; one materialization (t16
+    # discipline)
     tf = (
         base.groupBy("doc_id", "is_t", "w1", "w2")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)
     )
-    bg_c = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb_c"))
-    hist_c = bg_c.groupBy("w1").agg(F.sum("cb_c").alias("cu_c"))
-    bg_t = (
-        tf.where(F.col("is_t"))
-        .groupBy("w1", "w2")
-        .agg(F.sum("tf").alias("cb_t"))
+    # corpus AND target model counts from ONE aggregation pass over tf
+    # (guide §2.4 — previously bg_t/hist_t re-aggregated the same table
+    # and joined back with two LEFT JOINs): the conditional sum is NULL
+    # exactly where the old LEFT JOIN produced NULL (sum over an
+    # all-NULL group), so the coalesce sites below see identical inputs.
+    bg = tf.where(F.col("w2").isNotNull()).groupBy("w1", "w2").agg(
+        F.sum("tf").alias("cb_c"),
+        F.sum(F.when(F.col("is_t"), F.col("tf"))).alias("cb_t"),
     )
-    hist_t = bg_t.groupBy("w1").agg(F.sum("cb_t").alias("cu_t"))
-    # BOTH vocabulary sizes from ONE corpus tokenization (round-12
-    # drift fix: two separate explode+countDistinct passes were the
-    # 2nd and 3rd full tokenize of the corpus in this query) — the
-    # target count distinct-counts only the target slice's tokens via
-    # a conditional, same values as the oracle's two subqueries
-    vocabs = documents.select(
-        target_pred.alias("is_t"), F.explode(toks).alias("w")
-    ).agg(
-        F.countDistinct("w").alias("v_c"),
-        F.countDistinct(F.when(F.col("is_t"), F.col("w")))
+    hist = bg.groupBy("w1").agg(
+        F.sum("cb_c").alias("cu_c"), F.sum("cb_t").alias("cu_t")
+    )
+    # both vocabulary sizes from the tf table (see the grams note): the
+    # same values as the oracle's two unnest subqueries
+    vocabs = tf.agg(
+        F.countDistinct("w1").alias("v_c"),
+        F.countDistinct(F.when(F.col("is_t"), F.col("w1")))
         .cast("bigint")
         .alias("v_t"),
     )
@@ -116,9 +127,7 @@ def dsir_logratio_frame(
         ).cast("bigint")
 
     nlls = (
-        bg_c.join(hist_c, "w1")
-        .join(bg_t, ["w1", "w2"], "left")
-        .join(hist_t, "w1", "left")
+        bg.join(hist, "w1")
         .crossJoin(F.broadcast(vocabs))  # 1-row (v_c, v_t) frame
         .select(
             "w1",

@@ -16,6 +16,9 @@ share a bucket key → shuffle on bucket, never the cross product).
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -2258,41 +2261,15 @@ def s10b_shortlist_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, nid): the EXACT top-_KNN_K under the identical SQ8 metric
-    over the full collection — the truth side of the s10c gate. Audit
-    shape like s10 itself: the anchor code matrix is the bounded
-    audit-side driver artifact (1/_KNN_SAMPLE_MOD of the corpus — the
-    same materialization s10's exact anchor matmul makes), and the
-    corpus scan scores ALL anchors per Arrow batch in ONE integer
-    numpy matmul (guide §4.2: whole batches to native code) instead of
-    an interpreted per-pair array fold. Each batch emits only rows
-    that can still reach the global top-K (rows below the batch's
-    k-th-largest score per anchor are outranked by >= K strictly
-    better rows, so dropping them is exact, not approximate); the
-    final window then computes the identical (sim DESC, nid ASC)
-    top-K the broadcast-join form produced. All dots are integer-
-    valued doubles < 2^53 — exact under any summation order."""
-    from pyspark.sql.window import Window
-
-    from real_time_data_warehouse_spark.operators.retrieval import (
-        _KNN_K,
-        _KNN_SAMPLE_MOD,
-    )
-
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    codes = _sq8_codes(_normalized(emb))
-    qrows = (
-        codes.where(F.col("vec_id") % _KNN_SAMPLE_MOD == 0)
-        .orderBy("vec_id")
-        .collect()
-    )
-    if not qrows:
-        return spark.createDataFrame([], "qid long, nid long")
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    Q = np.array([list(r["qc"]) for r in qrows], dtype=np.float64)
-    k = _KNN_K
+def _sq8_matmul_scorer(qids: "np.ndarray", Q: "np.ndarray", k: int):
+    """mapInPandas body scoring the fixed anchor matrix ``Q`` against
+    every corpus Arrow batch in ONE integer numpy matmul (guide §4.2)
+    with an exact per-batch top-k superset prune: rows below the
+    batch's k-th-largest score per anchor are outranked by >= k
+    strictly better rows, so dropping them cannot evict a global
+    top-k member. All dots are integer-valued doubles < 2^53 — exact
+    under any summation order. Self-pairs are masked below every real
+    score so they can never be emitted."""
 
     def score_batches(it):
         for pdf in it:
@@ -2300,12 +2277,11 @@ def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             N = np.array(list(pdf["qc"]), dtype=np.float64)
             nids = pdf["vec_id"].to_numpy().astype(np.int64)
-            S = Q @ N.T  # exact: integer-valued doubles, |sums| < 2^53
-            # self-pairs can never be emitted: mask below every real score
+            S = Q @ N.T
             S[qids[:, None] == nids[None, :]] = -np.inf
             if S.shape[1] > k:
                 # k-th largest per anchor; keep ties inclusively — the
-                # kept set is a SUPERSET of each anchor's global top-K
+                # kept set is a SUPERSET of each anchor's global top-k
                 thresh = np.partition(S, -k, axis=1)[:, -k]
             else:
                 thresh = np.full(S.shape[0], -np.inf)
@@ -2318,12 +2294,116 @@ def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = codes.mapInPandas(score_batches, "qid long, nid long, sim long")
+    return score_batches
+
+
+# Anchors per scoring block: bounds BOTH the driver pull and the
+# executor-held matrix at ~32 MB of int64 codes (65536 x 64 x 8 B)
+# regardless of corpus size. Audit-spec fixtures fit one block, so the
+# bench-scale plan is unchanged; at 100 TB the scan count grows with
+# ceil(|anchors| / block) — the inherent cost of an exact all-pairs
+# audit — while no single process ever holds O(corpus/10) rows (the
+# round-12 verdict's scale ceiling on the previous full collect).
+_ANCHOR_BLOCK = 1 << 16
+
+
+def sq8_fullscan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, nid): the EXACT top-_KNN_K under the identical SQ8 metric
+    over the full collection — the truth side of the s10c gate. The
+    anchor matrix is materialized by a distributed write and pulled
+    back one bounded block at a time (never an O(corpus/10) driver
+    collect); each block scans the corpus through the shared matmul
+    mapInPandas (guide §4.2) and the blocks' surviving rows union into
+    ONE window that computes the identical (sim DESC, nid ASC) top-K
+    the broadcast-join form produced — each anchor lives in exactly
+    one block, so its candidate set is exactly the single-pass one."""
+    from pyspark.sql.window import Window
+
+    from real_time_data_warehouse_spark.operators.retrieval import (
+        _KNN_K,
+        _KNN_SAMPLE_MOD,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    codes = _sq8_codes(_normalized(emb))
+    # deterministic bounded blocks: block = vec_id DIV (MOD * BLOCK), so
+    # a block never holds more than _ANCHOR_BLOCK anchors (sparse ids
+    # just make smaller blocks)
+    blk = F.floor(
+        F.col("vec_id") / F.lit(_KNN_SAMPLE_MOD * _ANCHOR_BLOCK)
+    ).cast("long")
+    anchors = codes.where(
+        F.col("vec_id") % _KNN_SAMPLE_MOD == 0
+    ).withColumn("blk", blk)
+    tmp = tempfile.mkdtemp(prefix="rtdw_s10c_anchors_")
+    parts: list[DataFrame] = []
+    try:
+        anchors.write.mode("overwrite").parquet(tmp)
+        adf = spark.read.schema(
+            "vec_id long, qc array<bigint>, blk long"
+        ).parquet(tmp)
+        blocks = sorted(
+            r["blk"] for r in adf.select("blk").distinct().collect()
+        )
+        for b in blocks:
+            qrows = adf.where(F.col("blk") == b).collect()
+            qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+            Q = np.array([list(r["qc"]) for r in qrows], dtype=np.float64)
+            parts.append(
+                codes.mapInPandas(
+                    _sq8_matmul_scorer(qids, Q, _KNN_K),
+                    "qid long, nid long, sim long",
+                )
+            )
+    finally:
+        # only driver-side collects read the scratch dir; the returned
+        # plan depends on `codes` and the per-block closures alone
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not parts:
+        return spark.createDataFrame([], "qid long, nid long")
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KNN_K)
         .select("qid", "nid")
+    )
+
+
+def sq8_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact (query_id, neighbor_id) set of s14's SQ8 top-K,
+    computed through the s10c matmul pattern — one integer numpy
+    matmul per Arrow batch instead of a broadcast nested-loop join
+    evaluating the interpreted int_dot fold per pair (guide §4.2).
+    Scores are integer-valued doubles < 2^53 and the final window
+    applies s14's identical (score DESC, neighbor_id ASC) order, so
+    the rows are bit-identical to s14's (pinned by
+    tests/test_semantic_dedup.py::test_s14b_matmul_matches_s14).
+    Used by the s14b audit's approx side; the s14 registry row keeps
+    its pinned BroadcastNestedLoopJoin contract shape (test_plans)."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    codes = _sq8_codes(_normalized(emb))
+    qrows = codes.where(F.col("vec_id") < _N_QUERIES).collect()  # <= 10 rows
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qc"]) for r in qrows], dtype=np.float64)
+    scored = codes.mapInPandas(
+        _sq8_matmul_scorer(qids, Q, _TOP_K), "qid long, nid long, sim long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select(
+            F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id")
+        )
     )
 
 

@@ -1109,13 +1109,22 @@ def bigram_nll_frame(documents: DataFrame) -> DataFrame:
     # trap; there a repartition barrier is needed because no Generate
     # intervenes).
     tcol = F.col("toks")
+    # every token emits one row: token i as w1 with its successor as w2,
+    # the LAST token with w2 = NULL. The null-w2 tail rows make V
+    # derivable from the tf table itself (distinct w1 == distinct
+    # tokens), dropping the separate full corpus re-tokenize + explode
+    # pass the vocab count used to pay (guide §1.2: fewer passes). They
+    # are bigram-inert everywhere else: the model aggregation filters
+    # them and the scoring equi-join on w2 never matches NULL.
     grams = F.when(
-        F.size(tcol) >= 2,
+        F.size(tcol) >= 1,
         F.transform(
-            F.sequence(F.lit(0), F.size(tcol) - 2),
+            F.sequence(F.lit(0), F.size(tcol) - 1),
             lambda i: F.struct(
                 F.element_at(tcol, i + 1).alias("w1"),
-                F.element_at(tcol, i + 2).alias("w2"),
+                F.when(
+                    i < F.size(tcol) - 1, F.element_at(tcol, i + 2)
+                ).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
@@ -1127,15 +1136,18 @@ def bigram_nll_frame(documents: DataFrame) -> DataFrame:
     tf = (
         base.groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)  # feeds model AND scoring
+        .localCheckpoint(eager=True)  # feeds model, vocab AND scoring
     )
-    bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    bg = (
+        tf.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("cb"))
+    )
     hist = bg.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # V = |vocabulary| over the full token stream (last tokens of docs
-    # included): distinct w1 ∪ final w2 — equivalently distinct tokens
-    vocab = documents.select(
-        F.explode(toks).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
+    # included) — distinct w1 of tf, which the null-w2 tail rows make
+    # exactly the distinct-token count
+    vocab = tf.agg(F.countDistinct("w1").alias("v"))
     nll = (
         bg.join(hist, "w1")
         .crossJoin(F.broadcast(vocab))

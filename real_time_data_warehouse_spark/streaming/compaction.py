@@ -90,23 +90,24 @@ def apply_compaction_batch(
 
 
 def compact_plan_log(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Materialize the final plan from the per-batch generations:
-    last-wins per (day, hour) by emitting batch — since every batch
-    re-plans the whole (bounded) catalog, this is the last
-    generation."""
-    from pyspark.sql.window import Window
-
-    log = spark.read.option("basePath", out_dir).parquet(out_dir)
-    w = Window.partitionBy(*_KEY).orderBy(F.col("batch_id").desc())
-    return (
-        log.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "day",
-            "hour",
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.col("bytes").cast("bigint").alias("bytes"),
-            F.col("cum_bytes").cast("bigint").alias("cum_bytes"),
-            F.col("bin_id").cast("bigint").alias("bin_id"),
-        )
+    """Materialize the final plan from the per-batch generations: every
+    batch re-plans the whole (bounded, only-growing) catalog, so the
+    LATEST generation alone is exactly what the previous last-wins
+    row_number window over all generations picked per (day, hour) —
+    read just that partition via read_snapshot's latest-id rule instead
+    of scanning every generation and sorting (the g1s finalize cut;
+    guide §1.2 fewer passes, §2.4 remove shuffles outright)."""
+    plan = read_snapshot(
+        spark,
+        out_dir,
+        1 << 62,
+        _STATE_SCHEMA + ", cum_bytes long, bin_id long",
+    )
+    return plan.select(
+        "day",
+        "hour",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("bytes").cast("bigint").alias("bytes"),
+        F.col("cum_bytes").cast("bigint").alias("cum_bytes"),
+        F.col("bin_id").cast("bigint").alias("bin_id"),
     )

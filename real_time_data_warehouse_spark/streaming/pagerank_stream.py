@@ -123,19 +123,21 @@ def apply_pagerank_batch(
 
 def pagerank_from_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """Final generation of the edge catalog → the fixed-K integer-
-    lattice rank frame (g1's exact loop and output contract)."""
-    from pyspark.sql.window import Window as W
+    lattice rank frame (g1's exact loop and output contract).
 
+    Every batch re-emits the FULL merged catalog (generation N =
+    generation N-1 ∪ batch partials, re-aggregated), so generation
+    supports only ever grow and the LATEST generation is exactly the
+    row the previous last-wins row_number window picked per (src, dst)
+    — reading just that partition replaces a scan of every generation
+    plus a full shuffle+sort with one pruned read (guide §1.2 fewer
+    passes, §2.4 remove shuffles outright)."""
     from real_time_data_warehouse_spark.operators.graph import (
         PR_ITERS,
         pagerank_frame,
     )
 
-    log = spark.read.option("basePath", out_dir).parquet(out_dir)
-    wl = W.partitionBy("src", "dst").orderBy(F.col("batch_id").desc())
-    edges = (
-        log.withColumn("rn", F.row_number().over(wl))
-        .where(F.col("rn") == 1)
-        .select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    edges = read_snapshot(spark, out_dir, 1 << 62, _EDGE_SCHEMA).select(
+        "src", "dst", F.col("w").cast("bigint").alias("w")
     )
     return pagerank_frame(edges, PR_ITERS)

@@ -357,6 +357,23 @@ def test_g1s_boundary_chaining_matches_batch(spark, tmp_path):
     assert stream_edges == batch_edges
     assert stream_edges == {(10, 20): 1, (20, 30): 1, (10, 10): 1}
 
+    # The r13 finalize shortcut: every batch re-emits the FULL merged
+    # catalog, so the LATEST generation alone (what pagerank_from_log
+    # now reads via read_snapshot) must equal the window-compacted
+    # last-wins view over all generations that it replaced.
+    from real_time_data_warehouse_spark.streaming.pagerank_stream import (
+        _EDGE_SCHEMA,
+    )
+    from real_time_data_warehouse_spark.streaming.state_store import (
+        read_snapshot,
+    )
+
+    latest_edges = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_snapshot(spark, out, 1 << 62, _EDGE_SCHEMA).collect()
+    }
+    assert latest_edges == stream_edges
+
 
 def test_entity_cluster_collapses_exact_duplicates_first(spark):
     """The r9 scale fix: identical (name, brand) rows must cluster via

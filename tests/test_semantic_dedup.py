@@ -110,3 +110,24 @@ def test_d20_split_discipline_and_d17c_consistency(spark):
         for tr, ev in ((a, b), (b, a)):
             if tr % 20 != 0 and ev % 20 == 0:
                 assert (tr, ev) in flagged, (tr, ev, p.cos_sim)
+
+
+def test_s14b_matmul_matches_s14(spark):
+    """The s14b audit's approx side (sq8_topk_matmul — the s10c numpy
+    integer-matmul pattern) must produce the BIT-IDENTICAL top-K rows
+    to the s14 registry row's pinned broadcast-nested-loop form:
+    integer-valued double dots are exact under any summation order and
+    both apply the (score DESC, neighbor_id ASC) window."""
+    from real_time_data_warehouse_spark.operators.similarity import (
+        sq8_topk_matmul,
+    )
+
+    via_join = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q("s14_sq8_ann_topk", spark).collect()
+    }
+    via_matmul = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk_matmul(spark, SF_DIR).collect()
+    }
+    assert via_matmul == via_join and len(via_join) > 0

@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for named queries into plans/r12/.
+"""Capture `.explain("formatted")` for named queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r13).
 
     python tools/capture_plans.py before q0_flagship_trade_summary d3_... ...
     python tools/capture_plans.py after --all-headline
 
-Writes plans/r12/<query>_<tag>.txt — the optimization-round evidence the
-judge diffs against OPTIMIZATION_r12.md claims. Uses sf0.1 (the bench
-scale) so plan shapes match the measured numbers.
+Writes plans/<round>/<query>_<tag>.txt — the optimization-round evidence
+the judge diffs against OPTIMIZATION_<round>.md claims. Uses sf0.1 (the
+bench scale) so plan shapes match the measured numbers.
 """
 
 from __future__ import annotations
@@ -18,7 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 
 HEADLINE = (
     "q0_flagship_trade_summary",
