@@ -604,7 +604,11 @@ def min_label_propagation(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         # so the planner defaults to SortMergeJoin, re-sorting the edge
         # list and label table every round; the hash build side is the
         # label/neighbor-min side (|edge nodes| rows). Strategy cannot
-        # change the label values.
+        # change the label values. SKEW CAVEAT: one row per node keeps
+        # build partitions hash-uniform, but at extreme scale a hot
+        # partition can OOM a shuffled-hash build where SortMergeJoin
+        # would spill; drop the hint there before reaching for memory
+        # (see graph.py).
         neighbor_min = (
             edges.join(
                 labels.select("node", "label").hint("shuffle_hash"),
@@ -1483,19 +1487,38 @@ def substring_span_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, text) frame → per-doc duplicated-span coverage (the d15
     body, exposed so tests can run it on planted corpora)."""
     toks = _doc_tokens(documents)
-    n_tok = toks.select(
-        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
-    ).localCheckpoint(eager=True)
-    # grams feed both the dup-set aggregate and the join back —
-    # compute the transform once
-    grams = _positional_grams(toks).localCheckpoint(eager=True)
+    # ONE tokenize pass: n_tokens rides every gram row, and
+    # posexplode_outer emits one null-gram row for docs with < _SPAN_K
+    # tokens, so the doc set and token counts survive in the same
+    # materialization — the previous separate n_tok checkpoint re-ran
+    # the corpus tokenize a second time (guide §1.2: fewer passes).
+    # posexplode_outer also infers no Generate filters, the
+    # _explode_shingles discipline.
+    gram_arr = F.when(
+        F.size("t") >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - _SPAN_K),
+            lambda i: F.array_join(F.slice("t", i + 1, _SPAN_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.posexplode_outer(gram_arr).alias("i", "g"),
+        )
+        .select("doc_id", "n_tokens", (F.col("i") + 1).alias("s"), "g")
+        .localCheckpoint(eager=True)
+    )
+    n_tok = grams.select("doc_id", "n_tokens").distinct()
+    real = grams.where(F.col("g").isNotNull())
     dup = (
-        grams.groupBy("g")
+        real.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
         .select("g")
     )
-    spans = grams.join(dup, "g").select(
+    spans = real.join(dup, "g").select(
         "doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")
     )
     merged = _mark_islands(spans).groupBy("doc_id", "island").agg(

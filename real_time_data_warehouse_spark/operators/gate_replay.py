@@ -66,7 +66,12 @@ def _replay_batches(
     for the SCD2 stream). Callers that already know the id range pass
     ``span`` so the max-id scalar job (a full input scan) is skipped —
     the time-split family derives it from the same aggregate that finds
-    the 0-base (guide §1.2: fewer passes)."""
+    the 0-base (guide §1.2: fewer passes). PRECONDITION on a caller-
+    supplied span: every row must satisfy ``id_col < span`` — batch
+    ranges are [lo, hi) with hi capped at span, so an under-estimated
+    span silently DROPS rows with id_col >= span from every batch
+    instead of failing. Current callers compute it exactly from
+    max(id_col)."""
     if span is None:
         max_id = rows.agg(F.max(id_col)).first()[0]
         # empty input: still drive the applier once with the empty

@@ -222,6 +222,11 @@ def pagerank_frame(
         # vector every round. The hash build side is the rank-vector
         # side (|nodes| rows, the smaller side per partition at any
         # scale: nodes ≤ edges); join strategy does not change results.
+        # SKEW CAVEAT: ranks are one row per node, so a build-side
+        # partition is only skewed if the node-id HASH is — but at
+        # extreme scale a hot partition can OOM a shuffled-hash build
+        # where SortMergeJoin would spill; drop the hint there before
+        # reaching for memory.
         contrib = (
             ew.join(
                 ranks.select("node", "rank_unit").hint("shuffle_hash"),

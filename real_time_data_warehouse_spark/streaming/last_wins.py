@@ -69,6 +69,12 @@ def apply_last_wins_batch(
     # written bytes, and the batch needs no checkpoint of its own —
     # 2 jobs per batch where the checkpoint + semi-join form ran 3
     # (fold-touched-into-snapshot; guide §1.2, §2.4).
+    # INVARIANT: keys (user_id, event_type) are non-null — the flag
+    # filter groups NULL keys where the replaced semi-join would have
+    # silently dropped them; the fixtures and the st1 oracle share the
+    # non-null guarantee (events.user_id/event_type are required), so
+    # the two forms are equivalent. A null-keyed source would need an
+    # explicit key filter here first.
     new_state = write_then_read(
         state.withColumn("tb", F.lit(0))
         .unionByName(rows.withColumn("tb", F.lit(1)))

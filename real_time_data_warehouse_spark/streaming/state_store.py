@@ -9,6 +9,13 @@ output partition N, so a retried batch re-reads the pre-batch state and
 is idempotent. The "latest id < batch_id" scan was copy-pasted per
 module; this is the single shared implementation (only the empty-state
 schema differs per caller).
+
+NOTE for readers of the snapshot files: snapshots may carry extra
+APPLIER-PRIVATE columns beyond the logical state (e.g. the ``tb``/``nb``
+touched-key provenance flags the fold-touched appliers persist). Every
+reader must project through its caller-declared schema — as
+``read_snapshot`` does — never ``spark.read.parquet`` with inferred
+schema over a state dir.
 """
 
 from __future__ import annotations

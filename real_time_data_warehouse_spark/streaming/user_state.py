@@ -165,7 +165,10 @@ def apply_returning_batch(
     # column through the merge agg; next batch's declared-schema read
     # projects it away) — increments has ONE consumer, so its
     # checkpoint job is gone and the out pass filters the written
-    # bytes (fold-touched-into-snapshot; guide §1.2).
+    # bytes (fold-touched-into-snapshot; guide §1.2). INVARIANT: the
+    # grouping key is non-null (the flag filter groups NULL keys where
+    # the old semi-join dropped them; fixture-guaranteed — see
+    # last_wins.py).
     new_dstate = write_then_read(
         dstate.withColumn("tb", F.lit(0))
         .unionByName(

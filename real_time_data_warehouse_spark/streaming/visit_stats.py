@@ -153,7 +153,10 @@ def apply_session_count_batch(
     # the out pass filters the written bytes: 2 jobs per batch where
     # the checkpoint + semi-join form ran 3 (fold-touched-into-
     # snapshot; guide §1.2). Next batch's declared-schema read projects
-    # the flag away.
+    # the flag away. INVARIANT: user_id is non-null (the flag filter
+    # groups NULL keys where the old semi-join dropped them; the
+    # fixtures guarantee non-null user_id, so the forms agree — see
+    # last_wins.py).
     new_state = write_then_read(
         state.join(per_user, "user_id", "full")
         .select(

@@ -85,6 +85,9 @@ def apply_window_batch(
     # out pass filters the written bytes — 2 jobs per batch where the
     # checkpoint form ran 3 (fold-touched-into-snapshot; guide §1.2,
     # §2.4). Next batch's declared-schema read projects the flag away.
+    # INVARIANT: the window/key columns are non-null (the flag filter
+    # groups NULL keys where the old semi-join dropped them;
+    # fixture-guaranteed — see last_wins.py).
     from real_time_data_warehouse_spark.streaming.state_store import (
         write_then_read,
     )
